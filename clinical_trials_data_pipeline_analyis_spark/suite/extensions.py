@@ -11,17 +11,40 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    LANG_MARKERS,
+    langid_scores,
     md5_fingerprint,
     normalized_text,
     quality_features,
     token_count,
     whitespace_tokens,
 )
+from ..operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import attach_binary_payload, decode_image_metadata
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_duplicate_pairs,
+    ivf_assign,
+)
 from ..sources.parquet import read_table
 from . import register
 
 #: DuckDB expression for the same normalization as functions.text.normalized_text
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright; with the nanosAsLong legacy conf the column
+    arrives as BIGINT nanoseconds — which we prefer anyway (pure integer
+    arithmetic, no timezone semantics to align with the oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 # =====================================================================
@@ -167,3 +190,440 @@ def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
+
+
+# =====================================================================
+# Shared DuckDB SQL fragments for the shingle-based dedup oracles.
+# Generated from the same parameters as the Spark operators.
+# =====================================================================
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+         UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+"""
+
+_NUM_HASHES = 8
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_MINHASH_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    + " FROM sh GROUP BY doc_id"
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+    + " AS bsig FROM sig"
+    for b in range(_BANDS)
+)
+
+
+# =====================================================================
+# x05 — MinHash + LSH near-duplicate candidate pairs.
+# Scale shape: shingle explode -> 8-way min-hash aggregate (one shuffle on
+# doc_id) -> banded equi-join on (band, signature) buckets. Candidate cost
+# scales with bucket sizes, never O(n^2).
+# =====================================================================
+@register(
+    "x05_dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands AS a
+JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+""",
+    covers=("X-DEDUP-MINHASH", "A2", "J7"),
+)
+def x05_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, shingle_k=3
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+# =====================================================================
+# x06 — SimHash fingerprints (32-bit, per-bit majority vote over portable
+# 32-bit token hashes).
+# =====================================================================
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    + " FROM th GROUP BY doc_id"
+)
+_SIMHASH_VALUE_SQL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "x06_dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+    FROM toks WHERE tok <> ''
+),
+sums AS ({_SIMHASH_SUMS_SQL})
+SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash
+FROM sums
+""",
+    covers=("X-DEDUP-SIMHASH",),
+)
+def x06_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+# =====================================================================
+# x07 — exact n-gram Jaccard over the inverted-index pair join; top-50
+# most similar pairs under a total (jaccard DESC, doc_a, doc_b) order.
+# =====================================================================
+@register(
+    "x07_dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh AS a
+    JOIN sh AS b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT
+    doc_a,
+    doc_b,
+    ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes AS sa ON doc_a = sa.doc_id
+JOIN sizes AS sb ON doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 50
+""",
+    covers=("X-DEDUP-NGRAM-JACCARD", "O1"),
+)
+def x07_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, top_n=50)
+
+
+# =====================================================================
+# x08 — embedding near-duplicate pairs, blocked by label (the 100 TB shape
+# blocks by LSH bucket / IVF cell instead); top-50 by rounded cosine.
+# =====================================================================
+_COS_SQL = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "x08_dedup_embedding_cosine",
+    oracle=f"""
+WITH embd AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT
+    a.label,
+    a.vec_id AS vec_a,
+    b.vec_id AS vec_b,
+    {_COS_SQL.format(a="a.e", b="b.e")} AS cosine
+FROM embd AS a
+JOIN embd AS b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 50
+""",
+    covers=("X-DEDUP-EMBEDDING",),
+)
+def x08_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_duplicate_pairs(emb, block_col="label", top_n=50)
+
+
+# =====================================================================
+# x09 — brute-force cosine top-k ANN (the exact baseline; queries
+# broadcast, candidates scanned in parallel, per-query window ranking).
+# =====================================================================
+@register(
+    "x09_ann_cosine_topk",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM embd WHERE vec_id < 5),
+scored AS (
+    SELECT
+        q.query_id,
+        c.vec_id AS candidate_id,
+        {_COS_SQL.format(a="q.qe", b="c.e")} AS cosine
+    FROM q, embd AS c
+    WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, candidate_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+    covers=("X-ANN-BRUTE", "W2", "O1"),
+)
+def x09_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+# =====================================================================
+# x10 — IVF assignment (the ANN scale path): every vector assigned to its
+# nearest of ~n/97 deterministic centroids; search then probes one cell.
+# =====================================================================
+@register(
+    "x10_ann_ivf_assign",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+scored AS (
+    SELECT
+        v.vec_id,
+        cent.centroid_id,
+        {_COS_SQL.format(a="v.e", b="cent.ce")} AS cosine
+    FROM embd AS v, cent
+)
+SELECT vec_id, centroid_id, cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, centroid_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn = 1
+""",
+    covers=("X-ANN-IVF",),
+)
+def x10_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 97 == 0
+    )
+    return ivf_assign(emb, centroids)
+
+
+# =====================================================================
+# x11 — language ID via marker-token hit counts with a deterministic
+# argmax chain (priority order en > de > fr > es > zh on ties).
+# =====================================================================
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({markers}))) AS BIGINT)"
+    )
+
+
+@register(
+    "x11_text_langid",
+    oracle=f"""
+WITH scores AS (
+    SELECT
+        doc_id,
+        lang,
+        {_lang_score_sql('en')} AS s_en,
+        {_lang_score_sql('de')} AS s_de,
+        {_lang_score_sql('fr')} AS s_fr,
+        {_lang_score_sql('es')} AS s_es,
+        {_lang_score_sql('zh')} AS s_zh
+    FROM documents
+)
+SELECT
+    doc_id, s_en, s_de, s_fr, s_es, s_zh,
+    CASE
+        WHEN s_en >= GREATEST(s_de, s_fr, s_es, s_zh) THEN 'en'
+        WHEN s_de >= GREATEST(s_fr, s_es, s_zh) THEN 'de'
+        WHEN s_fr >= GREATEST(s_es, s_zh) THEN 'fr'
+        WHEN s_es >= s_zh THEN 'es'
+        ELSE 'zh'
+    END AS predicted_lang,
+    (CASE
+        WHEN s_en >= GREATEST(s_de, s_fr, s_es, s_zh) THEN 'en'
+        WHEN s_de >= GREATEST(s_fr, s_es, s_zh) THEN 'de'
+        WHEN s_fr >= GREATEST(s_es, s_zh) THEN 'fr'
+        WHEN s_es >= s_zh THEN 'es'
+        ELSE 'zh'
+    END) = lang AS is_match
+FROM scores
+""",
+    covers=("X-TEXT-LANGID",),
+)
+def x11_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    # Mirror the oracle exactly: split lower(text) on single spaces (not
+    # the \s+ tokenizer) so token lists agree.
+    toks = F.split(F.lower(F.col("text")), " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    base = docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["zh"].alias("s_zh"),
+    )
+    pred = (
+        F.when(
+            F.col("s_en")
+            >= F.greatest(F.col("s_de"), F.col("s_fr"), F.col("s_es"), F.col("s_zh")),
+            "en",
+        )
+        .when(
+            F.col("s_de") >= F.greatest(F.col("s_fr"), F.col("s_es"), F.col("s_zh")),
+            "de",
+        )
+        .when(F.col("s_fr") >= F.greatest(F.col("s_es"), F.col("s_zh")), "fr")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return base.select(
+        "doc_id", "s_en", "s_de", "s_fr", "s_es", "s_zh",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    ).drop("lang")
+
+
+# =====================================================================
+# x12 — tumbling-window event aggregation (batch form of the streaming
+# pipeline in streaming/events.py; nanosecond longs -> pure integer
+# window math, no timezone semantics involved).
+# =====================================================================
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+@register(
+    "x12_events_hourly_window",
+    oracle=f"""
+SELECT
+    event_type,
+    CAST(epoch_ns(ts) // {_NS_PER_HOUR} AS BIGINT) AS hour_bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, hour_bucket
+""",
+    covers=("X-STREAM-WINDOW", "A4"),
+)
+def x12_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts") / F.lit(_NS_PER_HOUR)).cast("long").alias(
+                "hour_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# x13 — sessionization via lag windows: a >30min gap starts a new session.
+# =====================================================================
+_NS_PER_30MIN = 1_800_000_000_000
+
+
+@register(
+    "x13_events_sessionize",
+    oracle=f"""
+WITH ordered AS (
+    SELECT
+        user_id,
+        epoch_ns(ts) AS ns,
+        LAG(epoch_ns(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+        ) AS prev_ns
+    FROM events
+)
+SELECT
+    user_id,
+    CAST(SUM(CASE WHEN prev_ns IS NULL OR ns - prev_ns > {_NS_PER_30MIN}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ordered
+GROUP BY user_id
+""",
+    covers=("X-STREAM-SESSION", "W2"),
+)
+def x13_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.col("ts").alias("ns"),
+        F.lag("ts").over(w).alias("prev_ns"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("prev_ns").isNull()
+                | (F.col("ns") - F.col("prev_ns") > _NS_PER_30MIN),
+                1,
+            ).otherwise(0)
+        ).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =====================================================================
+# x14 — JSON property extraction from the events props column.
+# =====================================================================
+@register(
+    "x14_events_json_props",
+    oracle="""
+SELECT
+    event_id,
+    CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+""",
+    covers=("X-JSON",),
+)
+def x14_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# =====================================================================
+# x15 — multimodal metadata extraction (NO oracle: Arrow-batched
+# mapInPandas with a stubbed decoder — the driver records a rows-only
+# check, by design; see operators/multimodal.py).
+# =====================================================================
+@register(
+    "x15_multimodal_metadata",
+    oracle=None,
+    covers=("X-MULTIMODAL",),
+)
+def x15_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_image_metadata(attach_binary_payload(docs), "doc_id")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from .dedup import _spread
 
 
 def brute_force_topk(
@@ -38,7 +39,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = embeddings.select(
+    c = _spread(embeddings).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -76,7 +77,7 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    v = embeddings.select(
+    v = _spread(embeddings).select(
         F.col(id_col).alias("vec"), F.col(vec_col).alias("vvec")
     )
     scored = v.crossJoin(F.broadcast(c)).select(
@@ -102,7 +103,7 @@ def embedding_duplicate_pairs(
     top_n: int = 50,
 ) -> DataFrame:
     """Top near-duplicate pairs by cosine, blocked by ``block_col``."""
-    a = embeddings.select(
+    a = _spread(embeddings).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),

@@ -890,3 +890,121 @@ def q18_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority_code"),
         F.replace(F.lower(p), F.lit("-"), F.lit(" ")).alias("priority_label"),
     )
+
+
+# =====================================================================
+# q19 — normalized-key mapping join (J2): LEFT JOIN on LOWER(TRIM(key))
+# with COALESCE fallback.
+# Reference parity: interventions mapping join (aact_silver_layer.sql:
+# 515-530) — the lookup key is the normalized form of a messy column.
+# =====================================================================
+@register(
+    "q19_normalized_key_join",
+    oracle="""
+WITH mapping AS (
+    SELECT DISTINCT
+        lower(c_mktsegment) AS raw_key,
+        concat('SEG:', lower(c_mktsegment)) AS clean_name
+    FROM customer
+    WHERE c_mktsegment < 'H'
+)
+SELECT
+    c.c_custkey,
+    COALESCE(m.clean_name, lower(trim(c.c_mktsegment))) AS segment_clean
+FROM customer AS c
+LEFT JOIN mapping AS m ON lower(trim(c.c_mktsegment)) = m.raw_key
+""",
+    covers=("J2", "F2", "F8"),
+)
+def q19_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    mapping = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") < "H")
+        .select(
+            F.lower(F.col("c_mktsegment")).alias("raw_key"),
+            F.concat(F.lit("SEG:"), F.lower(F.col("c_mktsegment"))).alias(
+                "clean_name"
+            ),
+        )
+        .distinct()
+    )
+    key = F.lower(F.trim(customer.c_mktsegment))
+    return customer.join(
+        F.broadcast(mapping), key == mapping.raw_key, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(
+            F.col("clean_name"), F.lower(F.trim(F.col("c_mktsegment")))
+        ).alias("segment_clean"),
+    )
+
+
+# =====================================================================
+# q20 — year-over-year growth via lag window (the Power BI
+# time-intelligence measure re-expressed; see plans/metrics.py:yoy_growth).
+# =====================================================================
+@register(
+    "q20_yoy_growth",
+    oracle="""
+WITH per_year AS (
+    SELECT
+        CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS year,
+        CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1
+)
+SELECT
+    year,
+    n_orders,
+    LAG(n_orders) OVER (ORDER BY year) AS prev_year_orders,
+    ROUND(
+        CASE WHEN LAG(n_orders) OVER (ORDER BY year) > 0
+             THEN (n_orders - LAG(n_orders) OVER (ORDER BY year))
+                  / CAST(LAG(n_orders) OVER (ORDER BY year) AS DOUBLE)
+        END, 6
+    ) AS yoy_growth
+FROM per_year
+""",
+    covers=("A1", "F13", "X-LAG"),
+)
+def q20_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    per_year = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("year")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("year")
+    prev = F.lag("n_orders").over(w)
+    return per_year.select(
+        "year",
+        "n_orders",
+        prev.alias("prev_year_orders"),
+        F.round(
+            F.when(prev > 0, (F.col("n_orders") - prev) / prev.cast("double")),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+# =====================================================================
+# q21 — set operations (SURVEY §2.8: absent from the reference surface
+# but part of the engine's capability set).
+# =====================================================================
+@register(
+    "q21_set_operations",
+    oracle="""
+SELECT c_mktsegment AS segment FROM customer WHERE c_nationkey < 5
+INTERSECT
+SELECT c_mktsegment FROM customer WHERE c_nationkey >= 5
+""",
+    covers=("SET-OPS",),
+)
+def q21_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    lo = customer.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    hi = customer.filter(F.col("c_nationkey") >= 5).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    return lo.intersect(hi)

@@ -1,0 +1,135 @@
+"""Structured Streaming parity with the batch transforms + gold metrics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_trials_data_pipeline_analyis_spark.plans import (
+    dim_dates,
+    dim_studies,
+    fact_trials,
+    silver_studies,
+)
+from clinical_trials_data_pipeline_analyis_spark.plans.metrics import (
+    headline_measures,
+    trials_per_year,
+    yoy_growth,
+)
+from clinical_trials_data_pipeline_analyis_spark.schemas import BRONZE_SCHEMAS
+from clinical_trials_data_pipeline_analyis_spark.streaming import (
+    hourly_event_counts_stream,
+    streaming_events_source,
+)
+from fixtures import make_bronze_fixtures
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Two micro-batch JSON files of synthetic events."""
+    d = tmp_path_factory.mktemp("events_stream")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {
+            "event_id": i,
+            "ts": (base + dt.timedelta(minutes=7 * i)).isoformat(),
+            "user_id": i % 5,
+            "event_type": ["view", "click", "purchase"][i % 3],
+            "value": float(i) * 1.25,
+            "props": json.dumps({"k": i}),
+        }
+        for i in range(200)
+    ]
+    for b, chunk in enumerate([rows[:100], rows[100:]]):
+        with open(d / f"batch{b}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_streaming_window_agg_matches_batch(spark, events_dir, tmp_path):
+    """The streaming windowed aggregation must equal the same aggregation
+    run in batch over the same files (availableNow processes everything)."""
+    stream = streaming_events_source(spark, events_dir)
+    assert stream.isStreaming
+    agg = hourly_event_counts_stream(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_counts").collect()
+    }
+
+    batch = (
+        spark.read.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .json(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    tables = make_bronze_fixtures(n_studies=300, seed=3)
+    dfs = {
+        n: spark.createDataFrame(
+            [tuple(r.get(f.name) for f in BRONZE_SCHEMAS[n].fields) for r in recs],
+            BRONZE_SCHEMAS[n],
+        )
+        for n, recs in tables.items()
+    }
+    ss = silver_studies(dfs["studies"])
+    ds = dim_studies(ss)
+    dd = dim_dates(spark)
+    return ss, fact_trials(ss, ds, dd), ds, dd
+
+
+def test_headline_measures(gold):
+    ss, fact, ds, dd = gold
+    row = headline_measures(fact, ds).collect()[0]
+    assert row["total_trials"] == 300
+    assert row["total_enrollment"] >= 0
+    assert (
+        row["late_phase_trial_count"] + row["early_phase_trial_count"]
+        <= row["total_trials"]
+    )
+
+
+def test_trials_per_year_and_yoy(gold):
+    ss, fact, ds, dd = gold
+    per_year = trials_per_year(fact, dd).collect()
+    assert sum(r["n_trials"] for r in per_year) == fact.filter(
+        F.col("start_date_key") != 0
+    ).count()
+    yoy = {r["year"]: r for r in yoy_growth(fact, dd).collect()}
+    years = sorted(yoy)
+    assert yoy[years[0]]["yoy_growth"] is None  # no prior year
+    for y in years[1:]:
+        prev = yoy[y]["prev_year_trials"]
+        if prev and prev > 0:
+            expect = round((yoy[y]["n_trials"] - prev) / prev, 6)
+            assert abs(yoy[y]["yoy_growth"] - expect) < 1e-9

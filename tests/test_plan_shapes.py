@@ -1,0 +1,123 @@
+"""Physical-plan regression guards: the properties that keep the engine
+fast at 100 TB must be visible in the executed plans at any scale.
+
+These assert on `.explain` output — if a refactor silently turns a
+broadcast join into a shuffle or breaks filter pushdown, these fail long
+before a cluster run would reveal it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from clinical_trials_data_pipeline_analyis_spark.operators.skew import (
+    salted_count,
+    salted_count_distinct,
+)
+from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed_optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Predicates on scans must appear as PushedFilters in the parquet
+    scan (Catalyst pushdown, SURVEY §4)."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read all lineitem columns."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in scan_schema and "l_quantity" in scan_schema
+    assert "l_comment" not in scan_schema and "l_shipdate" not in scan_schema
+
+
+def test_mapping_join_broadcasts(spark):
+    """q03's mapping lookup must be a broadcast hash join, never a
+    shuffled join (J1 scale contract)."""
+    df = spark_queries()["q03_mapping_standardize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_date_spine_join_broadcasts(spark):
+    """Role-playing date-dimension joins broadcast the spine (J4)."""
+    df = spark_queries()["q10_star_role_playing_dates"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_silver_studies_is_single_projection(spark):
+    """The whole silver cleaner must collapse to one Project over the
+    scan — no shuffles, no extra stages (E2 lifecycle contract)."""
+    from clinical_trials_data_pipeline_analyis_spark.plans import silver_studies
+    from clinical_trials_data_pipeline_analyis_spark.schemas import STUDIES_SCHEMA
+
+    bronze = spark.createDataFrame([], STUDIES_SCHEMA)
+    out = silver_studies(bronze)
+    optimized = _analyzed_optimized(out)
+    assert "Exchange" not in optimized and "Join" not in optimized
+    # exactly one Project node over the relation
+    assert optimized.count("Project") == 1
+
+
+def test_topk_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global
+    sort (O1 scale contract)."""
+    df = spark_queries()["q02_priority_frequency_topk"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_cleaner(spark):
+    """The categorizer projection must run inside whole-stage codegen
+    (the `*(n)` prefix in the executed plan marks codegen'd operators)."""
+    df = spark_queries()["q04_category_case_chain"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: r["count"]
+        for r in salted_count(df, ["l_returnflag"]).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["count"]
+        for r in df.groupBy("l_returnflag").count().collect()
+    }
+    assert got == want
+
+
+def test_salted_count_distinct_matches_plain(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: r["distinct_count"]
+        for r in salted_count_distinct(df, ["l_returnflag"], "l_partkey").collect()
+    }
+    want = {
+        r["l_returnflag"]: r["cnt"]
+        for r in df.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("cnt"))
+        .collect()
+    }
+    assert got == want

@@ -627,3 +627,156 @@ def x14_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x15_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return decode_image_metadata(attach_binary_payload(docs), "doc_id")
+
+
+# =====================================================================
+# x16 — full IVF search path: queries probe their nearest centroid's cell
+# and rank only within it (the ANN scale path end-to-end; recall trades
+# against the brute-force x09 baseline).
+# =====================================================================
+_ASSIGN_SQL = f"""
+    SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cent.centroid_id
+               ) AS rn
+        FROM embd AS v, cent
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "x16_ann_ivf_topk",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+assign AS ({_ASSIGN_SQL}),
+q AS (
+    SELECT a.vec_id AS query_id, a.centroid_id, e.e AS qe
+    FROM assign AS a JOIN embd AS e ON a.vec_id = e.vec_id
+    WHERE a.vec_id < 5
+),
+cell AS (
+    SELECT a.vec_id AS candidate_id, a.centroid_id, e.e AS ce2
+    FROM assign AS a JOIN embd AS e ON a.vec_id = e.vec_id
+),
+scored AS (
+    SELECT q.query_id, cell.candidate_id,
+           {_COS_SQL.format(a="q.qe", b="cell.ce2")} AS cosine
+    FROM q JOIN cell ON q.centroid_id = cell.centroid_id
+    WHERE cell.candidate_id <> q.query_id
+)
+SELECT query_id, candidate_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+    covers=("X-ANN-IVF", "X-ANN-SEARCH"),
+)
+def x16_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 97 == 0
+    )
+    assign = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+
+    emb_vecs = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("e_id"), F.col("embedding").alias("e")
+    )
+    with_vec = assign.join(emb_vecs, assign.vec_id == emb_vecs.e_id).select(
+        "vec_id", "centroid_id", "e"
+    )
+    q = (
+        with_vec.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id").alias("q_cent"),
+            F.col("e").alias("qe"),
+        )
+    )
+    cell = with_vec.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("centroid_id").alias("c_cent"),
+        F.col("e").alias("ce2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cell, F.col("q_cent") == F.col("c_cent"))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine_similarity(F.col("qe"), F.col("ce2")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )
+
+
+# =====================================================================
+# x17 — MinHash Jaccard ESTIMATE for the LSH candidate pairs: fraction of
+# agreeing signature components (the cheap verify step between LSH
+# candidate generation and exact verification).
+# =====================================================================
+_EST_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "x17_dedup_minhash_estimate",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands AS a
+    JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)
+SELECT
+    cand.doc_a,
+    cand.doc_b,
+    ROUND(({_EST_SQL}) / {_NUM_HASHES}.0, 6) AS jaccard_estimate
+FROM cand
+JOIN sig AS a ON cand.doc_a = a.doc_id
+JOIN sig AS b ON cand.doc_b = b.doc_id
+""",
+    covers=("X-DEDUP-MINHASH", "X-DEDUP-VERIFY"),
+)
+def x17_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, shingle_k=3
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS)
+    a = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(_NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(_NUM_HASHES)],
+    )
+    agree = None
+    for i in range(_NUM_HASHES):
+        term = F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(a, cand.doc_a == F.col("a_id"))
+        .join(b, cand.doc_b == F.col("b_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(_NUM_HASHES), 6).alias("jaccard_estimate"),
+        )
+    )

@@ -207,10 +207,18 @@ _NUM_HASHES = 8
 _BANDS = 4
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
+# chunked-digest scheme: mirrors operators.dedup.minhash_signatures —
+# h_i = MIN of the i-th 8-hex-char chunk of md5(shingle) (i<4) or
+# md5('x' || shingle) (i>=4).
 _MINHASH_SIG_SQL = (
     "SELECT doc_id, "
     + ", ".join(
-        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+        "MIN(substr(md5({src}), {off}, 8)) AS h{i}".format(
+            src="shingle" if i < 4 else "'x' || shingle",
+            off=(i % 4) * 8 + 1,
+            i=i,
+        )
+        for i in range(_NUM_HASHES)
     )
     + " FROM sh GROUP BY doc_id"
 )

@@ -133,3 +133,71 @@ def test_trials_per_year_and_yoy(gold):
         if prev and prev > 0:
             expect = round((yoy[y]["n_trials"] - prev) / prev, 6)
             assert abs(yoy[y]["yoy_growth"] - expect) < 1e-9
+
+
+def test_stateful_sessionization_stream(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emitted by the
+    stream must match the batch lag-window sessionization over the same
+    data (excluding each user's final still-open session)."""
+    from pyspark.sql import Window
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    stream = spark.readStream.schema(schema).json(events_dir)
+    sessions = sessionize_stream(stream.select("user_id", "ts"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+
+    # batch reference: lag-window sessionization; drop each user's LAST
+    # session (still open in the stream, not yet emitted)
+    batch = spark.read.schema(schema).json(events_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        batch.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev").cast("double")
+                    > 1800
+                )
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    want_rows = sess.join(
+        last,
+        (sess.user_id == last.user_id) & (sess.sess_id == last.last_id),
+        "left_anti",
+    ).collect()
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in want_rows
+    }
+    assert len(got) > 0
+    assert got == want

@@ -1008,3 +1008,146 @@ def q21_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment")
     )
     return lo.intersect(hi)
+
+
+# =====================================================================
+# q22 — semi/anti joins (EXISTS / NOT EXISTS shapes; absent from the
+# reference surface, core to the engine's completeness).
+# =====================================================================
+@register(
+    "q22_semi_anti_join",
+    oracle="""
+SELECT
+    c.c_custkey,
+    EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderstatus = 'F') AS has_finished_order
+FROM customer AS c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    covers=("X-SEMI-ANTI",),
+)
+def q22_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders.select("o_custkey").distinct(),
+        customer.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    )
+    finished = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("f_custkey"))
+        .distinct()
+    )
+    return with_orders.join(
+        finished, with_orders.c_custkey == finished.f_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.col("f_custkey").isNotNull().alias("has_finished_order"),
+    )
+
+
+# =====================================================================
+# q23 — Spark SQL surface: the same correlated-EXISTS query expressed as
+# SQL text through spark.sql() over registered temp views (the engine
+# accepts both DataFrame and SQL entry points).
+# =====================================================================
+@register(
+    "q23_sql_entrypoint",
+    oracle="""
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer AS c
+JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+GROUP BY n.n_name
+""",
+    covers=("X-SQL-API", "X-SEMI-ANTI"),
+)
+def q23_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM v_customer AS c
+        JOIN v_nation AS n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
+        GROUP BY n.n_name
+        """
+    )
+
+
+# =====================================================================
+# q24 — ROLLUP hierarchical aggregation (beyond the reference's flat
+# GROUP BYs; SURVEY §2.4 notes their absence — engine supports them).
+# NULL grouping markers are replaced with 'ALL' so both engines emit
+# identical, unambiguous subtotal labels.
+# =====================================================================
+@register(
+    "q24_rollup",
+    oracle="""
+SELECT
+    COALESCE(l_returnflag, 'ALL') AS returnflag,
+    COALESCE(l_linestatus, 'ALL') AS linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    covers=("X-ROLLUP",),
+)
+def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# =====================================================================
+# q25 — pivot (wide conditional aggregation): Spark's .pivot() vs the
+# equivalent conditional-aggregation SQL (identical output columns).
+# =====================================================================
+@register(
+    "q25_pivot",
+    oracle="""
+SELECT
+    l_linestatus,
+    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_A,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_N,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    covers=("X-PIVOT",),
+)
+def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )

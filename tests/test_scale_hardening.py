@@ -116,3 +116,18 @@ def test_golden_snapshot_opportunity_rank(spark):
         )
     )
     assert snap == "a51119618b1e8f07ef1729d239eecd48", f"golden hash now {snap}"
+
+
+def test_approximate_variants_within_tolerance(spark):
+    """The documented 100 TB scale substitutes — approx_count_distinct
+    and percentile_approx — must track their exact counterparts closely
+    on real data (A5/A8 scale notes)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 10000)").alias("approx_p"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) <= 0.05 * row["exact_d"]
+    assert abs(row["approx_p"] - row["exact_p"]) <= 0.02 * row["exact_p"]

@@ -26,13 +26,16 @@ def token_count(col: Column) -> Column:
     return F.size(whitespace_tokens(col)).cast("long")
 
 
+#: BPE-ish pre-tokenization pattern: words, numbers, or single
+#: punctuation marks. RE2-safe (no lookarounds) so the same pattern runs
+#: in DuckDB oracles verbatim.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def bpe_ish_tokens(col: Column) -> Column:
-    """A BPE-ish pre-tokenization: words, numbers, or single punctuation
-    marks (GPT-2-style contraction-less simplification)."""
-    return F.filter(
-        F.split(col, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-        lambda t: (t != "") & (t != " "),
-    )
+    """BPE-ish pre-tokenization (GPT-2-style contraction-less
+    simplification) as an extracted-match array."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)
 
 
 def word_shingles(col: Column, k: int = 5) -> Column:
@@ -102,9 +105,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def langid_scores(col: Column) -> dict[str, Column]:
-    """Marker-token hit-count per language over the whitespace tokens."""
-    toks = whitespace_tokens(F.lower(col))
+    """Marker-token hit-count per language over single-space tokens
+    (mirrors the x11 oracle's tokenization exactly)."""
+    toks = F.split(F.lower(col), " ")
     return {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers))).cast("long")
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()
     }

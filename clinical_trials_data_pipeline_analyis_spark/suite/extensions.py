@@ -108,7 +108,8 @@ def x02_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x03 — token counting: whitespace tokens + BPE-ish regex tokens.
 # regexp_extract_all with an RE2-safe pattern so Spark and DuckDB agree.
 # =====================================================================
-_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+from ..functions.text import BPE_TOKEN_PATTERN as _BPE_PATTERN
+from ..functions.text import bpe_ish_tokens
 
 
 @register(
@@ -127,9 +128,7 @@ def x03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)).cast(
-            "long"
-        ).alias("bpe_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -477,13 +476,9 @@ FROM scores
 )
 def x11_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # Mirror the oracle exactly: split lower(text) on single spaces (not
-    # the \s+ tokenizer) so token lists agree.
-    toks = F.split(F.lower(F.col("text")), " ")
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
-        for lang, markers in LANG_MARKERS.items()
-    }
+    # langid_scores splits lower(text) on single spaces (not the \s+
+    # tokenizer) so the token lists agree with the oracle's string_split.
+    scores = langid_scores(F.col("text"))
     base = docs.select(
         "doc_id",
         "lang",

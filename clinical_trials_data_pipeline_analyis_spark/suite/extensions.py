@@ -535,9 +535,9 @@ def x12_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(
             "event_type",
-            F.floor(F.col("ts") / F.lit(_NS_PER_HOUR)).cast("long").alias(
-                "hour_bucket"
-            ),
+            # integer div: epoch-ns exceeds 2^53, double division would
+            # round near bucket boundaries
+            F.expr(f"ts div {_NS_PER_HOUR}").alias("hour_bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -783,3 +783,105 @@ def x17_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(agree / float(_NUM_HASHES), 6).alias("jaccard_estimate"),
         )
     )
+
+
+# =====================================================================
+# x18 — AS-OF join: each click matched to the user's most recent STRICTLY
+# prior purchase (operators/asof.py: union-tag + running last window —
+# one shuffle on the key, no inequality join). Oracle uses DuckDB's
+# native ASOF LEFT JOIN.
+# =====================================================================
+@register(
+    "x18_asof_join",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, epoch_us(ts) AS ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, epoch_us(ts)
+),
+clicks AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT
+    c.event_id,
+    c.user_id,
+    p.ts AS asof_ts,
+    ROUND(p.purchase_value, 6) AS purchase_value
+FROM clicks AS c
+ASOF LEFT JOIN purchases AS p ON c.user_id = p.user_id AND c.ts > p.ts
+""",
+    covers=("X-ASOF-JOIN",),
+)
+def x18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    # DuckDB truncates the nanosecond parquet timestamps to microseconds
+    # at read; truncate identically so the as-of comparisons agree.
+    # Integer `div`, NOT floor(x/1000): epoch-ns exceeds 2^53, so a
+    # double-division path loses the low microsecond digits.
+    ev = _read_events(spark, sf_dir).withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["purchase_value"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+# =====================================================================
+# x19 — range (band) join: events binned into value tiers via a
+# broadcast inequality join against a generated tier table. With the
+# tier side broadcast this plans as BroadcastNestedLoopJoin — the right
+# physical shape for small-band joins at scale.
+# =====================================================================
+@register(
+    "x19_range_join",
+    oracle="""
+WITH tiers AS (
+    SELECT CAST(i AS INT) AS tier_id,
+           i * 100.0 AS lo,
+           (i + 1) * 100.0 AS hi
+    FROM (SELECT unnest(generate_series(0, 9)) AS i)
+)
+SELECT
+    e.event_id,
+    t.tier_id
+FROM events AS e
+LEFT JOIN tiers AS t ON e.value >= t.lo AND e.value < t.hi
+""",
+    covers=("X-RANGE-JOIN",),
+)
+def x19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    tiers = (
+        spark.range(0, 10)
+        .select(
+            F.col("id").cast("int").alias("tier_id"),
+            (F.col("id") * 100.0).alias("lo"),
+            ((F.col("id") + 1) * 100.0).alias("hi"),
+        )
+    )
+    return ev.join(
+        F.broadcast(tiers),
+        (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        "left",
+    ).select("event_id", "tier_id")

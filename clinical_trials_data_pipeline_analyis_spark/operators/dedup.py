@@ -14,6 +14,12 @@ groupBy / join) — the canonical scalable shapes:
 
 Hashing is md5-hex (bit-identical in DuckDB), which is what makes every
 one of these operators exactly oracle-checkable.
+
+Algorithms are the published standards: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3);
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku et al., WWW 2007 for near-dup detection).
 """
 
 from __future__ import annotations

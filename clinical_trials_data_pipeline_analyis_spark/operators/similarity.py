@@ -13,6 +13,10 @@
 
 Vector math is `zip_with`/`aggregate` folds: JVM-side, ordered,
 deterministic — exactly reproducible by a row-local SQL computation.
+
+The IVF (inverted-file) structure follows the published ANN standard
+(Jegou/Douze/Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011 — the coarse-quantizer stage, without PQ codes).
 """
 
 from __future__ import annotations

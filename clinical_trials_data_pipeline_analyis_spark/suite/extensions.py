@@ -885,3 +885,49 @@ def x19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ev.value >= tiers.lo) & (ev.value < tiers.hi),
         "left",
     ).select("event_id", "tier_id")
+
+
+# =====================================================================
+# x20 — per-label embedding centroids (the k-means/IVF training
+# primitive): posexplode -> decimal-exact per-dimension mean. Output one
+# row per (label, dim) — array reconstruction is a downstream transform.
+# =====================================================================
+@register(
+    "x20_label_centroids",
+    oracle="""
+SELECT
+    label,
+    CAST(i AS INT) AS dim,
+    list_sum(list(CAST(embedding[CAST(i AS INT)] AS DOUBLE) ORDER BY vec_id))
+        / COUNT(*) AS centroid_value
+FROM embeddings,
+     UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+""",
+    covers=("X-EMBED-CENTROID",),
+)
+def x20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary float32 inputs break the decimal-exact-sum trick (Spark's
+    # string-based double->decimal rounding disagrees with DuckDB's
+    # binary rounding on representation-boundary values), so determinism
+    # comes from ORDER instead: collect (vec_id, v) per group, sort, and
+    # fold sequentially — both engines then sum identical doubles in
+    # identical order, bit-exactly.
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "v"),
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+            lambda s: s["v"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
+        .agg((ordered_sum / F.count(F.lit(1))).alias("centroid_value"))
+    )

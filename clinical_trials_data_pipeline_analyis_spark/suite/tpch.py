@@ -1151,3 +1151,31 @@ def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").alias("qty_N"),
         F.col("R").alias("qty_R"),
     )
+
+
+# =====================================================================
+# q26 — NTILE quantile binning (windowed bucketing for stratified
+# sampling / outlier tiers; beyond the reference's row_number-only
+# window surface).
+# =====================================================================
+@register(
+    "q26_ntile_binning",
+    oracle="""
+SELECT
+    o_orderkey,
+    o_orderstatus,
+    CAST(NTILE(4) OVER (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+    ) AS INT) AS price_quartile
+FROM orders
+""",
+    covers=("X-NTILE",),
+)
+def q26_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )

@@ -248,3 +248,56 @@ def ngram_jaccard_pairs(
     return scored.orderBy(
         F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
     ).limit(top_n)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    vertices: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by minimum-label
+    propagation: every vertex converges to the smallest vertex id reachable
+    from it. Returns ``(id_col, component)`` — the dedup cluster-assignment
+    primitive that turns LSH/SimHash candidate PAIRS into KEEP-ONE groups
+    (the reference stops at pair detection, `aact_silver_layer.sql:588-590`;
+    clustering is the step a 100 TB dedup pipeline needs on top).
+
+    Scale shape: each round is one shuffle join (labels onto edge
+    endpoints) plus a min-aggregate, converging in O(component diameter)
+    rounds — near-duplicate clusters are dense and shallow, so 2-4 rounds
+    in practice. ``localCheckpoint`` truncates lineage every round,
+    mandatory for iterative DataFrame algorithms (the logical plan would
+    otherwise double per round and overwhelm the optimizer). The
+    convergence check is a scalar count per round, not a data collect.
+    For adversarial graphs with giant high-diameter components, swap the
+    propagation step for large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC '14) — O(log^2 n) rounds
+    with identical per-round plumbing.
+    """
+    sym = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).union(
+        edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+    )
+    labels = vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        prop = sym.join(labels, sym["_src"] == labels[id_col]).select(
+            F.col("_dst").alias(id_col), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy(id_col)
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -20,6 +20,7 @@ from ..functions.text import (
     whitespace_tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -930,4 +931,138 @@ def x20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
         .agg((ordered_sum / F.count(F.lit(1))).alias("centroid_value"))
+    )
+
+
+# =====================================================================
+# x21 — near-duplicate CLUSTER assignment: MinHash/LSH candidate pairs
+# (exactly x05's) promoted to connected components, so every document
+# gets a cluster_id (= min doc_id reachable) and a cluster_size — the
+# keep-one-per-cluster decision a training-data dedup pipeline actually
+# executes. Spark side is iterative min-label propagation
+# (operators.dedup.connected_components); the oracle reaches the same
+# fixpoint declaratively with a recursive CTE.
+# =====================================================================
+@register(
+    "x21_dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands AS a
+    JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS e_src, doc_a AS e_dst FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.e_dst, w.label FROM walk AS w JOIN edges AS e ON w.doc_id = e.e_src
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+)
+SELECT
+    doc_id,
+    cluster_id,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+""",
+    covers=("X-DEDUP-CC", "X-DEDUP-MINHASH"),
+)
+def x21_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, shingle_k=3
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS)
+    comp = connected_components(
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+# =====================================================================
+# x22 — TF-IDF top terms per document (whitespace tokens, natural-log
+# idf = ln(N/df), top-3 by score). The quality-filtering / keyword
+# surface of a text pipeline. Both engines compute tf * ln(N/df) with
+# identical operand order and round to 6dp, and the per-document rank
+# orders by the ROUNDED score with a token tiebreak, so ranking is
+# total and engine-stable.
+# =====================================================================
+@register(
+    "x22_text_tfidf",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+n AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+),
+scored AS (
+    SELECT
+        tf.doc_id,
+        tf.token,
+        tf.tf,
+        ROUND(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / idf.df), 6) AS tfidf
+    FROM tf JOIN idf ON tf.token = idf.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+""",
+    covers=("X-TEXT-TFIDF", "A1", "W2"),
+)
+def x22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: tf is one shuffle on (doc_id, token); df is a
+    # map-side-combinable recount of the (already distinct) tf rows on
+    # token — no countDistinct shuffle of raw tokens. N arrives as a
+    # broadcast 1-row aggregate, not a driver-side collect.
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(normalized_text(F.col("text")))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(idf, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "tfidf")
     )

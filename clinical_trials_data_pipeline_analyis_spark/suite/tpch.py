@@ -327,7 +327,7 @@ WHERE m.total_orders > 10
     "q06_opportunity_rank",
     oracle=_Q06_ORACLE,
     covers=(
-        "A2", "A3", "A4", "A5", "A9",
+        "A3", "A4", "A5", "A9",
         "J6", "J7", "J8", "J9",
         "P3", "P4", "P5", "P6",
         "F1", "F2", "F8", "F17",
@@ -347,21 +347,25 @@ def q06_opportunity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     supplier = read_table(spark, sf_dir, "supplier")
 
-    # Step 1: best priority per order (trial_priority analog).
+    # Steps 1+2: pre-filtered relevant set (relevant_trials analog). The
+    # reference materializes MIN(CASE) per order (trial_priority,
+    # gold:264-275) and keeps orders where COALESCE(best, 99) <= 2 — i.e.
+    # orders having at least one lineitem whose flag maps to priority 1
+    # or 2. best_priority is never read downstream, so the aggregate
+    # reduces to EXISTS: a left-semi join against flag-filtered lineitem.
+    # This drops a full-lineitem shuffle aggregation that the plan
+    # otherwise computes TWICE (once per consuming branch below — the
+    # identical subtree is not exchange-reused across the two aggregate
+    # branches), and the flag filter now pushes into the scan. Catalyst
+    # cannot make this rewrite across an aggregate; the MIN(CASE)-per-group
+    # shape itself is proven by q05_best_priority_agg.
     flag = F.lower(F.col("l_returnflag"))
-    order_priority = li.groupBy("l_orderkey").agg(
-        F.min(
-            F.when(flag.isin("r"), 1).when(flag == "a", 2).otherwise(3)
-        ).alias("best_priority")
-    )
-
-    # Step 2: pre-filtered relevant set (relevant_trials analog) — filter
-    # BEFORE the fan-out joins, exactly as the reference does.
     relevant = (
-        orders.join(order_priority, orders.o_orderkey == order_priority.l_orderkey, "left")
-        .filter(
-            (F.coalesce(F.col("best_priority"), F.lit(99)) <= 2)
-            & (F.col("o_orderstatus") == "F")
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(
+            li.filter(flag.isin("r", "a")).select("l_orderkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
         )
         .select(
             "o_orderkey",

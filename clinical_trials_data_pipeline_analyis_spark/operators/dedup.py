@@ -265,10 +265,14 @@ def connected_components(
     (the reference stops at pair detection, `aact_silver_layer.sql:588-590`;
     clustering is the step a 100 TB dedup pipeline needs on top).
 
-    Scale shape: each round is one shuffle join (labels onto edge
-    endpoints) plus a min-aggregate, converging in O(component diameter)
-    rounds — near-duplicate clusters are dense and shallow, so 2-4 rounds
-    in practice. ``localCheckpoint`` truncates lineage every round,
+    Scale shape: the loop runs ONLY over vertices incident to an edge —
+    in a near-dup graph the overwhelming majority of vertices are
+    singletons, and iterating their (id, id) labels every round would be
+    pure shuffle waste; they are attached in one final left join instead.
+    Each round is then one shuffle join (labels onto edge endpoints) plus
+    a min-aggregate, converging in O(component diameter) rounds —
+    near-duplicate clusters are dense and shallow, so 2-4 rounds in
+    practice. ``localCheckpoint`` truncates lineage every round,
     mandatory for iterative DataFrame algorithms (the logical plan would
     otherwise double per round and overwhelm the optimizer). The
     convergence check is a scalar count per round, not a data collect.
@@ -277,10 +281,22 @@ def connected_components(
     Components in MapReduce and Beyond", SoCC '14) — O(log^2 n) rounds
     with identical per-round plumbing.
     """
-    sym = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).union(
-        edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+    # Materialize the symmetrized edge list ONCE before iterating — the
+    # upstream plan (e.g. the whole shingle->MinHash->LSH pipeline) must
+    # not re-execute every round, and the edge list is the small output
+    # of that pipeline, not its input.
+    sym = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
+        .localCheckpoint()
     )
-    labels = vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+    # Active subgraph only: vertices that touch at least one edge.
+    labels = (
+        sym.select(F.col("_src").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("component"))
+        .localCheckpoint()
+    )
     for _ in range(max_iterations):
         prop = sym.join(labels, sym["_src"] == labels[id_col]).select(
             F.col("_dst").alias(id_col), F.col("component")
@@ -300,4 +316,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # Singletons (no incident edge) are their own component.
+    return vertices.select(id_col).join(labels, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )

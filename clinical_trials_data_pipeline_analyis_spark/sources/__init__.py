@@ -1,7 +1,10 @@
+from .bucketing import read_bucketed, write_bucketed
 from .csv import read_pipe_csv, read_mapping_csv
 from .parquet import read_table, write_table, load_tables
 
 __all__ = [
+    "read_bucketed",
+    "write_bucketed",
     "read_pipe_csv",
     "read_mapping_csv",
     "read_table",

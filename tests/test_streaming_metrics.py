@@ -201,3 +201,57 @@ def test_stateful_sessionization_stream(spark, events_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(tmp_path_factory):
+    """Events with replayed duplicates: every third event appears twice
+    (once in each micro-batch file), as an at-least-once source would
+    deliver them."""
+    d = tmp_path_factory.mktemp("dup_events_stream")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {
+            "event_id": i,
+            "ts": (base + dt.timedelta(minutes=2 * i)).isoformat(),
+            "user_id": i % 5,
+            "event_type": ["view", "click", "purchase"][i % 3],
+            "value": float(i) * 1.25,
+            "props": json.dumps({"k": i}),
+        }
+        for i in range(90)
+    ]
+    replays = [r for r in rows if r["event_id"] % 3 == 0]
+    for b, chunk in enumerate([rows[:60], rows[60:] + replays]):
+        with open(d / f"batch{b}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_streaming_dedup_matches_batch(spark, dup_events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over the replayed stream must yield
+    exactly the batch-distinct set of event ids."""
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        dedup_events_stream,
+    )
+
+    stream = streaming_events_source(spark, dup_events_dir)
+    deduped = dedup_events_stream(
+        stream, key_cols=("event_id",), event_time_col="ts", watermark="6 hours"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM deduped_events").collect()
+    )
+    assert got == list(range(90))  # each id exactly once despite replays

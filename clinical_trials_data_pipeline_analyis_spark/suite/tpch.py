@@ -1183,3 +1183,109 @@ def q26_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+# =====================================================================
+# q27 — CUBE grouping sets: all 4 aggregation granularities of
+# (status, priority) in ONE pass (Spark expands grouping sets before the
+# shuffle, so this is still a single exchange — the scale-friendly way
+# to precompute every dashboard rollup at once).
+# =====================================================================
+@register(
+    "q27_cube",
+    oracle="""
+SELECT
+    COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+    COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    covers=("X-CUBE",),
+)
+def q27_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# =====================================================================
+# q28 — correlated scalar subqueries (orders beating their customer's
+# average order value), run through the SQL entry point so Catalyst's
+# decorrelation (RewriteCorrelatedScalarSubquery) turns both subqueries
+# into ONE grouped join — no per-row re-execution. The avg comparison is
+# done in exact decimal arithmetic (price * count > sum) so the row set
+# is engine-stable: a float average within 1 ulp of a price would
+# otherwise flip membership between engines.
+# =====================================================================
+@register(
+    "q28_correlated_subquery",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS totalprice
+FROM orders AS o
+WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+        * (SELECT COUNT(*) FROM orders AS o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+         FROM orders AS o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+    covers=("X-CORRELATED-SUBQUERY", "X-SQL-API"),
+)
+def q28_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM v_orders AS o
+        WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+                * (SELECT COUNT(*) FROM v_orders AS o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+                 FROM v_orders AS o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# =====================================================================
+# q29 — ordered string aggregation (the listagg/string_agg surface used
+# to build label lists and feature strings). Determinism via sorting the
+# collected array before concatenation — collect_list order is NOT
+# defined under parallel aggregation, so the sort is mandatory for an
+# engine-stable result, exactly like string_agg(... ORDER BY).
+# =====================================================================
+@register(
+    "q29_string_agg",
+    oracle="""
+SELECT
+    r.r_name AS region,
+    string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+    CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation AS n
+JOIN region AS r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    covers=("X-STRING-AGG",),
+)
+def q29_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

@@ -121,3 +121,18 @@ def test_salted_count_distinct_matches_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned writes must prune at the source: a filter on
+    the partition column shows up as PartitionFilters on the scan, so at
+    100 TB a day's query reads a day's files, not the table."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("p")
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t")).filter(F.col("p") == 3)
+    assert back.count() == 20
+    plan = _plan(back)
+    part_filters = plan.split("PartitionFilters")[1][:120]
+    assert "p#" in part_filters and "= 3" in part_filters, plan

@@ -180,28 +180,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_candidates(simhash_df: DataFrame, id_col: str) -> DataFrame:
-    """Candidate pairs sharing either 16-bit half of the 32-bit simhash."""
-    halves = simhash_df.select(
-        F.col(id_col).alias("doc_a"),
-        (F.col("simhash") % 65536).alias("lo"),
-        F.expr("shiftright(simhash, 16) & 65535").alias("hi"),
-    )
-    right = simhash_df.select(
-        F.col(id_col).alias("doc_b"),
-        (F.col("simhash") % 65536).alias("lo_b"),
-        F.expr("shiftright(simhash, 16) & 65535").alias("hi_b"),
-    )
-    return (
-        halves.join(
-            right,
-            (
-                (F.col("lo") == F.col("lo_b")) | (F.col("hi") == F.col("hi_b"))
-            )
-            & (F.col("doc_a") < F.col("doc_b")),
+    """Candidate pairs sharing either 16-bit half of the 32-bit simhash.
+
+    Banded exactly like ``lsh_candidate_pairs``: one equi-join per band
+    (the lo half, the hi half), unioned and de-duplicated. An OR of the
+    two equalities would have no extractable equi-key and Spark would
+    plan a BroadcastNestedLoopJoin (O(n^2) compares); as two hash
+    equi-joins the cost scales with the 16-bit bucket sizes instead
+    (tests/test_plan_shapes.py asserts no nested-loop join survives).
+    """
+    lo = (F.col("simhash") % 65536).alias("half")
+    hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias("half")
+
+    def pairs_on(half: Column) -> DataFrame:
+        a = simhash_df.select(F.col(id_col).alias("doc_a"), half)
+        b = simhash_df.select(
+            F.col(id_col).alias("doc_b"), half.alias("half_b")
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+        return a.join(
+            b,
+            (F.col("half") == F.col("half_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        ).select("doc_a", "doc_b")
+
+    return pairs_on(lo).unionByName(pairs_on(hi)).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -619,13 +619,25 @@ def x14_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x15 — multimodal metadata extraction (NO oracle: Arrow-batched
-# mapInPandas with a stubbed decoder — the driver records a rows-only
-# check, by design; see operators/multimodal.py).
+# x15 — multimodal metadata extraction through the Arrow-batched
+# mapInPandas decode path. The decoder is a deterministic FAKE (a pure
+# function of payload byte length — operators/multimodal.py), which
+# makes the whole Arrow round-trip VALUE-checkable: the oracle computes
+# the same metadata directly from the UTF-8 byte length. What this
+# verifies is the Spark-side plumbing — binary payload column, Arrow
+# batch crossing, output StructType — not the (stubbed) codec.
 # =====================================================================
 @register(
     "x15_multimodal_metadata",
-    oracle=None,
+    oracle="""
+SELECT
+    doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    'fake/raw' AS format,
+    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+    CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+FROM documents
+""",
     covers=("X-MULTIMODAL",),
 )
 def x15_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,3 +1078,45 @@ def x22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "tfidf")
     )
+
+
+# =====================================================================
+# x23 — SimHash candidate pairs: documents sharing either 16-bit half of
+# the 32-bit SimHash fingerprint (the standard Manku-style banding).
+# Spark side is TWO hash equi-joins (one per half) unioned + distinct —
+# never an OR-join, which would plan a BroadcastNestedLoopJoin
+# (reference analog: duplicate-pair detection,
+# aact_silver_layer.sql:588-590).
+# =====================================================================
+@register(
+    "x23_dedup_simhash_pairs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+    FROM toks WHERE tok <> ''
+),
+sums AS ({_SIMHASH_SUMS_SQL}),
+sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
+halves AS (
+    SELECT doc_id,
+           simhash % 65536 AS lo,
+           CAST((simhash >> 16) & 65535 AS BIGINT) AS hi
+    FROM sims
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM halves AS a JOIN halves AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+UNION
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM halves AS a JOIN halves AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+""",
+    covers=("X-DEDUP-SIMHASH", "J7"),
+)
+def x23_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+    return simhash_candidates(sims, "doc_id")

@@ -136,3 +136,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = _plan(back)
     part_filters = plan.split("PartitionFilters")[1][:120]
     assert "p#" in part_filters and "= 3" in part_filters, plan
+
+
+def test_simhash_candidates_has_no_nested_loop_join(spark):
+    """SimHash pair generation must be hash equi-joins on the 16-bit
+    halves (union of two), never an OR-join that Spark can only plan as
+    a BroadcastNestedLoopJoin / cartesian product."""
+    df = spark_queries()["x23_dedup_simhash_pairs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the two banded equi-joins are hash joins
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

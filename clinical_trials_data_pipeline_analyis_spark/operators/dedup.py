@@ -283,16 +283,28 @@ def connected_components(
     Components in MapReduce and Beyond", SoCC '14) — O(log^2 n) rounds
     with identical per-round plumbing.
     """
-    # Materialize the symmetrized edge list ONCE before iterating — the
-    # upstream plan (e.g. the whole shingle->MinHash->LSH pipeline) must
-    # not re-execute every round, and the edge list is the small output
-    # of that pipeline, not its input.
+    # Materialize the edge list ONCE before iterating — the upstream plan
+    # (e.g. the whole shingle->MinHash->LSH pipeline) must not re-execute
+    # every round, and the edge list is the small output of that
+    # pipeline, not its input. The checkpoint happens BEFORE the
+    # symmetrizing union: a union of two selects over the raw plan would
+    # embed (and execute) the upstream pipeline twice.
+    e0 = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint()
+    # The symmetrized edge list is hash-partitioned by the join key ONCE
+    # and the partitioning survives the checkpoint — so every round's
+    # labels join shuffles only the (small) label side, never the edges.
+    # At 100 TB |edges| >> |labels| and this is the dominant saving.
     sym = (
-        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-        .union(edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
+        e0.union(
+            e0.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .repartition(F.col("_src"))
         .localCheckpoint()
     )
-    # Active subgraph only: vertices that touch at least one edge.
+    # Active subgraph only: vertices that touch at least one edge
+    # (already co-partitioned by _src, so this distinct adds no shuffle).
     labels = (
         sym.select(F.col("_src").alias(id_col))
         .distinct()
@@ -300,22 +312,29 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
+        comp_type = dict(labels.dtypes)["component"]
         prop = sym.join(labels, sym["_src"] == labels[id_col]).select(
-            F.col("_dst").alias(id_col), F.col("component")
+            F.col("_dst").alias(id_col),
+            F.col("component"),
+            F.lit(None).cast(comp_type).alias("prev"),
         )
-        new_labels = (
-            labels.unionByName(prop)
+        # Previous labels ride through the same min-aggregate (exactly one
+        # labels row per id carries prev), so convergence is a filter over
+        # the checkpointed result — no second join, no second shuffle.
+        merged = (
+            labels.select(
+                id_col, "component", F.col("component").alias("prev")
+            )
+            .unionByName(prop)
             .groupBy(id_col)
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("prev").alias("prev"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") < F.col("prev")).count()
+        labels = merged.select(id_col, "component")
         if changed == 0:
             break
     # Singletons (no incident edge) are their own component.
@@ -323,3 +342,39 @@ def connected_components(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Staged near-dup pipeline: signatures -> candidate pairs -> clusters.
+
+    Returns ``(signatures, pairs, clusters)`` with each stage materialized
+    (``localCheckpoint``) before the next consumes it, so no stage ever
+    re-executes upstream work — the honest 100 TB shape, where each stage
+    is a table a pipeline writes, inspects, and resumes from. In
+    production swap the checkpoint for a parquet write per stage
+    (``sources.parquet.write_table``); the stage boundaries are the same.
+
+    ``clusters`` maps every document (including singletons) to
+    ``(id_col, component)`` where component = min doc id in its
+    near-duplicate cluster — the keep-one decision input.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    if materialize:
+        sigs = sigs.localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    if materialize:
+        pairs = pairs.localCheckpoint()
+    clusters = connected_components(
+        pairs, "doc_a", "doc_b", vertices=df.select(id_col), id_col=id_col
+    )
+    return sigs, pairs, clusters

@@ -989,13 +989,14 @@ FROM comp
     covers=("X-DEDUP-CC", "X-DEDUP-MINHASH"),
 )
 def x21_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged signatures -> pairs -> clusters: each stage materialized
+    # once (operators.dedup.dedup_pipeline), so the MinHash/LSH pipeline
+    # executes exactly once however many times the CC loop iterates.
+    from ..operators.dedup import dedup_pipeline
+
     docs = read_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
-        docs, "doc_id", "text", num_hashes=_NUM_HASHES, shingle_k=3
-    )
-    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS)
-    comp = connected_components(
-        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+    _sigs, _pairs, comp = dedup_pipeline(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=3
     )
     w = Window.partitionBy("component")
     return comp.select(

@@ -206,21 +206,47 @@ def simhash_candidates(simhash_df: DataFrame, id_col: str) -> DataFrame:
     return pairs_on(lo).unionByName(pairs_on(hi)).distinct()
 
 
+def filter_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The document frequency rides in as a window count over the shingle
+    partition — ONE shuffle on shingle (which the downstream pair join
+    needs anyway), no second aggregate-and-join pass. This is the
+    stopword-shingle bound: a ubiquitous shingle ("in the study")
+    otherwise creates an O(df^2) bucket in the inverted-index pair join,
+    unbounded at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     top_n: int = 50,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets via the inverted-index join,
     ranked; returns the top_n most similar pairs (total tiebreak order).
 
     Scale shape: the pair join is per-shingle, so hot shingles dominate
-    cost — at 100 TB, drop ultra-frequent shingles first (a standard
-    stopword-shingle filter) to bound bucket sizes.
+    cost. ``max_df`` (off by default) applies ``filter_hot_shingles``
+    first, bounding every join bucket at max_df documents; Jaccard is
+    then computed over the FILTERED shingle sets (set sizes included), so
+    the result is the exact Jaccard of the reduced sets rather than an
+    approximation of the full ones.
     """
     sh = shingle_sets(df, id_col, text_col, k)
+    if max_df is not None:
+        sh = filter_hot_shingles(sh, max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
@@ -259,39 +285,76 @@ def connected_components(
     vertices: DataFrame,
     id_col: str,
     max_iterations: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Connected components over an undirected edge list by minimum-label
-    propagation: every vertex converges to the smallest vertex id reachable
-    from it. Returns ``(id_col, component)`` — the dedup cluster-assignment
-    primitive that turns LSH/SimHash candidate PAIRS into KEEP-ONE groups
-    (the reference stops at pair detection, `aact_silver_layer.sql:588-590`;
-    clustering is the step a 100 TB dedup pipeline needs on top).
+    """Connected components over an undirected edge list: every vertex
+    converges to the smallest vertex id reachable from it. Returns
+    ``(id_col, component)`` — the dedup cluster-assignment primitive that
+    turns LSH/SimHash candidate PAIRS into KEEP-ONE groups (the reference
+    stops at pair detection, `aact_silver_layer.sql:588-590`; clustering
+    is the step a 100 TB dedup pipeline needs on top).
 
-    Scale shape: the loop runs ONLY over vertices incident to an edge —
-    in a near-dup graph the overwhelming majority of vertices are
+    Two algorithms behind the same interface (identical output):
+
+    - ``"propagation"`` (default): minimum-label propagation — one
+      shuffle join + min-aggregate per round, converging in O(component
+      diameter) rounds. The cheapest per-round plan; right for near-dup
+      graphs, whose clusters are dense and shallow (2-4 rounds).
+    - ``"two_phase"``: alternating large-star/small-star (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC '14) —
+      O(log^2 n) rounds regardless of diameter; right for adversarial
+      high-diameter components where propagation would need O(n) rounds
+      (tests/test_properties.py proves the round-count separation on a
+      path graph).
+
+    Shared scale shape: the loop runs ONLY over vertices incident to an
+    edge — in a near-dup graph the overwhelming majority of vertices are
     singletons, and iterating their (id, id) labels every round would be
     pure shuffle waste; they are attached in one final left join instead.
-    Each round is then one shuffle join (labels onto edge endpoints) plus
-    a min-aggregate, converging in O(component diameter) rounds —
-    near-duplicate clusters are dense and shallow, so 2-4 rounds in
-    practice. ``localCheckpoint`` truncates lineage every round,
-    mandatory for iterative DataFrame algorithms (the logical plan would
-    otherwise double per round and overwhelm the optimizer). The
-    convergence check is a scalar count per round, not a data collect.
-    For adversarial graphs with giant high-diameter components, swap the
-    propagation step for large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC '14) — O(log^2 n) rounds
-    with identical per-round plumbing.
+    ``localCheckpoint`` truncates lineage every round, mandatory for
+    iterative DataFrame algorithms (the logical plan would otherwise
+    double per round and overwhelm the optimizer). Convergence checks
+    are scalar counts per round, never data collects.
     """
     # Materialize the edge list ONCE before iterating — the upstream plan
     # (e.g. the whole shingle->MinHash->LSH pipeline) must not re-execute
     # every round, and the edge list is the small output of that
-    # pipeline, not its input. The checkpoint happens BEFORE the
-    # symmetrizing union: a union of two selects over the raw plan would
-    # embed (and execute) the upstream pipeline twice.
+    # pipeline, not its input. The checkpoint happens BEFORE any
+    # self-union: a union of two selects over the raw plan would embed
+    # (and execute) the upstream pipeline twice.
     e0 = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).localCheckpoint()
+    if algorithm == "propagation":
+        labels, rounds, converged = _cc_propagation(e0, id_col, max_iterations)
+    elif algorithm == "two_phase":
+        labels, rounds, converged = _cc_two_phase(e0, id_col, max_iterations)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    if not converged:
+        # A silently-wrong cluster assignment is worse than a failure at
+        # any scale: propagation needs O(diameter) rounds, so a
+        # high-diameter component exhausts the cap long before two_phase
+        # would.
+        raise RuntimeError(
+            f"connected_components({algorithm!r}) did not converge in "
+            f"{max_iterations} rounds; raise max_iterations or use "
+            "algorithm='two_phase' (O(log^2 n) rounds)"
+        )
+    # Singletons (no incident edge) are their own component.
+    return vertices.select(id_col).join(labels, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+
+
+def _cc_propagation(
+    e0: DataFrame, id_col: str, max_iterations: int
+) -> tuple[DataFrame, int, bool]:
+    """Min-label propagation rounds; ``e0`` must be materialized.
+
+    Returns ``(labels, rounds, converged)`` over edge-incident vertices.
+    """
     # The symmetrized edge list is hash-partitioned by the join key ONCE
     # and the partitioning survives the checkpoint — so every round's
     # labels join shuffles only the (small) label side, never the edges.
@@ -311,7 +374,10 @@ def connected_components(
         .select(F.col(id_col), F.col(id_col).alias("component"))
         .localCheckpoint()
     )
+    rounds = 0
+    converged = False
     for _ in range(max_iterations):
+        rounds += 1
         comp_type = dict(labels.dtypes)["component"]
         prop = sym.join(labels, sym["_src"] == labels[id_col]).select(
             F.col("_dst").alias(id_col),
@@ -336,12 +402,93 @@ def connected_components(
         changed = merged.filter(F.col("component") < F.col("prev")).count()
         labels = merged.select(id_col, "component")
         if changed == 0:
+            converged = True
             break
-    # Singletons (no incident edge) are their own component.
-    return vertices.select(id_col).join(labels, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    return labels, rounds, converged
+
+
+def _cc_two_phase(
+    e0: DataFrame, id_col: str, max_iterations: int
+) -> tuple[DataFrame, int, bool]:
+    """Alternating large-star/small-star rounds (Kiveris SoCC '14);
+    ``e0`` must be materialized. Returns ``(labels, rounds, converged)``.
+
+    The edge set is kept canonical — directed child>parent, distinct, no
+    self-loops. Convergence = the edge set is a star forest: every child
+    has exactly one distinct parent AND no parent is itself a child; both
+    are scalar counts over the per-child aggregate the final labels need
+    anyway.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("_src") != F.col("_dst"))
+            .select(
+                F.greatest("_src", "_dst").alias("u"),
+                F.least("_src", "_dst").alias("v"),
+            )
+            .distinct()
+        )
+
+    E = canon(e0).localCheckpoint()
+    rounds = 0
+    while True:
+        stats = (
+            E.groupBy("u")
+            .agg(
+                F.min("v").alias("p"),
+                F.countDistinct("v").alias("nd"),
+            )
+            .localCheckpoint()
+        )
+        multi = stats.filter(F.col("nd") > 1).count()
+        bad = (
+            E.join(
+                stats.select(F.col("u").alias("v")), "v", "left_semi"
+            ).count()
+            if multi == 0
+            else 1
+        )
+        converged = multi == 0 and bad == 0
+        if converged or rounds >= max_iterations:
+            break
+        rounds += 1
+        # large-star: every neighbor v > u connects to m(u) = min(N(u)+{u})
+        sym = E.union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("_src"), F.col("m").alias("_dst"))
+        )
+        E1 = canon(large).localCheckpoint()
+        # small-star: every smaller neighbor (and u itself) connects to
+        # m(u) = min of u's smaller neighbors; canonical E1 IS the
+        # child>parent directed form small-star operates on.
+        mins2 = E1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            E1.join(mins2, "u")
+            .select(F.col("v").alias("_src"), F.col("m").alias("_dst"))
+            .union(
+                mins2.select(
+                    F.col("u").alias("_src"), F.col("m").alias("_dst")
+                )
+            )
+        )
+        E = canon(small).localCheckpoint()
+    # At convergence every child points at its component min (a root).
+    children = stats.select(F.col("u").alias(id_col), F.col("p").alias("component"))
+    roots = (
+        E.select(F.col("v").alias(id_col))
+        .distinct()
+        .join(E.select(F.col("u").alias(id_col)).distinct(), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("component"))
     )
+    return children.unionByName(roots), rounds, converged
 
 
 def dedup_pipeline(

@@ -1121,3 +1121,49 @@ def x23_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
     return simhash_candidates(sims, "doc_id")
+
+
+# =====================================================================
+# x25 — n-gram Jaccard with the hot-shingle (stopword-shingle) document
+# frequency bound: shingles appearing in more than MAX_DF documents are
+# dropped before the inverted-index pair join, so every join bucket is
+# at most MAX_DF documents wide — the bound that keeps the pair join
+# finite at 100 TB. Jaccard is exact over the filtered shingle sets.
+# =====================================================================
+_NGRAM_MAX_DF = 5
+
+
+@register(
+    "x25_dedup_ngram_filtered",
+    oracle=f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+sh AS (
+    SELECT sh0.doc_id, sh0.shingle
+    FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+    WHERE freq.df <= {_NGRAM_MAX_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh AS a
+    JOIN sh AS b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT
+    doc_a,
+    doc_b,
+    ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes AS sa ON doc_a = sa.doc_id
+JOIN sizes AS sb ON doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 50
+""",
+    covers=("X-DEDUP-NGRAM-JACCARD", "P5"),
+)
+def x25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, top_n=50, max_df=_NGRAM_MAX_DF
+    )

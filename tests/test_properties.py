@@ -109,3 +109,102 @@ def test_pg_bool_total_mapping(spark):
         "Yes", "No", "Unknown", "Unknown", "Unknown", "Unknown",
         "Unknown", "Unknown", "Unknown", "Unknown",
     ]
+
+
+def test_hot_shingle_filter_bounds_bucket_sizes(spark):
+    """On a skewed fixture (every doc shares one ubiquitous phrase), the
+    max_df filter must bound every inverted-index join bucket at max_df
+    docs, and must leave rare-shingle pairs intact."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        filter_hot_shingles,
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    n = 60
+    rows = [
+        # one shared hot sentence + a per-doc unique tail; docs 2i/2i+1
+        # share their tail so real near-dup pairs survive the filter
+        (i, f"the quick brown fox jumps unique tail {i // 2} body {i // 2}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    max_df = 5
+    filtered = filter_hot_shingles(sh, max_df)
+    buckets = (
+        filtered.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert buckets <= max_df  # every join bucket bounded
+
+    # unfiltered: the hot shingles pair EVERY doc with every other
+    unfiltered_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, top_n=10**6
+    )
+    assert unfiltered_pairs.count() == n * (n - 1) // 2
+
+    # filtered: only the genuine tail-sharing pairs remain
+    got = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, top_n=10**6, max_df=max_df
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(n // 2)}
+
+
+def test_two_phase_cc_beats_propagation_on_high_diameter_graph(spark):
+    """On a path graph 0-1-...-n (diameter n), min-label propagation
+    needs O(n) rounds while large-star/small-star needs O(log^2 n); both
+    must produce identical labels (everything in component 0)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        _cc_propagation,
+        _cc_two_phase,
+        connected_components,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    e0 = edges.select(
+        F.col("doc_a").alias("_src"), F.col("doc_b").alias("_dst")
+    ).localCheckpoint()
+
+    star_labels, star_rounds, star_conv = _cc_two_phase(e0, "doc_id", 30)
+    assert star_conv and star_rounds <= 8, f"two-phase took {star_rounds} rounds"
+    got = {r["doc_id"]: r["component"] for r in star_labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # propagation on a short path needs ~diameter rounds — the separation
+    # two_phase exists to avoid (kept short: each round is a Spark job)
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["doc_a", "doc_b"]
+    ).select(F.col("doc_a").alias("_src"), F.col("doc_b").alias("_dst"))
+    _, prop_rounds, prop_conv = _cc_propagation(
+        short.localCheckpoint(), "doc_id", 30
+    )
+    assert prop_conv and prop_rounds >= 7
+
+    # propagation capped below the diameter must REFUSE to return wrong
+    # clusters, not silently mislabel
+    verts = spark.range(n + 3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(RuntimeError, match="two_phase"):
+        connected_components(
+            edges, "doc_a", "doc_b", verts, "doc_id",
+            max_iterations=10, algorithm="propagation",
+        ).collect()
+
+    # public interface: both algorithms agree, singletons attached
+    m = 16
+    short_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(m - 1)], ["doc_a", "doc_b"]
+    )
+    sverts = spark.range(m + 3).select(F.col("id").alias("doc_id"))
+    a = connected_components(
+        short_edges, "doc_a", "doc_b", sverts, "doc_id", algorithm="two_phase"
+    )
+    b = connected_components(
+        short_edges, "doc_a", "doc_b", sverts, "doc_id",
+        max_iterations=50, algorithm="propagation",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -129,3 +129,87 @@ def embedding_duplicate_pairs(
     return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(
         top_n
     )
+
+
+def train_ivf(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic k-means training for the IVF coarse quantizer
+    (Lloyd's algorithm; the training loop over the assign/update steps
+    that ``ivf_assign`` / per-centroid means provide individually).
+
+    Seeding is deterministic — the k lowest-id vectors, or a
+    caller-provided ``centroids`` frame with (id_col, vec_col). Each
+    iteration: broadcast-assign every vector to its nearest centroid by
+    cosine (``ivf_assign``), then recompute each centroid as the
+    per-dimension mean of its members. Per-dimension sums are ORDERED
+    folds (sort members by id, then sequential double adds), so every
+    iteration is bit-reproducible across engines — one step is
+    oracle-checked as x24_ivf_train_step. Empty cells drop, as in
+    standard k-means.
+
+    Returns ``(centroids, assignments)``: centroids as
+    (centroid_id, centroid array<double>), assignments (from the LAST
+    completed assign step) as (vec_id, centroid_id, cosine).
+
+    Scale shape: assignment is a broadcast-centroids crossJoin + argmax
+    — the big side never shuffles; the update is one shuffle keyed
+    (centroid_id, dim); only the k x dims centroid table materializes
+    per iteration (localCheckpoint — the loop must not replay prior
+    iterations' lineage).
+    """
+    if centroids is None:
+        cent = embeddings.orderBy(id_col).limit(k).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    else:
+        cent = centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    assign = None
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_mid", "v"))),
+            lambda s: s["v"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    for _ in range(iters):
+        assign = ivf_assign(
+            embeddings,
+            cent.select(
+                F.col("centroid_id").alias(id_col), F.col("cvec").alias(vec_col)
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        members = assign.select(
+            F.col("vec_id").alias(id_col), "centroid_id"
+        ).join(embeddings.select(id_col, vec_col), id_col)
+        exploded = members.select(
+            "centroid_id",
+            F.col(id_col).alias("_mid"),
+            F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+        )
+        dims = exploded.groupBy(
+            "centroid_id", (F.col("pos0") + 1).cast("int").alias("dim")
+        ).agg((ordered_sum / F.count(F.lit(1))).alias("centroid_value"))
+        cent = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "centroid_value"))
+                    ),
+                    lambda s: s["centroid_value"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cent.select("centroid_id", F.col("cvec").alias("centroid")), assign

@@ -1167,3 +1167,44 @@ def x25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3, top_n=50, max_df=_NGRAM_MAX_DF
     )
+
+
+# =====================================================================
+# x24 — one deterministic IVF k-means training iteration: assign every
+# vector to its nearest seed centroid (vec_id % 97 = 0, as in x16), then
+# recompute each centroid as the ordered-fold per-dimension mean of its
+# members. This is operators.similarity.train_ivf with iters=1 — the
+# assign (x10/x16) and update (x20) primitives composed into the
+# training loop, value-checked end-to-end.
+# =====================================================================
+@register(
+    "x24_ivf_train_step",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+assign AS ({_ASSIGN_SQL})
+SELECT
+    a.centroid_id,
+    CAST(i AS INT) AS dim,
+    list_sum(list(CAST(e.e[CAST(i AS INT)] AS DOUBLE) ORDER BY e.vec_id))
+        / COUNT(*) AS centroid_value
+FROM assign AS a
+JOIN embd AS e ON a.vec_id = e.vec_id,
+     UNNEST(generate_series(1, len(e.e))) AS t(i)
+GROUP BY a.centroid_id, i
+""",
+    covers=("X-ANN-IVF", "X-EMBED-CENTROID"),
+)
+def x24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import train_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 97 == 0)
+    cents, _assign = train_ivf(emb, centroids=seeds, iters=1)
+    return cents.select(
+        "centroid_id", F.posexplode("centroid").alias("pos0", "centroid_value")
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("int").alias("dim"),
+        "centroid_value",
+    )

@@ -208,3 +208,24 @@ def test_two_phase_cc_beats_propagation_on_high_diameter_graph(spark):
         max_iterations=50, algorithm="propagation",
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_train_ivf_iterates_and_is_deterministic(spark):
+    """Two k-means iterations must run end-to-end, keep centroid count
+    bounded by k, cover every vector in the assignment, and be exactly
+    reproducible run-to-run (ordered-fold means, deterministic seeding)."""
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        train_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    k = 5
+    cents, assign = train_ivf(emb, k=k, iters=2)
+    got = sorted(map(tuple, cents.collect()))
+    assert 0 < len(got) <= k
+    assert assign.count() == emb.count()
+    # every assigned centroid exists in the PREVIOUS round's centroid set;
+    # determinism: a second run folds to bit-identical centroids
+    cents2, _ = train_ivf(emb, k=k, iters=2)
+    assert got == sorted(map(tuple, cents2.collect()))

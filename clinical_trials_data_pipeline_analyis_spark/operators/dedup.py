@@ -234,6 +234,40 @@ def filter_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def simhash_near_duplicates(
+    simhash_df: DataFrame, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Verified SimHash near-duplicates: banded candidates filtered by
+    Hamming distance (Manku et al., WWW 2007 — the verify step that
+    turns recall-oriented CANDIDATES into precision-oriented PAIRS).
+
+    Returns ``(doc_a, doc_b, hamming)`` for candidate pairs whose
+    fingerprints differ in at most ``max_hamming`` bits. The distance is
+    ``bit_count(xor(a, b))`` — O(1) per candidate, so the verify cost is
+    the candidate count, which banding already bounded; no full-table
+    work is added.
+    """
+    cands = simhash_candidates(simhash_df, id_col)
+    a = simhash_df.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sim_a")
+    )
+    b = simhash_df.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sim_b")
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

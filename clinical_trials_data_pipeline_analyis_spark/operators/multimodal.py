@@ -92,3 +92,98 @@ def decode_image_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "Plug the decoder into decode_image_metadata's mapInPandas body; "
         "the schema, batching and partitioning here are production-ready."
     )
+
+
+#: schema emitted by the resize stage
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("thumb_w", IntegerType(), True),
+        StructField("thumb_h", IntegerType(), True),
+    ]
+)
+
+
+def resize_image_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_w: int = 64,
+    max_h: int = 64,
+) -> DataFrame:
+    """Aspect-fit thumbnail sizing over the Arrow-batched decode path.
+
+    Same contract as ``decode_image_metadata``: the pixel work is a
+    deterministic FAKE (dims derived from payload length, integer
+    milli-scale aspect-fit, never upscaled), the plumbing — binary
+    column in, Arrow batch crossing, typed struct out — is the
+    production path a real PIL ``Image.thumbnail`` call would use.
+    Integer-only math keeps the output exactly reproducible by SQL.
+    """
+
+    def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            w = (n % 640 + 1).astype("int64")
+            h = (n % 480 + 1).astype("int64")
+            scale = (max_w * 1000 // w).clip(upper=max_h * 1000 // h).clip(upper=1000)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "thumb_w": (w * scale // 1000).clip(lower=1).astype("int32"),
+                    "thumb_h": (h * scale // 1000).clip(lower=1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _fake_resize, schema=RESIZE_SCHEMA
+    )
+
+
+#: schema emitted by the frame-sampling stage
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("byte_off", LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 1024,
+    every_n: int = 4,
+) -> DataFrame:
+    """Frame sampling for audio/video payloads: treat the binary payload
+    as consecutive ``frame_bytes`` frames and emit every ``every_n``-th
+    frame's (index, byte offset) — the fan-out stage a video pipeline
+    runs before per-frame decode. One Arrow crossing; the row explosion
+    happens inside the pandas batch, so the Python boundary is paid per
+    BATCH, not per frame.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "byte_off": pd.array(
+                        [i * frame_bytes for i in idxs], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -1208,3 +1208,128 @@ def x24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("dim"),
         "centroid_value",
     )
+
+
+# =====================================================================
+# x26 — verified SimHash near-duplicates: the banded candidates (x23)
+# filtered by Hamming distance <= 6 over the 32-bit fingerprints — the
+# Manku-style candidates -> verify pipeline end-to-end. The verify cost
+# is bit_count(xor) per candidate, so it scales with the (already
+# bounded) candidate count, never the corpus.
+# =====================================================================
+_SIMHASH_MAX_HAMMING = 6
+
+
+@register(
+    "x26_dedup_simhash_verified",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+    FROM toks WHERE tok <> ''
+),
+sums AS ({_SIMHASH_SUMS_SQL}),
+sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
+halves AS (
+    SELECT doc_id,
+           simhash % 65536 AS lo,
+           CAST((simhash >> 16) & 65535 AS BIGINT) AS hi
+    FROM sims
+),
+cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM halves AS a JOIN halves AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM halves AS a JOIN halves AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+)
+SELECT
+    c.doc_a,
+    c.doc_b,
+    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cands AS c
+JOIN sims AS sa ON c.doc_a = sa.doc_id
+JOIN sims AS sb ON c.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_MAX_HAMMING}
+""",
+    covers=("X-DEDUP-SIMHASH", "J8"),
+)
+def x26_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+    # one simhash pass feeds both the banding and the verify join
+    sims = sims.localCheckpoint()
+    return simhash_near_duplicates(sims, "doc_id", _SIMHASH_MAX_HAMMING)
+
+
+# =====================================================================
+# x27 — multimodal thumbnail sizing through the same Arrow/mapInPandas
+# path as x15: integer aspect-fit math on the (fake-)decoded dims, so
+# the whole Python crossing is value-exact against SQL.
+# =====================================================================
+@register(
+    "x27_multimodal_resize",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 + 1 AS w,
+           octet_length(encode(text)) % 480 + 1 AS h
+    FROM documents
+),
+scaled AS (
+    SELECT doc_id, w, h,
+           least(64000 // w, 64000 // h, 1000) AS scale
+    FROM dims
+)
+SELECT
+    doc_id,
+    CAST(w AS INT) AS width,
+    CAST(h AS INT) AS height,
+    CAST(greatest(w * scale // 1000, 1) AS INT) AS thumb_w,
+    CAST(greatest(h * scale // 1000, 1) AS INT) AS thumb_h
+FROM scaled
+""",
+    covers=("X-MULTIMODAL",),
+)
+def x27_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_image_metadata
+
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_image_metadata(
+        attach_binary_payload(docs), "doc_id", max_w=64, max_h=64
+    )
+
+
+# =====================================================================
+# x28 — frame sampling over binary payloads (video/audio fan-out stage):
+# every 2nd 64-byte frame's (index, byte offset), exploded INSIDE the
+# pandas batch so the Python boundary is paid per batch, not per frame.
+# =====================================================================
+@register(
+    "x28_multimodal_frames",
+    oracle="""
+WITH sizes AS (
+    SELECT doc_id,
+           (octet_length(encode(text)) + 63) // 64 AS n_frames
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST(i AS INT) AS frame_idx,
+    CAST(i * 64 AS BIGINT) AS byte_off
+FROM sizes, UNNEST(generate_series(0, CAST(n_frames - 1 AS INT))) AS t(i)
+WHERE i % 2 = 0
+""",
+    covers=("X-MULTIMODAL",),
+)
+def x28_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_binary_payload(docs), "doc_id", frame_bytes=64, every_n=2
+    )

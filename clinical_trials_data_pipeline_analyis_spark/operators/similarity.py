@@ -213,3 +213,39 @@ def train_ivf(
             .localCheckpoint()
         )
     return cent.select("centroid_id", F.col("cvec").alias("centroid")), assign
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Absmax int8 quantization, exploded to (id, dim, q, scale) rows.
+
+    The storage op an embedding pipeline runs before writing vectors at
+    scale (4x smaller than float32; dequantize as q * scale / 127).
+    Per-vector scale = max(|v_i|); q_i = floor(v_i * 127 / scale + 0.5)
+    — the explicit floor(+0.5) half-up makes the rounding engine-exact
+    (float round() tie semantics differ between engines). Zero vectors
+    quantize to zeros. Row-local math only — no shuffle at all; the
+    explode is the output format, not a join feed.
+    """
+    v = F.col("v").cast("double")
+    scale = F.array_max(F.transform(F.col(vec_col), F.abs)).cast("double")
+    q = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.floor(v * 127.0 / F.col("scale") + 0.5).cast("int")
+    )
+    return (
+        _spread(embeddings)
+        .select(
+            F.col(id_col),
+            F.round(scale, 6).alias("scale"),
+            F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).cast("int").alias("dim"),
+            q.alias("q"),
+            "scale",
+        )
+    )

@@ -1333,3 +1333,143 @@ def x28_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         attach_binary_payload(docs), "doc_id", frame_bytes=64, every_n=2
     )
+
+
+# =====================================================================
+# x29 — absmax int8 embedding quantization (the 4x storage compression
+# an embedding store applies before writing at scale). Explicit
+# floor(+0.5) rounding and a 6dp-rounded scale keep both engines
+# bit-identical; row-local math, zero shuffles.
+# =====================================================================
+@register(
+    "x29_embedding_quantize",
+    oracle="""
+WITH embd AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+scaled AS (
+    SELECT vec_id,
+           ROUND(list_max(list_transform(e, x -> abs(x))), 6) AS scale,
+           e
+    FROM embd
+)
+SELECT
+    vec_id,
+    CAST(i AS INT) AS dim,
+    CAST(CASE WHEN scale = 0 THEN 0
+              ELSE FLOOR(e[CAST(i AS INT)] * 127.0 / scale + 0.5)
+         END AS INT) AS q,
+    scale
+FROM scaled, UNNEST(generate_series(1, len(e))) AS t(i)
+""",
+    covers=("X-EMBED-QUANTIZE",),
+)
+def x29_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding")
+
+
+# =====================================================================
+# x30 — the end-to-end dedup DECISION: MinHash/LSH pairs -> connected
+# components (x21's clusters) + quality scores (x04's features) ->
+# keep exactly the highest-quality document per near-dup cluster
+# (quality DESC, doc_id tiebreak). This is the materialization a
+# training-data pipeline actually ships: every doc labeled with its
+# cluster and a keep/drop bit.
+# =====================================================================
+@register(
+    "x30_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands AS a
+    JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS e_src, doc_a AS e_dst FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.e_dst, w.label FROM walk AS w JOIN edges AS e ON w.doc_id = e.e_src
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+),
+qual AS (
+    SELECT
+        doc_id,
+        ROUND(
+            0.5 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+            + 0.5 * LEAST(stop_hits / GREATEST(n_tokens, 1)::DOUBLE * 5.0, 1.0),
+            6
+        ) AS quality_score
+    FROM (
+        SELECT
+            doc_id,
+            CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                 t -> lower(t) IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stop_hits
+        FROM documents
+    )
+)
+SELECT
+    c.doc_id,
+    c.cluster_id,
+    q.quality_score,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY c.cluster_id
+        ORDER BY q.quality_score DESC, c.doc_id
+    ) = 1 AS BOOLEAN) AS is_kept
+FROM comp AS c
+JOIN qual AS q ON c.doc_id = q.doc_id
+""",
+    covers=("X-DEDUP-CC", "X-TEXT-QUALITY", "X-DEDUP-KEEP"),
+)
+def x30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_pipeline
+
+    docs = read_table(spark, sf_dir, "documents")
+    _sigs, _pairs, clusters = dedup_pipeline(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=3
+    )
+    feats = quality_features(F.col("text"))
+    toks = whitespace_tokens(F.col("text"))
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: F.lower(t).isin(
+                "the", "a", "of", "and", "to", "in", "is", "it"
+            ),
+        )
+    ).cast("long")
+    ratio = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1)).cast(
+        "double"
+    )
+    score = 0.5 * (
+        F.when(F.col("n_tokens").between(20, 1000), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+    ) + 0.5 * F.least(ratio * 5.0, F.lit(1.0))
+    qual = docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+    ).select("doc_id", F.round(score, 6).alias("quality_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.select("doc_id", F.col("component").alias("cluster_id"))
+        .join(qual, "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality_score", "is_kept")
+    )

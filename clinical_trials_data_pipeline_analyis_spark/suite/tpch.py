@@ -1289,3 +1289,48 @@ def q29_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+# =====================================================================
+# q30 — running totals: cumulative SUM over an ordered window frame
+# (ROWS UNBOUNDED PRECEDING), the month-over-month cumulative reporting
+# shape every dashboard needs. The order key (o_orderdate, o_orderkey)
+# is total, so the cumulative sum is deterministic; amounts go through
+# decimal so both engines sum exactly.
+# =====================================================================
+@register(
+    "q30_running_total",
+    oracle="""
+SELECT
+    o_orderkey,
+    CAST(o_orderdate AS DATE) AS order_date,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+         OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+    covers=("X-WINDOW-FRAME", "W2"),
+)
+def q30_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+    )

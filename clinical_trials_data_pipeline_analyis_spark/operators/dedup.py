@@ -119,14 +119,23 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 8,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate pair.
 
-    The band table is materialized twice with renamed columns so the
+    The band table is derived twice with renamed columns so the
     self-join is unambiguous; the join key (band, bsig) is the bucket.
+
+    ``materialize`` (default on) checkpoints the signature table first:
+    the two band-table sides otherwise each embed — and re-execute — the
+    whole signature pipeline (exchange reuse does not fire across the
+    differently-aliased band unions; measured 4.5s vs 2.0s at sf0.1 for
+    the pair step). Pass False when the input is already materialized.
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes
+    if materialize:
+        signatures = signatures.localCheckpoint()
 
     def band_table(id_alias: str, sig_alias: str) -> DataFrame:
         parts = [
@@ -560,7 +569,11 @@ def dedup_pipeline(
     )
     if materialize:
         sigs = sigs.localCheckpoint()
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    # sigs are already materialized (or the caller asked for fully-lazy),
+    # so the pair step must not add its own checkpoint.
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, materialize=False
+    )
     if materialize:
         pairs = pairs.localCheckpoint()
     clusters = connected_components(

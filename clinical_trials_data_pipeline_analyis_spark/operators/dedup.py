@@ -196,7 +196,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(id_col, fingerprint.alias("simhash"))
 
 
-def simhash_candidates(simhash_df: DataFrame, id_col: str) -> DataFrame:
+def simhash_candidates(
+    simhash_df: DataFrame, id_col: str, materialize: bool = True
+) -> DataFrame:
     """Candidate pairs sharing either 16-bit half of the 32-bit simhash.
 
     Banded exactly like ``lsh_candidate_pairs``: one equi-join per band
@@ -205,7 +207,13 @@ def simhash_candidates(simhash_df: DataFrame, id_col: str) -> DataFrame:
     plan a BroadcastNestedLoopJoin (O(n^2) compares); as two hash
     equi-joins the cost scales with the 16-bit bucket sizes instead
     (tests/test_plan_shapes.py asserts no nested-loop join survives).
+
+    ``materialize`` checkpoints the fingerprint table first — the four
+    join sides below would otherwise each re-execute the SimHash
+    aggregation pipeline.
     """
+    if materialize:
+        simhash_df = simhash_df.localCheckpoint()
     lo = (F.col("simhash") % 65536).alias("half")
     hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias("half")
 
@@ -256,7 +264,10 @@ def simhash_near_duplicates(
     the candidate count, which banding already bounded; no full-table
     work is added.
     """
-    cands = simhash_candidates(simhash_df, id_col)
+    # One materialization serves the banding (2 sides) and the verify
+    # join (2 sides) — five consumers, one SimHash computation.
+    simhash_df = simhash_df.localCheckpoint()
+    cands = simhash_candidates(simhash_df, id_col, materialize=False)
     a = simhash_df.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sim_a")
     )
@@ -295,10 +306,13 @@ def ngram_jaccard_pairs(
     the result is the exact Jaccard of the reduced sets rather than an
     approximation of the full ones.
     """
+    # The shingle table feeds both self-join sides AND the set sizes —
+    # materialize once so the explode pipeline runs once, not four times.
     sh = shingle_sets(df, id_col, text_col, k)
     if max_df is not None:
         sh = filter_hot_shingles(sh, max_df)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sh = sh.localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size")).localCheckpoint()
 
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))

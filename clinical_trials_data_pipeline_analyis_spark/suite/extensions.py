@@ -1261,8 +1261,7 @@ def x26_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
-    # one simhash pass feeds both the banding and the verify join
-    sims = sims.localCheckpoint()
+    # the operator materializes the fingerprints once for its five joins
     return simhash_near_duplicates(sims, "doc_id", _SIMHASH_MAX_HAMMING)
 
 

@@ -227,8 +227,9 @@ def quantize_embeddings(
     Per-vector scale = max(|v_i|); q_i = floor(v_i * 127 / scale + 0.5)
     — the explicit floor(+0.5) half-up makes the rounding engine-exact
     (float round() tie semantics differ between engines). Zero vectors
-    quantize to zeros. Row-local math only — no shuffle at all; the
-    explode is the output format, not a join feed.
+    quantize to zeros. Row-local math only — no aggregation or join; the
+    only exchange is the input-spreading repartition, and the explode is
+    the output format, not a join feed.
     """
     v = F.col("v").cast("double")
     scale = F.array_max(F.transform(F.col(vec_col), F.abs)).cast("double")

@@ -150,3 +150,12 @@ def test_simhash_candidates_has_no_nested_loop_join(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_quantize_plan_is_row_local(spark):
+    """int8 quantization must plan as scan -> spread -> project/generate:
+    no join, no aggregate — the math is row-local by design."""
+    df = spark_queries()["x29_embedding_quantize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan

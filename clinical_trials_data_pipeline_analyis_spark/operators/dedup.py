@@ -120,6 +120,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     materialize: bool = True,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate pair.
 
@@ -131,15 +132,22 @@ def lsh_candidate_pairs(
     whole signature pipeline (exchange reuse does not fire across the
     differently-aliased band unions; measured 4.5s vs 2.0s at sf0.1 for
     the pair step). Pass False when the input is already materialized.
+
+    ``against`` switches to ASYMMETRIC candidate generation: pairs are
+    (doc_a from ``signatures``) x (doc_b from ``against``) — the
+    incremental-dedup shape, where a new micro-batch's signatures are
+    checked against the accumulated signature store without recomputing
+    history-vs-history pairs. doc_a keeps the left role (no
+    canonicalization), self-pairs are dropped.
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes
     if materialize:
         signatures = signatures.localCheckpoint()
 
-    def band_table(id_alias: str, sig_alias: str) -> DataFrame:
+    def band_table(src: DataFrame, id_alias: str, sig_alias: str) -> DataFrame:
         parts = [
-            signatures.select(
+            src.select(
                 F.col(id_col).alias(id_alias),
                 F.lit(b).alias("band" if id_alias == "doc_a" else "band_b"),
                 F.concat(
@@ -150,14 +158,21 @@ def lsh_candidate_pairs(
         ]
         return reduce(DataFrame.unionByName, parts)
 
-    left = band_table("doc_a", "bsig")
-    right = band_table("doc_b", "bsig_b")
+    left = band_table(signatures, "doc_a", "bsig")
+    right = band_table(
+        signatures if against is None else against, "doc_b", "bsig_b"
+    )
+    id_cond = (
+        F.col("doc_a") < F.col("doc_b")
+        if against is None
+        else F.col("doc_a") != F.col("doc_b")
+    )
     return (
         left.join(
             right,
             (F.col("band") == F.col("band_b"))
             & (F.col("bsig") == F.col("bsig_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & id_cond,
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -250,3 +250,42 @@ def quantize_embeddings(
             "scale",
         )
     )
+
+
+def ivf_probe_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF assignment: each vector keeps its ``nprobe``
+    nearest centroids (rank 1 = the home cell used for indexing; ranks
+    2..nprobe are the extra cells a QUERY probes at search time). The
+    standard recall knob of an IVF index — single-probe search misses
+    neighbors that fall just across a cell boundary; probing p cells
+    multiplies candidate count (and recall) by ~p while still scanning
+    only p/|centroids| of the corpus.
+
+    Same plan shape as ``ivf_assign``: broadcast centroids, per-vector
+    rank — one extra output row per probe, no extra shuffle.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    v = _spread(embeddings).select(
+        F.col(id_col).alias("vec"), F.col(vec_col).alias("vvec")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        F.col("vec").alias("vec_id"),
+        "centroid_id",
+        F.round(cosine_similarity(F.col("vvec"), F.col("cvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("vec_id", "centroid_id", "cosine", "probe_rank")
+    )

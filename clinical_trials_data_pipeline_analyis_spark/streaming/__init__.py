@@ -1,4 +1,4 @@
-from .dedup import dedup_events_stream
+from .dedup import dedup_events_stream, near_dedup_docs_stream
 from .events import (
     hourly_event_counts_stream,
     silver_studies_stream,
@@ -7,6 +7,7 @@ from .events import (
 
 __all__ = [
     "dedup_events_stream",
+    "near_dedup_docs_stream",
     "hourly_event_counts_stream",
     "silver_studies_stream",
     "streaming_events_source",

@@ -36,3 +36,75 @@ def dedup_events_stream(
     return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def near_dedup_docs_stream(
+    docs_stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+):
+    """Incremental MinHash near-dedup via ``foreachBatch``: each
+    micro-batch's documents are signed once, banded against the
+    ACCUMULATED signature store (plus the batch itself), and flagged;
+    the batch's signatures are then appended to the store.
+
+    A document is flagged ``is_near_dup`` when it collides with any
+    LOWER-id document — the same keep-first contract as the batch
+    pipeline, so for an id-ordered stream the flags equal what the
+    batch operators produce over the full corpus
+    (tests/test_streaming_metrics.py proves the equality).
+
+    Scale shape: the per-batch cost is |batch| x matching band buckets —
+    never history x history (the asymmetric ``against`` join); the
+    store is an append-only parquet table of (id, h0..h7) signatures,
+    ~40 bytes/doc, NOT the corpus text. Parquet appends here are
+    idempotent only per-epoch via the checkpoint; a production
+    deployment would use a transactional table format for the store.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs_new = minhash_signatures(
+            batch_df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+        ).localCheckpoint()
+        try:
+            store = spark.read.parquet(store_path)
+            all_sigs = store.unionByName(sigs_new)
+        except AnalysisException:
+            all_sigs = sigs_new
+        partners = lsh_candidate_pairs(
+            sigs_new,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            materialize=False,
+            against=all_sigs.localCheckpoint(),
+        )
+        dup_ids = (
+            partners.filter(F.col("doc_b") < F.col("doc_a"))
+            .select(F.col("doc_a").alias(id_col))
+            .distinct()
+        )
+        flags = sigs_new.select(id_col).join(
+            dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left"
+        ).select(
+            id_col, F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup")
+        )
+        flags.write.mode("append").parquet(out_path)
+        sigs_new.write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

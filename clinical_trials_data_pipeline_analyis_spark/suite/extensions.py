@@ -1472,3 +1472,100 @@ def x30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_kept", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "quality_score", "is_kept")
     )
+
+
+# =====================================================================
+# x31 — multi-probe IVF search: queries probe their nprobe=2 nearest
+# cells instead of 1 (the standard IVF recall knob — single-probe
+# misses neighbors just across a cell boundary). Candidates still come
+# from their home cell only; a candidate reachable via both probes is
+# deduplicated before ranking.
+# =====================================================================
+@register(
+    "x31_ann_ivf_multiprobe",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+scored AS (
+    SELECT v.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cent.centroid_id
+           ) AS rn
+    FROM embd AS v, cent
+),
+home AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
+probes AS (SELECT vec_id, centroid_id FROM scored WHERE rn <= 2),
+q AS (
+    SELECT p.vec_id AS query_id, p.centroid_id, e.e AS qe
+    FROM probes AS p JOIN embd AS e ON p.vec_id = e.vec_id
+    WHERE p.vec_id < 5
+),
+cell AS (
+    SELECT h.vec_id AS candidate_id, h.centroid_id, e.e AS ce2
+    FROM home AS h JOIN embd AS e ON h.vec_id = e.vec_id
+),
+pairs AS (
+    SELECT DISTINCT q.query_id, cell.candidate_id,
+           {_COS_SQL.format(a="q.qe", b="cell.ce2")} AS cosine
+    FROM q JOIN cell ON q.centroid_id = cell.centroid_id
+    WHERE cell.candidate_id <> q.query_id
+)
+SELECT query_id, candidate_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, candidate_id
+       ) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+""",
+    covers=("X-ANN-IVF", "X-ANN-SEARCH"),
+)
+def x31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import ivf_probe_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+
+    home = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    probes = ivf_probe_assign(emb, centroids, nprobe=2).select(
+        "vec_id", "centroid_id"
+    )
+
+    emb_vecs = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("e_id"), F.col("embedding").alias("e")
+    )
+    q = (
+        probes.filter(F.col("vec_id") < 5)
+        .join(emb_vecs, probes.vec_id == emb_vecs.e_id)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id").alias("q_cent"),
+            F.col("e").alias("qe"),
+        )
+    )
+    cell = home.join(emb_vecs, home.vec_id == emb_vecs.e_id).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("centroid_id").alias("c_cent"),
+        F.col("e").alias("ce2"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(cell, F.col("q_cent") == F.col("c_cent"))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine_similarity(F.col("qe"), F.col("ce2")), 6).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("candidate_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -255,3 +255,56 @@ def test_streaming_dedup_matches_batch(spark, dup_events_dir, tmp_path):
         for r in spark.sql("SELECT event_id FROM deduped_events").collect()
     )
     assert got == list(range(90))  # each id exactly once despite replays
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """Incremental near-dedup (per-micro-batch signatures banded against
+    the accumulated store) must flag exactly the documents the batch
+    pipeline flags — docs LSH-colliding with a lower-id doc."""
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        near_dedup_docs_stream,
+    )
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    schema = docs.schema
+
+    # id-ordered chunks -> one micro-batch per file
+    chunks = str(tmp_path / "chunks")
+    n = docs.count()
+    half = n // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{chunks}/c1")
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    q = near_dedup_docs_stream(
+        stream,
+        out_path=str(tmp_path / "flags"),
+        store_path=str(tmp_path / "sigstore"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+
+    # batch expectation: doc flagged iff it pairs with a smaller doc_id
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    dup = {r["doc_b"] for r in pairs.collect()}  # doc_a < doc_b by contract
+    want = {r["doc_id"]: r["doc_id"] in dup for r in docs.select("doc_id").collect()}
+    assert got == want
+    # the store holds one signature row per document
+    assert spark.read.parquet(str(tmp_path / "sigstore")).count() == n

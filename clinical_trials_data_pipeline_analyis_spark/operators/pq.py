@@ -1,0 +1,228 @@
+"""Product quantization (PQ) over embedding columns.
+
+The compression stage the reference's ANN story stops short of: split
+each D-dim vector into ``m`` contiguous subvectors, quantize every
+subvector against a per-subspace codebook, and answer top-k queries with
+asymmetric distance computation (ADC) — a per-query lookup table (LUT)
+of query-subvector -> code distances, summed over the stored codes
+(Jegou/Douze/Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011; composes with the IVF coarse stage in
+``operators/similarity.py`` exactly as IVFADC does).
+
+Scale shape, in order of data volume touched:
+
+- ``pq_encode``: the corpus crosses a BROADCAST codebook (m*k rows) and
+  keeps one (vec_id, subspace, code_id) row per subvector — the big side
+  never shuffles except the window argmin, which is keyed by
+  (vec_id, subspace) and therefore dense and skew-free. Stored codes are
+  m bytes per vector (k<=256) vs 4*D bytes of float32 — 32x smaller at
+  D=64, m=8.
+- ``pq_adc_topk``: the LUT (|queries| * m * k rows) is computed once and
+  broadcast; candidates are ranked by ONE equi-join on
+  (subspace, code_id) plus a (query_id, vec_id) sum — no vector math
+  touches the corpus at query time. This is the property that makes PQ
+  the 100 TB search path: query cost is independent of D.
+
+Determinism/oracle notes: distances are computed as
+``dot(a,a) - 2*dot(a,b) + dot(b,b)`` with ordered zip_with/aggregate
+folds (bit-identical to DuckDB's list_dot_product), rounded to 6dp;
+ADC sums go through DECIMAL(18,6) so the per-subspace addition order
+cannot perturb the total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot
+from .dedup import _spread
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance with a fixed scalar op order (oracle-exact)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def split_subvectors(
+    df: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, subspace 0..m-1, subvec array<double>) — D must divide by m.
+
+    Row-local: one explode, no shuffle beyond the input spreading.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    sub_len = (F.size(vec) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("subspace"),
+            F.slice(vec, s * sub_len + 1, sub_len).alias("subvec"),
+        ),
+    )
+    return _spread(df).select(
+        F.col(id_col), F.explode(subs).alias("sub")
+    ).select(id_col, "sub.subspace", "sub.subvec")
+
+
+def seed_codebooks(
+    df: DataFrame,
+    m: int,
+    mod: int = 61,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebooks: subvectors of every ``mod``-th vector.
+
+    (subspace, code_id, codevec) with code_id = the seed vector's id —
+    the same mod-selection seeding x24's k-means uses, so a training
+    loop (``pq_train_step``) refines from a reproducible start.
+    """
+    seeds = df.filter(F.col(id_col) % mod == 0)
+    return split_subvectors(seeds, m, id_col, vec_col).select(
+        "subspace", F.col(id_col).alias("code_id"), F.col("subvec").alias("codevec")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize: nearest code per (vector, subspace) by squared L2.
+
+    Returns (vec_id, subspace, code_id, dist2) — dist2 rounded to 6dp,
+    ties broken by code_id. Plan: corpus subvectors x BROADCAST codebook,
+    argmin via row_number keyed (vec_id, subspace).
+    """
+    subs = split_subvectors(df, m, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), "subspace", "subvec"
+    )
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_subspace"), "code_id", "codevec"
+    )
+    scored = (
+        subs.join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
+        .select(
+            "vec_id",
+            "subspace",
+            "code_id",
+            F.round(_l2sq(F.col("subvec"), F.col("codevec")), 6).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.asc("dist2"), F.asc("code_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code_id", "dist2")
+    )
+
+
+def pq_train_step(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration per subspace: re-center each code on the mean
+    of its assigned subvectors (the per-subspace analog of x24's k-means
+    update; iterate pq_encode -> pq_train_step to train).
+
+    Returns (subspace, code_id, dim, codebook_value) with dims local to
+    the subspace (1..D/m). Sums are ordered folds over members sorted by
+    vec_id, so the step is bit-reproducible. One shuffle, keyed
+    (subspace, code_id, dim).
+    """
+    assign = pq_encode(df, codebooks, m, id_col, vec_col).select(
+        "vec_id", "subspace", "code_id"
+    )
+    subs = split_subvectors(df, m, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("subspace").alias("s_subspace"), "subvec"
+    )
+    members = assign.join(
+        subs,
+        (assign.vec_id == subs.vec_id) & (assign.subspace == subs.s_subspace),
+    ).select(assign.vec_id, assign.subspace, "code_id", "subvec")
+    exploded = members.select(
+        "subspace",
+        "code_id",
+        F.col("vec_id").alias("_mid"),
+        F.posexplode("subvec").alias("pos0", "v"),
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_mid", "v"))),
+            lambda s: s["v"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return exploded.groupBy(
+        "subspace", "code_id", (F.col("pos0") + 1).cast("int").alias("dim")
+    ).agg((ordered_sum / F.count(F.lit(1))).alias("codebook_value"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance top-k: rank stored codes against per-query
+    subvector->code lookup tables.
+
+    (query_id, candidate_id, adc, rank): adc = sum over subspaces of the
+    rounded LUT distance (summed as DECIMAL(18,6) — exact), rank by
+    (adc ASC, candidate_id ASC). The LUT (|q| * m * |codes|) is built
+    with vector math and BROADCAST; the corpus side is the codes table
+    only — no embedding arrays at query time.
+    """
+    qsubs = split_subvectors(queries, m, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("subspace").alias("q_subspace"),
+        F.col("subvec").alias("qvec"),
+    )
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_subspace"), "code_id", "codevec"
+    )
+    lut = qsubs.join(
+        F.broadcast(cb), F.col("q_subspace") == F.col("cb_subspace")
+    ).select(
+        "query_id",
+        F.col("q_subspace").alias("subspace"),
+        F.col("code_id").alias("lut_code"),
+        F.round(_l2sq(F.col("qvec"), F.col("codevec")), 6)
+        .cast("decimal(18,6)")
+        .alias("d2"),
+    )
+    summed = (
+        codes.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("subspace").alias("c_subspace"),
+            F.col("code_id").alias("c_code"),
+        )
+        .join(
+            F.broadcast(lut),
+            (F.col("c_subspace") == F.col("subspace"))
+            & (F.col("c_code") == F.col("lut_code")),
+        )
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .groupBy("query_id", "candidate_id")
+        .agg(F.sum("d2").cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("candidate_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

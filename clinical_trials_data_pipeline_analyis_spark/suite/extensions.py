@@ -1569,3 +1569,129 @@ def x31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# =====================================================================
+# x32/x33 — product quantization: encode the corpus against per-subspace
+# codebooks (m=4 subspaces of 16 dims, codes seeded from every 61st
+# vector), then answer top-k queries by asymmetric distance computation
+# (per-query LUT joined to the stored codes — no vector math touches
+# the corpus at query time). Composes with IVF (x10/x16/x31) as IVFADC.
+# =====================================================================
+_PQ_M = 4
+_PQ_SUB = 16  # 64 dims / 4 subspaces
+
+_PQ_SUBS_SQL = f"""
+    SELECT vec_id, CAST(s AS INT) AS subspace,
+           e[CAST(s * {_PQ_SUB} + 1 AS INT):CAST(s * {_PQ_SUB} + {_PQ_SUB} AS INT)] AS sv
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         UNNEST(generate_series(0, {_PQ_M} - 1)) AS t(s)
+"""
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+_PQ_ENCODE_SQL = f"""
+subs AS ({_PQ_SUBS_SQL}),
+cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0),
+scored AS (
+    SELECT v.vec_id, v.subspace, cb.code_id,
+           {_l2sq_sql("v.sv", "cb.cv")} AS dist2,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.subspace
+               ORDER BY {_l2sq_sql("v.sv", "cb.cv")}, cb.code_id
+           ) AS rn
+    FROM subs AS v JOIN cb ON v.subspace = cb.subspace
+)
+"""
+
+
+@register(
+    "x32_pq_encode",
+    oracle=f"""
+WITH {_PQ_ENCODE_SQL}
+SELECT vec_id, subspace, code_id, dist2 FROM scored WHERE rn = 1
+""",
+    covers=("X-ANN-PQ", "X-EMBED-QUANTIZE"),
+)
+def x32_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes for every vector: 4 bytes/vector at k<=256 vs 256 bytes
+    of float32 — the storage format an ANN index keeps at 100 TB."""
+    from ..operators.pq import pq_encode, seed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = seed_codebooks(emb, m=_PQ_M, mod=61)
+    return pq_encode(emb, cb, m=_PQ_M)
+
+
+@register(
+    "x33_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_ENCODE_SQL},
+codes AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1),
+lut AS (
+    SELECT q.vec_id AS query_id, q.subspace, cb.code_id,
+           CAST({_l2sq_sql("q.sv", "cb.cv")} AS DECIMAL(18,6)) AS d2
+    FROM subs AS q JOIN cb ON q.subspace = cb.subspace
+    WHERE q.vec_id % 200 = 0
+),
+summed AS (
+    SELECT l.query_id, c.vec_id AS candidate_id, CAST(SUM(l.d2) AS DOUBLE) AS adc
+    FROM codes AS c
+    JOIN lut AS l ON c.subspace = l.subspace AND c.code_id = l.code_id
+    WHERE c.vec_id <> l.query_id
+    GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, candidate_id, adc,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc, candidate_id
+       ) AS BIGINT) AS rank
+FROM summed
+QUALIFY rank <= 5
+""",
+    covers=("X-ANN-PQ", "X-ANN-SEARCH"),
+)
+def x33_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5: LUT over the broadcast codebook, one equi-join on the
+    codes table, decimal-exact subspace sum."""
+    from ..operators.pq import pq_adc_topk, pq_encode, seed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = seed_codebooks(emb, m=_PQ_M, mod=61)
+    codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=5)
+
+
+# =====================================================================
+# x34 — one PQ codebook training iteration (per-subspace Lloyd update):
+# re-center every code on the ordered mean of its assigned subvectors.
+# The per-subspace analog of x24's k-means step; iterate with pq_encode
+# to train the quantizer.
+# =====================================================================
+@register(
+    "x34_pq_train_step",
+    oracle=f"""
+WITH {_PQ_ENCODE_SQL},
+assign AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1)
+SELECT a.subspace, a.code_id, CAST(i AS INT) AS dim,
+       list_sum(list(CAST(s.sv[CAST(i AS INT)] AS DOUBLE) ORDER BY s.vec_id))
+           / COUNT(*) AS codebook_value
+FROM assign AS a
+JOIN subs AS s ON a.vec_id = s.vec_id AND a.subspace = s.subspace,
+     UNNEST(generate_series(1, {_PQ_SUB})) AS t(i)
+GROUP BY a.subspace, a.code_id, i
+""",
+    covers=("X-ANN-PQ", "X-EMBED-CENTROID"),
+)
+def x34_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_train_step, seed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = seed_codebooks(emb, m=_PQ_M, mod=61)
+    return pq_train_step(emb, cb, m=_PQ_M)

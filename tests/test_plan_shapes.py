@@ -159,3 +159,25 @@ def test_quantize_plan_is_row_local(spark):
     plan = _plan(df)
     assert "Join" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_pq_encode_codebook_is_broadcast(spark):
+    """PQ encode must cross the corpus with a BROADCAST codebook — the
+    argmin window is the only shuffle; a shuffled codebook join or a
+    nested-loop would not survive a 100 TB corpus."""
+    df = spark_queries()["x32_pq_encode"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_join_is_broadcast_on_codes(spark):
+    """ADC search touches the codes table with one broadcast LUT join —
+    query cost must not involve any embedding-array math on the corpus
+    side (no nested loop, LUT broadcast)."""
+    df = spark_queries()["x33_pq_adc_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -2,6 +2,7 @@ from .datespine import date_spine
 from .surrogate_keys import surrogate_key_exact, surrogate_key_scalable
 from .dedup import (
     connected_components,
+    decontaminate,
     dedup_pipeline,
     exact_duplicates,
     filter_hot_shingles,
@@ -13,10 +14,14 @@ from .dedup import (
     simhash_near_duplicates,
 )
 from .asof import asof_join
+from .packing import pack_sequences
+from .pq import pq_adc_topk, pq_encode, pq_train_step, seed_codebooks
+from .sampling import hash_bucket, hash_sample, stratified_sample
 from .similarity import (
     brute_force_topk,
     embedding_duplicate_pairs,
     ivf_assign,
+    ivf_probe_assign,
     quantize_embeddings,
     train_ivf,
 )
@@ -33,6 +38,7 @@ __all__ = [
     "surrogate_key_exact",
     "surrogate_key_scalable",
     "connected_components",
+    "decontaminate",
     "dedup_pipeline",
     "exact_duplicates",
     "filter_hot_shingles",
@@ -43,9 +49,18 @@ __all__ = [
     "simhash_candidates",
     "simhash_near_duplicates",
     "asof_join",
+    "pack_sequences",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_train_step",
+    "seed_codebooks",
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
     "brute_force_topk",
     "embedding_duplicate_pairs",
     "ivf_assign",
+    "ivf_probe_assign",
     "quantize_embeddings",
     "train_ivf",
     "attach_binary_payload",

@@ -609,3 +609,54 @@ def dedup_pipeline(
         pairs, "doc_a", "doc_b", vertices=df.select(id_col), id_col=id_col
     )
     return sigs, pairs, clusters
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_common: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: flag every training document sharing
+    at least ``min_common`` k-word shingles with ANY benchmark document
+    (the n-gram-overlap decontamination step an LLM training pipeline
+    runs before a corpus ships — e.g. the 13-gram check of GPT-3
+    appendix C / the Dolma toolkit, here with configurable k).
+
+    Returns one row per CONTAMINATED training doc:
+    (id_col, n_bench_hits, max_common) — how many benchmark docs it
+    collides with and the largest shared-shingle count.
+
+    Scale shape: benchmark sets are tiny (1e4-1e6 shingles) next to a
+    100 TB corpus — the benchmark shingle table is BROADCAST, so the
+    corpus side is one map-side hash join + partial aggregation keyed by
+    (train_id, bench_id); the corpus never shuffles its raw text or full
+    shingle set. ``max_df`` optionally drops hot (stopword-like)
+    shingles from BOTH sides first, bounding per-shingle fan-out.
+    """
+    tr = shingle_sets(train, id_col, text_col, k).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    ev = shingle_sets(benchmark, id_col, text_col, k).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    if max_df is not None:
+        tr = filter_hot_shingles(
+            tr.withColumnRenamed("train_id", id_col), max_df
+        ).select(F.col(id_col).alias("train_id"), "shingle")
+        ev = filter_hot_shingles(
+            ev.withColumnRenamed("bench_id", id_col), max_df
+        ).select(F.col(id_col).alias("bench_id"), "shingle")
+    overlaps = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return overlaps.groupBy(F.col("train_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("n_common").alias("max_common"),
+    )

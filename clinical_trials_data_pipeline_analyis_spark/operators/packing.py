@@ -1,0 +1,74 @@
+"""Sequence packing: concat-and-split documents into fixed-size contexts.
+
+LLM training consumes fixed-length token windows; the standard prep step
+concatenates documents in a deterministic order and splits the stream
+every ``capacity`` tokens. The operator therefore needs each document's
+GLOBAL running token offset — a prefix sum over the whole corpus.
+
+A naive ``Window.orderBy(id)`` prefix sum moves the corpus through ONE
+task (Spark warns "No Partition Defined"). ``pack_sequences`` is the
+scalable two-phase form, the same pattern as
+``operators/surrogate_keys.py``:
+
+1. bucket rows by id range; per-bucket prefix sums run in parallel
+   (window keyed by bucket — dense, skew-free for dense ids);
+2. per-bucket totals (|buckets| rows, tiny) get their own prefix sum and
+   are broadcast back as starting offsets.
+
+``global_start = bucket_offset + within_bucket_cumsum - own_tokens``;
+``chunk_id = global_start div capacity`` (integer div — float division
+corrupts offsets past 2^53 at real corpus sizes). Documents longer than
+``capacity`` simply span chunks, exactly like the real concat-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """(id, token_col, global_start, chunk_id) under id order.
+
+    ``bucket_size`` trades per-bucket window width against the size of
+    the offset table (corpus_rows / bucket_size rows — broadcastable up
+    to billions of docs at the default).
+    """
+    tokens = F.col(token_col).cast("long")
+    bucketed = df.select(
+        F.col(id_col), tokens.alias("_t"),
+        (F.col(id_col).cast("long") - (F.col(id_col).cast("long") % bucket_size))
+        .alias("_bucket"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("_cum", F.sum("_t").over(w_in))
+
+    totals = bucketed.groupBy("_bucket").agg(F.sum("_t").alias("_total"))
+    w_b = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        F.col("_bucket").alias("_obucket"),
+        F.coalesce(F.sum("_total").over(w_b), F.lit(0)).alias("_offset"),
+    )
+
+    packed = within.join(
+        F.broadcast(offsets), F.col("_bucket") == F.col("_obucket")
+    ).select(
+        id_col,
+        F.col("_t").alias(token_col),
+        (F.col("_offset") + F.col("_cum") - F.col("_t")).alias("global_start"),
+        F.expr(f"(_offset + _cum - _t) div {capacity}").alias("chunk_id"),
+    )
+    return packed

@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` is seed-and-partitioning dependent — rerunning on a
+repartitioned corpus samples DIFFERENT rows, which breaks reproducible
+dataset releases. These operators hash the row KEY instead: a row's
+in/out decision depends only on its id, so samples are stable across
+cluster layouts, engines, and reruns (md5 is identical everywhere), and
+disjoint rate ranges compose (the 5% sample is a subset of the 10%).
+
+- ``hash_bucket``: portable 0..buckets-1 bucket from the md5 of the key.
+- ``hash_sample``: keep rows with bucket < pct — a deterministic
+  Bernoulli sample.
+- ``stratified_sample``: per-stratum rates (e.g. language rebalancing /
+  domain mixing: keep 60% of en, 30% of de, 10% elsewhere) in ONE
+  row-local pass — no shuffle, no per-stratum jobs.
+
+All row-local expressions: the only plan nodes are scan -> project ->
+filter, so sampling composes with pushdown and never materializes the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex digits of
+    the key's string form, mod buckets. Engine-portable (DuckDB:
+    ``CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % buckets``)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, pct: int, buckets: int = 100
+) -> DataFrame:
+    """Keep ~pct% of rows, decided only by the id hash."""
+    return df.withColumn("bucket", hash_bucket(F.col(id_col), buckets)).filter(
+        F.col("bucket") < pct
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum hash sampling: keep rate[stratum]% of each stratum.
+
+    The rate table is a literal CASE chain (strata sets are small:
+    languages, sources, quality bins) — one row-local filter, zero
+    shuffles, skew-immune at any corpus size.
+    """
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return (
+        df.withColumn("bucket", hash_bucket(F.col(id_col), buckets))
+        .withColumn("rate_pct", rate.cast("int"))
+        .filter(F.col("bucket") < F.col("rate_pct"))
+    )

@@ -1695,3 +1695,112 @@ def x34_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
     return pq_train_step(emb, cb, m=_PQ_M)
+
+
+# =====================================================================
+# x35 — train/eval decontamination: training docs (doc_id % 50 <> 0)
+# sharing >= 2 3-word shingles with any benchmark doc (doc_id % 50 = 0).
+# The benchmark shingle set is broadcast — the corpus side never
+# shuffles its text.
+# =====================================================================
+@register(
+    "x35_decontaminate",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+ev AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+hits AS (
+    SELECT train_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY train_id, bench_id
+    HAVING COUNT(*) >= 2
+)
+SELECT train_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       MAX(n_common) AS max_common
+FROM hits
+GROUP BY train_id
+""",
+    covers=("X-DEDUP-NGRAM-JACCARD", "X-DECONTAMINATE"),
+)
+def x35_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, k=3, min_common=2)
+
+
+# =====================================================================
+# x36 — deterministic stratified sampling (domain mixing): keep 60% of
+# en, 30% of de, 10% of every other language, decided purely by the
+# md5 hash of doc_id — reproducible across engines, reruns, and
+# cluster layouts. Row-local: scan -> project -> filter, no shuffle.
+# =====================================================================
+_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+
+@register(
+    "x36_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, bucket, rate_pct
+FROM (
+    SELECT doc_id, lang,
+           {_BUCKET_SQL} AS bucket,
+           CAST(CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END AS INT)
+               AS rate_pct
+    FROM documents
+)
+WHERE bucket < rate_pct
+""",
+    covers=("X-SAMPLE-STRATIFIED",),
+)
+def x36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 60, "de": 30}, default_pct=10
+    ).select("doc_id", "lang", "bucket", "rate_pct")
+
+
+# =====================================================================
+# x37 — sequence packing (concat-and-split): each document's global
+# running token offset and the fixed-size context chunk it starts in.
+# Spark side is the two-phase prefix sum (per-bucket windows + broadcast
+# bucket offsets) — the oracle's single global window is the semantics,
+# not the plan.
+# =====================================================================
+_PACK_CAPACITY = 512
+
+
+@register(
+    "x37_sequence_pack",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS global_start
+    FROM toks
+)
+SELECT doc_id, n_tokens, global_start,
+       global_start // {_PACK_CAPACITY} AS chunk_id
+FROM cum
+""",
+    covers=("X-SEQUENCE-PACK", "W2"),
+)
+def x37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", capacity=_PACK_CAPACITY)

@@ -131,3 +131,59 @@ def test_approximate_variants_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) <= 0.05 * row["exact_d"]
     assert abs(row["approx_p"] - row["exact_p"]) <= 0.02 * row["exact_p"]
+
+
+def test_pack_sequences_two_phase_equals_global_window(spark):
+    """The bucketed two-phase prefix sum must produce exactly the
+    offsets of the (unscalable) single global window."""
+    from pyspark.sql import Window
+    from clinical_trials_data_pipeline_analyis_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    # tiny bucket size forces many buckets -> exercises the offset join
+    packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=64, bucket_size=16)
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    expected = docs.select(
+        "doc_id",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("global_start"),
+    )
+    got = {r["doc_id"]: r["global_start"] for r in packed.collect()}
+    want = {r["doc_id"]: r["global_start"] for r in expected.collect()}
+    assert got == want
+    chunk_rows = packed.filter(
+        F.col("chunk_id") != F.floor(F.col("global_start") / 64).cast("long")
+    ).count()
+    assert chunk_rows == 0
+
+
+def test_hash_sample_invariant_under_repartition(spark):
+    """Sampling decisions depend only on the key hash — the same rows
+    are kept regardless of partitioning (df.sample would not be)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    base = {r["doc_id"] for r in hash_sample(docs, "doc_id", 25).collect()}
+    reparted = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17, "lang"), "doc_id", 25).collect()
+    }
+    assert base == reparted
+    # rate-range nesting: the 10% sample is a subset of the 25% sample
+    ten = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).collect()}
+    assert ten <= base
+    # per-stratum rates actually differ by stratum
+    strat = stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 100}, default_pct=0
+    )
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert langs == {"en"}

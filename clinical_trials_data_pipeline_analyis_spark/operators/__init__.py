@@ -14,8 +14,10 @@ from .dedup import (
     simhash_near_duplicates,
 )
 from .asof import asof_join
+from .curation import curation_report, first_failed_rule
 from .packing import pack_sequences
-from .pq import pq_adc_topk, pq_encode, pq_train_step, seed_codebooks
+from .pq import ivfpq_topk, pq_adc_topk, pq_encode, pq_train_step, seed_codebooks
+from .repetition import repetition_features
 from .sampling import hash_bucket, hash_sample, stratified_sample
 from .similarity import (
     brute_force_topk,
@@ -50,6 +52,10 @@ __all__ = [
     "simhash_near_duplicates",
     "asof_join",
     "pack_sequences",
+    "curation_report",
+    "first_failed_rule",
+    "ivfpq_topk",
+    "repetition_features",
     "pq_adc_topk",
     "pq_encode",
     "pq_train_step",

@@ -226,3 +226,104 @@ def pq_adc_topk(
         summed.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """IVFADC search: the full two-stage ANN index — IVF coarse
+    quantizer restricts candidates to each query's ``nprobe`` nearest
+    cells, then PQ asymmetric distances rank ONLY those candidates.
+
+    Inputs are the STAGED index artifacts a production deployment builds
+    once and reuses (the same staged contract as ``dedup_pipeline``):
+    ``codes`` = ``pq_encode`` output (vec_id, subspace, code_id),
+    ``assignments`` = ``ivf_assign`` output (vec_id, centroid_id),
+    ``codebooks``/``centroids`` = trained quantizers.
+
+    Returns (query_id, candidate_id, adc, rank<=k), ADC summed as
+    DECIMAL(18,6) (order-exact), rank tiebroken by candidate_id.
+
+    Scale shape at 100 TB: centroids, the query probe table
+    (|q| * nprobe rows) and the LUT (|q| * m * 256 rows) are all
+    BROADCAST; the corpus-sized sides (assignments, codes) are touched
+    by exactly one join each and never shuffle until the final
+    (query_id, candidate_id) partial-aggregated sum — whose input is
+    already cut to nprobe/|centroids| of the corpus by the cell
+    restriction. The candidate pair table is |q| * nprobe * cell-size
+    rows: BROADCAST for interactive query batches (the default); for
+    batch-join workloads (every vector is a query) set
+    ``broadcast_candidates=False`` and the codes-candidates join
+    shuffles on vec_id, with codes ideally pre-bucketed on vec_id
+    (``sources/bucketing.py``) so only the candidate side moves.
+    Classic IVFADC encodes RESIDUALS (vector minus home centroid) for
+    tighter distances; this variant encodes raw vectors so every stage
+    stays oracle-checkable — the residual refinement slots into
+    ``pq_encode``'s input without changing any plan shape.
+    """
+    from .similarity import ivf_probe_assign
+
+    probes = ivf_probe_assign(
+        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("p_cent"))
+    candidates = (
+        assignments.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("centroid_id").alias("a_cent"),
+        )
+        .join(F.broadcast(probes), F.col("a_cent") == F.col("p_cent"))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id")
+        .distinct()
+    )
+
+    qsubs = split_subvectors(queries, m, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col("subspace").alias("q_subspace"),
+        F.col("subvec").alias("qvec"),
+    )
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_subspace"), "code_id", "codevec"
+    )
+    lut = qsubs.join(
+        F.broadcast(cb), F.col("q_subspace") == F.col("cb_subspace")
+    ).select(
+        F.col("q_id"),
+        F.col("q_subspace").alias("subspace"),
+        F.col("code_id").alias("lut_code"),
+        F.round(_l2sq(F.col("qvec"), F.col("codevec")), 6)
+        .cast("decimal(18,6)")
+        .alias("d2"),
+    )
+    cand = F.broadcast(candidates) if broadcast_candidates else candidates
+    summed = (
+        codes.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("subspace").alias("c_subspace"),
+            F.col("code_id").alias("c_code"),
+        )
+        .join(cand, "candidate_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("c_subspace") == F.col("subspace"))
+            & (F.col("c_code") == F.col("lut_code"))
+            & (F.col("q_id") == F.col("query_id")),
+        )
+        .groupBy("query_id", "candidate_id")
+        .agg(F.sum("d2").cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("candidate_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

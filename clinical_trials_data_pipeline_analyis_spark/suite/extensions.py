@@ -1804,3 +1804,213 @@ def x37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(docs, "doc_id", "n_tokens", capacity=_PACK_CAPACITY)
+
+
+# =====================================================================
+# x38 — IVFADC: the full two-stage ANN index. IVF coarse quantizer
+# (cosine, centroids = every 97th vector, nprobe=2) restricts each
+# query (every 200th vector) to its probed cells; PQ asymmetric
+# distances rank only those candidates. All small sides (centroids,
+# probes, LUT, candidate pairs) broadcast; the corpus-sized codes and
+# assignment tables never shuffle before the final partial-agg sum.
+# =====================================================================
+@register(
+    "x38_ivfpq_topk",
+    oracle=f"""
+WITH {_PQ_ENCODE_SQL},
+codes AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1),
+embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+iscored AS (
+    SELECT v.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cent.centroid_id
+           ) AS crank
+    FROM embd AS v, cent
+),
+home AS (SELECT vec_id, centroid_id FROM iscored WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, centroid_id
+    FROM iscored WHERE crank <= 2 AND vec_id % 200 = 0
+),
+cands AS (
+    SELECT DISTINCT p.query_id, h.vec_id AS candidate_id
+    FROM probes AS p JOIN home AS h ON p.centroid_id = h.centroid_id
+    WHERE h.vec_id <> p.query_id
+),
+lut AS (
+    SELECT q.vec_id AS query_id, q.subspace, cb.code_id,
+           CAST({_l2sq_sql("q.sv", "cb.cv")} AS DECIMAL(18,6)) AS d2
+    FROM subs AS q JOIN cb ON q.subspace = cb.subspace
+    WHERE q.vec_id % 200 = 0
+),
+summed AS (
+    SELECT cd.query_id, cd.candidate_id, CAST(SUM(l.d2) AS DOUBLE) AS adc
+    FROM cands AS cd
+    JOIN codes AS c ON c.vec_id = cd.candidate_id
+    JOIN lut AS l ON l.query_id = cd.query_id
+                 AND l.subspace = c.subspace AND l.code_id = c.code_id
+    GROUP BY cd.query_id, cd.candidate_id
+)
+SELECT query_id, candidate_id, adc,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc, candidate_id
+       ) AS BIGINT) AS rank
+FROM summed
+QUALIFY rank <= 5
+""",
+    covers=("X-ANN-PQ", "X-ANN-IVF", "X-ANN-SEARCH"),
+)
+def x38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged-index search: codes + cell assignments are built once
+    (here inline for the oracle), queries pay only probed cells."""
+    from ..operators.pq import ivfpq_topk, pq_encode, seed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    cb = seed_codebooks(emb, m=_PQ_M, mod=61)
+    codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
+    assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    return ivfpq_topk(
+        queries, codes, assignments, cb, centroids, m=_PQ_M, k=5, nprobe=2
+    )
+
+
+# =====================================================================
+# x39 — repetition quality signals (Gopher/Dolma filter family):
+# type-token ratio, most-common-bigram fraction, and longest identical-
+# token run per document. Windows/aggs keyed by doc_id — dense,
+# skew-bounded by max doc length; raw text never shuffles.
+# =====================================================================
+@register(
+    "x39_text_repetition",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, CAST(i AS INT) AS pos, arr[CAST(i AS INT)] AS tok,
+           CASE WHEN i < len(arr) THEN arr[CAST(i AS INT) + 1] END AS nxt,
+           CASE WHEN i > 1 THEN arr[CAST(i AS INT) - 1] END AS prv
+    FROM base, UNNEST(generate_series(1, len(arr))) AS t(i)
+),
+runs AS (
+    SELECT doc_id, tok,
+           SUM(CASE WHEN prv IS NULL OR prv <> tok THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+    FROM toks
+),
+run_stats AS (
+    SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM (SELECT doc_id, run_id, COUNT(*) AS run_len
+          FROM runs GROUP BY doc_id, run_id)
+    GROUP BY doc_id
+),
+tok_stats AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM toks GROUP BY doc_id
+),
+bigram_stats AS (
+    SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS top_cnt,
+           CAST(SUM(cnt) AS DOUBLE) AS total_bi
+    FROM (SELECT doc_id, tok || ' ' || nxt AS bigram, COUNT(*) AS cnt
+          FROM toks WHERE nxt IS NOT NULL GROUP BY doc_id, bigram)
+    GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       ROUND(t.n_distinct / CAST(t.n_tokens AS DOUBLE), 6) AS distinct_ratio,
+       ROUND(COALESCE(b.top_cnt / b.total_bi, 0.0), 6) AS top_bigram_frac,
+       r.max_run
+FROM tok_stats AS t
+JOIN run_stats AS r ON t.doc_id = r.doc_id
+LEFT JOIN bigram_stats AS b ON t.doc_id = b.doc_id
+""",
+    covers=("X-TEXT-REPETITION", "X-TEXT-QUALITY", "W2"),
+)
+def x39_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import repetition_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text")
+
+
+# =====================================================================
+# x40 — curation funnel: the ordered filter cascade a corpus release
+# ships, with first-fail attribution so per-stage drop counts are
+# additive (too_short -> repetitive -> exact_dup -> kept). Signals are
+# pre-joined; the verdict is one row-local CASE chain and the report
+# one low-cardinality groupBy.
+# =====================================================================
+@register(
+    "x40_curation_funnel",
+    oracle=rf"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, CAST(i AS INT) AS pos, arr[CAST(i AS INT)] AS tok,
+           CASE WHEN i < len(arr) THEN arr[CAST(i AS INT) + 1] END AS nxt
+    FROM base, UNNEST(generate_series(1, len(arr))) AS t(i)
+),
+tok_stats AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id
+),
+bigram_stats AS (
+    SELECT doc_id,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS tb
+    FROM (SELECT doc_id, tok || ' ' || nxt AS bigram, COUNT(*) AS cnt
+          FROM toks WHERE nxt IS NOT NULL GROUP BY doc_id, bigram)
+    GROUP BY doc_id
+),
+dup AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id
+           ) > 1 AS is_duplicate
+    FROM documents
+),
+verdict AS (
+    SELECT CASE
+               WHEN t.n_tokens < 20 THEN 'too_short'
+               WHEN COALESCE(b.tb, 0.0) > 0.10 THEN 'repetitive'
+               WHEN d.is_duplicate THEN 'exact_dup'
+               ELSE 'kept'
+           END AS stage
+    FROM tok_stats AS t
+    LEFT JOIN bigram_stats AS b ON t.doc_id = b.doc_id
+    JOIN dup AS d ON t.doc_id = d.doc_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM verdict GROUP BY stage
+""",
+    covers=("X-CURATION-FUNNEL", "X-TEXT-QUALITY", "X-DEDUP-EXACT"),
+)
+def x40_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curation_report, first_failed_rule
+    from ..operators.dedup import exact_duplicates
+    from ..operators.repetition import repetition_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = repetition_features(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "top_bigram_frac"
+    )
+    dup = exact_duplicates(docs, "doc_id", "text").select(
+        "doc_id", "is_duplicate"
+    )
+    signals = rep.join(dup, "doc_id")
+    verdict = first_failed_rule(
+        signals,
+        [
+            ("too_short", F.col("n_tokens") < 20),
+            ("repetitive", F.col("top_bigram_frac") > 0.10),
+            ("exact_dup", F.col("is_duplicate")),
+        ],
+    )
+    return curation_report(verdict)

@@ -181,3 +181,47 @@ def test_pq_adc_join_is_broadcast_on_codes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_plan_broadcasts_all_small_sides(spark):
+    """IVFADC search: probes, candidate pairs, and the LUT must all be
+    broadcast; the corpus-sized codes/assignment tables may never feed a
+    nested loop. (The only allowed CartesianProduct-ish shape is the
+    centroid crossJoin, which is itself a broadcast.)"""
+    df = spark_queries()["x38_ivfpq_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # The only nested loops allowed are the two broadcast centroid
+    # cross-scorings (corpus x centroids, queries x centroids): every
+    # BNLJ must be an explicit Cross with the centroids broadcast — an
+    # Inner BNLJ would mean a join condition degenerated to a filter.
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("Cross" in l for l in bnlj) and len(bnlj) <= 2
+    # Probe restriction, candidate cut, and LUT are all hash joins.
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_repetition_features_crafted(spark):
+    """Hand-computable fixture: signals must match exact hand counts."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.repetition import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # runs: aaa,b -> max_run 3; bigrams: aa,aa,ab -> top 2/3
+            (2, "x y x y"),          # max_run 1; bigrams: xy,yx,xy -> top 2/3
+            (3, "solo"),             # 1 token: no bigrams -> frac 0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rows[1]["max_run"] == 3
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["distinct_ratio"] == 0.5
+    assert abs(rows[1]["top_bigram_frac"] - 2 / 3) < 1e-6
+    assert rows[2]["max_run"] == 1
+    assert abs(rows[2]["top_bigram_frac"] - 2 / 3) < 1e-6
+    assert rows[3]["max_run"] == 1
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[3]["distinct_ratio"] == 1.0

@@ -187,3 +187,34 @@ def test_hash_sample_invariant_under_repartition(spark):
     )
     langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_curation_funnel_first_fail_attribution(spark):
+    """A doc failing several rules lands in the FIRST failing stage;
+    funnel counts sum to the corpus size."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.curation import (
+        curation_report,
+        first_failed_rule,
+    )
+
+    sig = spark.createDataFrame(
+        [
+            (1, 5, 0.5, True),    # fails all three -> too_short
+            (2, 100, 0.5, True),  # fails 2+3 -> repetitive
+            (3, 100, 0.0, True),  # fails 3 -> exact_dup
+            (4, 100, 0.0, False), # kept
+        ],
+        ["doc_id", "n_tokens", "top_bigram_frac", "is_duplicate"],
+    )
+    verdict = first_failed_rule(
+        sig,
+        [
+            ("too_short", F.col("n_tokens") < 20),
+            ("repetitive", F.col("top_bigram_frac") > 0.10),
+            ("exact_dup", F.col("is_duplicate")),
+        ],
+    )
+    stages = {r["doc_id"]: r["stage"] for r in verdict.collect()}
+    assert stages == {1: "too_short", 2: "repetitive", 3: "exact_dup", 4: "kept"}
+    report = {r["stage"]: r["n_docs"] for r in curation_report(verdict).collect()}
+    assert sum(report.values()) == 4 and report["kept"] == 1

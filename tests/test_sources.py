@@ -112,3 +112,32 @@ def test_bucketed_join_plans_no_shuffle(spark, tmp_path):
                 spark.conf.set(c, v)
         spark.sql("DROP TABLE IF EXISTS t_fact_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_dim_bucketed")
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL export/import preserves schema and values; partitioned
+    writes lay out hive-style lang directories a read can prune on."""
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.sources import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, compression=None, partition_by=("lang",))
+
+    back = read_jsonl(
+        spark, path, "doc_id BIGINT, text STRING, lang STRING"
+    ).select("doc_id", "lang", "text")
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert a == b
+
+    pruned = read_jsonl(
+        spark, path, "doc_id BIGINT, text STRING, lang STRING"
+    ).filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan

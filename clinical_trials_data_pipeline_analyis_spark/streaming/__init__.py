@@ -1,3 +1,4 @@
+from .curation import curate_docs_stream
 from .dedup import dedup_events_stream, near_dedup_docs_stream
 from .events import (
     hourly_event_counts_stream,
@@ -6,6 +7,7 @@ from .events import (
 )
 
 __all__ = [
+    "curate_docs_stream",
     "dedup_events_stream",
     "near_dedup_docs_stream",
     "hourly_event_counts_stream",

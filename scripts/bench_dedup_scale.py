@@ -95,6 +95,9 @@ def main() -> None:
         "x17_dedup_minhash_estimate",
         "x21_dedup_cc_clusters",
         "x25_dedup_ngram_filtered",
+        "x35_decontaminate",
+        "x39_text_repetition",
+        "x40_curation_funnel",
     ]
     # warm-up (session + parquet footer caches)
     queries["x01_dedup_exact"](spark, args.dir).count()

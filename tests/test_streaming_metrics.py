@@ -308,3 +308,69 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     assert got == want
     # the store holds one signature row per document
     assert spark.read.parquet(str(tmp_path / "sigstore")).count() == n
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The streaming filter cascade (per-batch signals + cross-batch
+    fingerprint store) must assign every document the same funnel stage
+    as the batch curation operator over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.curation import (
+        first_failed_rule,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        exact_duplicates,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.operators.repetition import (
+        repetition_features,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        curate_docs_stream,
+    )
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    schema = docs.schema
+
+    chunks = str(tmp_path / "chunks")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{chunks}/c1")
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    q = curate_docs_stream(
+        stream,
+        out_path=str(tmp_path / "verdicts"),
+        store_path=str(tmp_path / "fpstore"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r["stage"]
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+
+    rep = repetition_features(docs).select(
+        "doc_id", "n_tokens", "top_bigram_frac"
+    )
+    dup = exact_duplicates(docs, "doc_id", "text").select(
+        "doc_id", "is_duplicate"
+    )
+    want = {
+        r["doc_id"]: r["stage"]
+        for r in first_failed_rule(
+            rep.join(dup, "doc_id"),
+            [
+                ("too_short", F.col("n_tokens") < 20),
+                ("repetitive", F.col("top_bigram_frac") > 0.10),
+                ("exact_dup", F.col("is_duplicate")),
+            ],
+        ).collect()
+    }
+    assert got == want

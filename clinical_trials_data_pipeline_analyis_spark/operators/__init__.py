@@ -16,9 +16,16 @@ from .dedup import (
 from .asof import asof_join
 from .curation import curation_report, first_failed_rule
 from .packing import pack_sequences
-from .pq import ivfpq_topk, pq_adc_topk, pq_encode, pq_train_step, seed_codebooks
+from .pq import (
+    ivfpq_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_train_step,
+    residual_vectors,
+    seed_codebooks,
+)
 from .repetition import repetition_features
-from .sampling import hash_bucket, hash_sample, stratified_sample
+from .sampling import hash_bucket, hash_sample, mixture_rates, stratified_sample
 from .similarity import (
     brute_force_topk,
     embedding_duplicate_pairs,
@@ -59,9 +66,11 @@ __all__ = [
     "pq_adc_topk",
     "pq_encode",
     "pq_train_step",
+    "residual_vectors",
     "seed_codebooks",
     "hash_bucket",
     "hash_sample",
+    "mixture_rates",
     "stratified_sample",
     "brute_force_topk",
     "embedding_duplicate_pairs",

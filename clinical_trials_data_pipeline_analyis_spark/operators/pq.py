@@ -228,6 +228,48 @@ def pq_adc_topk(
     )
 
 
+def residual_vectors(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, residual) = vector minus its home centroid.
+
+    The IVFADC refinement: PQ codebooks trained on residuals are far
+    tighter than on raw vectors because the coarse quantizer has already
+    removed the cell mean — feed this frame's ``residual`` column into
+    ``seed_codebooks``/``pq_encode``/``pq_train_step`` in place of the
+    raw embedding (Jegou et al. TPAMI 2011 §III.C).
+
+    Plan: one join with the corpus-sized assignment table on vec_id and
+    one BROADCAST centroid lookup; the subtraction is row-local
+    ``zip_with`` — no extra shuffle beyond the assignment join, which a
+    staged index layout co-partitions away (both sides keyed vec_id).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("_aid"), "centroid_id"
+    )
+    c = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    return (
+        embeddings.select(id_col, vec_col)
+        .join(a, F.col(id_col) == F.col("_aid"))
+        .join(F.broadcast(c), F.col("centroid_id") == F.col("_cid"))
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_cvec").cast("array<double>"),
+                lambda x, y: x - y,
+            ).alias("residual"),
+        )
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     codes: DataFrame,

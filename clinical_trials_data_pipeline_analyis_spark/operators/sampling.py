@@ -42,6 +42,44 @@ def hash_sample(
     )
 
 
+def mixture_rates(
+    df: DataFrame, strata_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Per-stratum keep rates that reshape the observed stratum counts
+    into the target mixture WITHOUT upsampling (domain mixing: "make
+    the release 60% en / 25% de / 15% fr").
+
+    The largest corpus achievable by downsampling only is
+    ``N* = min_s(n_s / w_s)``; each stratum keeps ``w_s * N* / n_s`` of
+    its rows (1.0 for the binding stratum). Strata absent from
+    ``targets`` are excluded (rate would be 0). Feed the resulting
+    rates into ``stratified_sample``-style hash filters.
+
+    Returns (strata_col, n_docs, target_w, keep_rate), ratios rounded
+    to 6dp. Plan: one groupBy count (map-side combinable), a 1-row
+    aggregate for N*, and a broadcast of that scalar — the corpus is
+    touched exactly once.
+    """
+    w = F.lit(None).cast("double")
+    for value, share in sorted(targets.items()):
+        w = F.when(F.col(strata_col) == value, F.lit(float(share))).otherwise(w)
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", w)
+        .filter(F.col("_w").isNotNull())
+    )
+    nstar = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_nstar"))
+    return counts.crossJoin(F.broadcast(nstar)).select(
+        strata_col,
+        F.col("_n").cast("bigint").alias("n_docs"),
+        F.round(F.col("_w"), 6).alias("target_w"),
+        F.round(
+            F.least(F.col("_w") * F.col("_nstar") / F.col("_n"), F.lit(1.0)), 6
+        ).alias("keep_rate"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -2014,3 +2014,95 @@ def x40_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return curation_report(verdict)
+
+
+# =====================================================================
+# x41 — residual PQ encoding (the IVFADC refinement): subtract each
+# vector's home centroid before quantizing, so the per-subspace
+# codebooks only have to cover within-cell variation. Residual =
+# row-local zip_with after one broadcast centroid lookup; the PQ stage
+# is byte-identical to x32 with the residual frame swapped in.
+# =====================================================================
+@register(
+    "x41_pq_residual_encode",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+iscored AS (
+    SELECT v.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cent.centroid_id
+           ) AS crank
+    FROM embd AS v, cent
+),
+home AS (SELECT vec_id, centroid_id FROM iscored WHERE crank = 1),
+res AS (
+    SELECT v.vec_id,
+           list_transform(list_zip(v.e, c.ce), x -> x[1] - x[2]) AS e
+    FROM embd AS v
+    JOIN home AS h ON v.vec_id = h.vec_id
+    JOIN cent AS c ON h.centroid_id = c.centroid_id
+),
+subs AS (
+    SELECT vec_id, CAST(s AS INT) AS subspace,
+           e[CAST(s * {_PQ_SUB} + 1 AS INT):CAST(s * {_PQ_SUB} + {_PQ_SUB} AS INT)] AS sv
+    FROM res, UNNEST(generate_series(0, {_PQ_M} - 1)) AS t(s)
+),
+cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0),
+scored AS (
+    SELECT v.vec_id, v.subspace, cb.code_id,
+           {_l2sq_sql("v.sv", "cb.cv")} AS dist2,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.subspace
+               ORDER BY {_l2sq_sql("v.sv", "cb.cv")}, cb.code_id
+           ) AS rn
+    FROM subs AS v JOIN cb ON v.subspace = cb.subspace
+)
+SELECT vec_id, subspace, code_id, dist2 FROM scored WHERE rn = 1
+""",
+    covers=("X-ANN-PQ", "X-ANN-IVF", "X-EMBED-QUANTIZE"),
+)
+def x41_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, residual_vectors, seed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    res = residual_vectors(emb, assignments, centroids)
+    cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual")
+    return pq_encode(res, cb, m=_PQ_M, vec_col="residual")
+
+
+# =====================================================================
+# x42 — domain-mixture rates: per-language keep fractions that reshape
+# the observed language counts into a 60/25/15 en/de/fr release by
+# downsampling only (N* = min n_s/w_s; binding stratum keeps 100%).
+# One count aggregation + a broadcast scalar — the corpus is scanned
+# once.
+# =====================================================================
+@register(
+    "x42_mixture_rates",
+    oracle="""
+WITH c AS (
+    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+t AS (
+    SELECT lang, n,
+           CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.25
+                     WHEN 'fr' THEN 0.15 END AS w
+    FROM c
+),
+s AS (SELECT MIN(n / w) AS nstar FROM t WHERE w IS NOT NULL)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, ROUND(w, 6) AS target_w,
+       ROUND(LEAST(w * nstar / n, 1.0), 6) AS keep_rate
+FROM t, s
+WHERE w IS NOT NULL
+""",
+    covers=("X-SAMPLE-STRATIFIED", "X-MIXTURE-RATES"),
+)
+def x42_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_rates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mixture_rates(docs, "lang", {"en": 0.6, "de": 0.25, "fr": 0.15})

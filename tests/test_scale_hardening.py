@@ -218,3 +218,25 @@ def test_curation_funnel_first_fail_attribution(spark):
     assert stages == {1: "too_short", 2: "repetitive", 3: "exact_dup", 4: "kept"}
     report = {r["stage"]: r["n_docs"] for r in curation_report(verdict).collect()}
     assert sum(report.values()) == 4 and report["kept"] == 1
+
+
+def test_mixture_rates_hit_target_proportions(spark):
+    """The binding stratum keeps 100%; applying the rates yields counts
+    proportional to the target weights (within rounding)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {
+        r["lang"]: r
+        for r in mixture_rates(
+            docs, "lang", {"en": 0.6, "de": 0.25, "fr": 0.15}
+        ).collect()
+    }
+    assert set(rates) == {"en", "de", "fr"}
+    assert any(abs(r["keep_rate"] - 1.0) < 1e-9 for r in rates.values())
+    kept = {k: r["n_docs"] * r["keep_rate"] for k, r in rates.items()}
+    total = sum(kept.values())
+    for k, w in {"en": 0.6, "de": 0.25, "fr": 0.15}.items():
+        assert abs(kept[k] / total - w) < 1e-3

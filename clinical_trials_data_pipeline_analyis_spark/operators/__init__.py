@@ -18,6 +18,7 @@ from .curation import curation_report, first_failed_rule
 from .packing import pack_sequences
 from .pq import (
     ivfpq_topk,
+    ivfpq_topk_residual,
     pq_adc_topk,
     pq_encode,
     pq_train_step,
@@ -62,6 +63,7 @@ __all__ = [
     "curation_report",
     "first_failed_rule",
     "ivfpq_topk",
+    "ivfpq_topk_residual",
     "repetition_features",
     "pq_adc_topk",
     "pq_encode",

@@ -270,6 +270,134 @@ def residual_vectors(
     )
 
 
+def ivfpq_topk_residual(
+    queries: DataFrame,
+    codes: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Textbook IVFADC (Jegou et al. TPAMI 2011 §III.C): the index
+    stores RESIDUAL-encoded PQ codes (``pq_encode`` over
+    ``residual_vectors`` output), and each query builds one LUT PER
+    PROBED CELL — the query's residual differs per cell, since for a
+    candidate living in cell c,
+    ``||q - (centroid_c + decode(code))||² = ||(q-centroid_c)_sub -
+    codevec||²`` summed over subspaces.
+
+    ``codes`` must carry the candidate's home cell: (vec_id, subspace,
+    code_id, centroid_id) — i.e. ``pq_encode(residual_vectors(...))``
+    joined back to the assignment, which the staged index build keeps
+    anyway. Returns (query_id, candidate_id, adc, rank<=k).
+
+    Scale shape: identical to ``ivfpq_topk`` except the LUT is nprobe×
+    larger (|q| * nprobe * m * |codes| rows — still broadcast for
+    interactive batches); candidate restriction and the final
+    partial-agg sum are unchanged. This is the recall-accurate index;
+    ``ivfpq_topk`` (raw-vector codes, one LUT) is the plan-shape twin.
+    """
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    qres = (
+        probes.join(
+            queries.select(
+                F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            ),
+            F.col("query_id") == F.col("_qid"),
+        )
+        .join(
+            F.broadcast(
+                centroids.select(
+                    F.col(id_col).alias("_pcid"), F.col(vec_col).alias("_pcvec")
+                )
+            ),
+            F.col("p_cent") == F.col("_pcid"),
+        )
+        .select(
+            "query_id",
+            F.col("p_cent").alias("cell"),
+            F.zip_with(
+                F.col("_qvec").cast("array<double>"),
+                F.col("_pcvec").cast("array<double>"),
+                lambda x, y: x - y,
+            ).alias("qres"),
+        )
+    )
+    qsubs = split_subvectors(
+        qres.withColumn("_lutkey", F.concat_ws("|", "query_id", "cell")),
+        m,
+        id_col="_lutkey",
+        vec_col="qres",
+    )
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_subspace"), "code_id", "codevec"
+    )
+    lut = (
+        qsubs.join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
+        .select(
+            F.split(F.col("_lutkey"), r"\|")[0].cast("long").alias("l_query"),
+            F.split(F.col("_lutkey"), r"\|")[1].cast("long").alias("l_cell"),
+            F.col("subspace").alias("l_subspace"),
+            F.col("code_id").alias("l_code"),
+            F.round(_l2sq(F.col("subvec"), F.col("codevec")), 6)
+            .cast("decimal(18,6)")
+            .alias("d2"),
+        )
+    )
+    candidates = (
+        assignments.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("centroid_id").alias("a_cent"),
+        )
+        .join(F.broadcast(probes), F.col("a_cent") == F.col("p_cent"))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id", F.col("a_cent").alias("home_cell"))
+        .distinct()
+    )
+    summed = (
+        codes.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("subspace").alias("c_subspace"),
+            F.col("code_id").alias("c_code"),
+        )
+        .join(F.broadcast(candidates), F.col("c_id") == F.col("candidate_id"))
+        .join(
+            F.broadcast(lut),
+            (F.col("l_query") == F.col("query_id"))
+            & (F.col("l_cell") == F.col("home_cell"))
+            & (F.col("l_subspace") == F.col("c_subspace"))
+            & (F.col("l_code") == F.col("c_code")),
+        )
+        .groupBy("query_id", "candidate_id")
+        .agg(F.sum("d2").cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("candidate_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    from .similarity import ivf_probe_assign
+
+    return ivf_probe_assign(
+        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("p_cent")
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -313,11 +441,7 @@ def ivfpq_topk(
     stays oracle-checkable — the residual refinement slots into
     ``pq_encode``'s input without changing any plan shape.
     """
-    from .similarity import ivf_probe_assign
-
-    probes = ivf_probe_assign(
-        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-    ).select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("p_cent"))
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
     candidates = (
         assignments.select(
             F.col("vec_id").alias("candidate_id"),

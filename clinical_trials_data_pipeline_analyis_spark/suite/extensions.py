@@ -2106,3 +2106,118 @@ def x42_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return mixture_rates(docs, "lang", {"en": 0.6, "de": 0.25, "fr": 0.15})
+
+
+# =====================================================================
+# x43 — textbook residual IVFADC search: the index stores residual-
+# encoded PQ codes; each query builds one LUT PER PROBED CELL (its
+# residual differs per cell), and a candidate is scored with the LUT of
+# its home cell. The recall-accurate composition of x38 + x41.
+# =====================================================================
+@register(
+    "x43_ivfpq_residual_topk",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+iscored AS (
+    SELECT v.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cent.centroid_id
+           ) AS crank
+    FROM embd AS v, cent
+),
+home AS (SELECT vec_id, centroid_id FROM iscored WHERE crank = 1),
+res AS (
+    SELECT v.vec_id, h.centroid_id AS home_cell,
+           list_transform(list_zip(v.e, c.ce), x -> x[1] - x[2]) AS e
+    FROM embd AS v
+    JOIN home AS h ON v.vec_id = h.vec_id
+    JOIN cent AS c ON h.centroid_id = c.centroid_id
+),
+subs AS (
+    SELECT vec_id, home_cell, CAST(s AS INT) AS subspace,
+           e[CAST(s * {_PQ_SUB} + 1 AS INT):CAST(s * {_PQ_SUB} + {_PQ_SUB} AS INT)] AS sv
+    FROM res, UNNEST(generate_series(0, {_PQ_M} - 1)) AS t(s)
+),
+cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0),
+enc AS (
+    SELECT v.vec_id, v.home_cell, v.subspace, cb.code_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.subspace
+               ORDER BY {_l2sq_sql("v.sv", "cb.cv")}, cb.code_id
+           ) AS rn
+    FROM subs AS v JOIN cb ON v.subspace = cb.subspace
+),
+codes AS (SELECT vec_id, home_cell, subspace, code_id FROM enc WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS query_id, centroid_id AS cell
+    FROM iscored WHERE crank <= 2 AND vec_id % 200 = 0
+),
+qres AS (
+    SELECT p.query_id, p.cell,
+           list_transform(list_zip(e.e, c.ce), x -> x[1] - x[2]) AS qe
+    FROM probes AS p
+    JOIN embd AS e ON p.query_id = e.vec_id
+    JOIN cent AS c ON p.cell = c.centroid_id
+),
+qsubs AS (
+    SELECT query_id, cell, CAST(s AS INT) AS subspace,
+           qe[CAST(s * {_PQ_SUB} + 1 AS INT):CAST(s * {_PQ_SUB} + {_PQ_SUB} AS INT)] AS sv
+    FROM qres, UNNEST(generate_series(0, {_PQ_M} - 1)) AS t(s)
+),
+lut AS (
+    SELECT q.query_id, q.cell, q.subspace, cb.code_id,
+           CAST({_l2sq_sql("q.sv", "cb.cv")} AS DECIMAL(18,6)) AS d2
+    FROM qsubs AS q JOIN cb ON q.subspace = cb.subspace
+),
+cands AS (
+    SELECT DISTINCT p.query_id, h.vec_id AS candidate_id, h.centroid_id AS home_cell
+    FROM probes AS p JOIN home AS h ON p.cell = h.centroid_id
+    WHERE h.vec_id <> p.query_id
+),
+summed AS (
+    SELECT cd.query_id, cd.candidate_id, CAST(SUM(l.d2) AS DOUBLE) AS adc
+    FROM cands AS cd
+    JOIN codes AS c ON c.vec_id = cd.candidate_id
+    JOIN lut AS l ON l.query_id = cd.query_id AND l.cell = cd.home_cell
+                 AND l.subspace = c.subspace AND l.code_id = c.code_id
+    GROUP BY cd.query_id, cd.candidate_id
+)
+SELECT query_id, candidate_id, adc,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc, candidate_id
+       ) AS BIGINT) AS rank
+FROM summed
+QUALIFY rank <= 5
+""",
+    covers=("X-ANN-PQ", "X-ANN-IVF", "X-ANN-SEARCH"),
+)
+def x43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import (
+        ivfpq_topk_residual,
+        pq_encode,
+        residual_vectors,
+        seed_codebooks,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    # A real deployment builds the index ONCE and reads it back; the
+    # inline build is materialized (localCheckpoint) so the search plan
+    # consumes staged artifacts instead of re-executing the centroid
+    # scoring in every branch that references them.
+    assignments = (
+        ivf_assign(emb, centroids).select("vec_id", "centroid_id").localCheckpoint()
+    )
+    res = residual_vectors(emb, assignments, centroids)
+    cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual").localCheckpoint()
+    codes = (
+        pq_encode(res, cb, m=_PQ_M, vec_col="residual")
+        .select("vec_id", "subspace", "code_id")
+        .localCheckpoint()
+    )
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    return ivfpq_topk_residual(
+        queries, codes, assignments, cb, centroids, m=_PQ_M, k=5, nprobe=2
+    )

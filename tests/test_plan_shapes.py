@@ -188,17 +188,19 @@ def test_ivfpq_plan_broadcasts_all_small_sides(spark):
     broadcast; the corpus-sized codes/assignment tables may never feed a
     nested loop. (The only allowed CartesianProduct-ish shape is the
     centroid crossJoin, which is itself a broadcast.)"""
-    df = spark_queries()["x38_ivfpq_topk"](spark, SF_DIR)
-    plan = _plan(df)
-    assert "CartesianProduct" not in plan
-    # The only nested loops allowed are the two broadcast centroid
-    # cross-scorings (corpus x centroids, queries x centroids): every
-    # BNLJ must be an explicit Cross with the centroids broadcast — an
-    # Inner BNLJ would mean a join condition degenerated to a filter.
-    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert all("Cross" in l for l in bnlj) and len(bnlj) <= 2
-    # Probe restriction, candidate cut, and LUT are all hash joins.
-    assert plan.count("BroadcastHashJoin") >= 4
+    for name in ("x38_ivfpq_topk", "x43_ivfpq_residual_topk"):
+        df = spark_queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        # The only nested loops allowed are the broadcast centroid
+        # cross-scorings (corpus x centroids, queries x centroids):
+        # every BNLJ must be an explicit Cross with the centroids
+        # broadcast — an Inner BNLJ would mean a join condition
+        # degenerated to a filter.
+        bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+        assert all("Cross" in l for l in bnlj), name
+        # Probe restriction, candidate cut, and LUT are all hash joins.
+        assert plan.count("BroadcastHashJoin") >= 4, name
 
 
 def test_repetition_features_crafted(spark):

@@ -15,7 +15,7 @@ from .dedup import (
 )
 from .asof import asof_join
 from .curation import curation_report, first_failed_rule
-from .packing import pack_sequences
+from .packing import chunk_spans, pack_sequences
 from .pq import (
     ivfpq_topk,
     ivfpq_topk_residual,
@@ -59,6 +59,7 @@ __all__ = [
     "simhash_candidates",
     "simhash_near_duplicates",
     "asof_join",
+    "chunk_spans",
     "pack_sequences",
     "curation_report",
     "first_failed_rule",

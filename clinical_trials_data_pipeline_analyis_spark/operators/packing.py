@@ -72,3 +72,59 @@ def pack_sequences(
         F.expr(f"(_offset + _cum - _t) div {capacity}").alias("chunk_id"),
     )
     return packed
+
+
+def chunk_spans(
+    packed: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Materialize the chunk → document-span map from ``pack_sequences``
+    output: one row per (chunk, document) intersection, i.e. the
+    assembly plan a loader needs to build each fixed-size training
+    context from raw documents.
+
+    A document at ``global_start`` g with t tokens covers the token
+    interval [g, g+t), which intersects chunks ``g div capacity`` ..
+    ``(g+t-1) div capacity``. Per intersection:
+
+    - ``doc_offset``  — first token of the doc that lands in this chunk;
+    - ``span_start``  — where it lands inside the chunk;
+    - ``span_len``    — tokens contributed to this chunk.
+
+    Scale shape: one ``explode(sequence(first, last))`` whose fan-out is
+    ``ceil(t / capacity) + 1`` rows per doc — bounded by document
+    length, never by corpus size — followed by pure arithmetic. No
+    shuffle beyond what ``pack_sequences`` already did; all the div
+    arithmetic is integer (``div``), safe past 2^53 total tokens.
+    Zero-token documents occupy no interval and produce no span row.
+    """
+    cap = F.lit(capacity).cast("long")
+    g = F.col("global_start")
+    t = F.col(token_col).cast("long")
+    spans = (
+        packed.filter(t > 0)
+        .withColumn("_first", F.expr(f"global_start div {capacity}"))
+        .withColumn(
+            "_last", F.expr(f"(global_start + {token_col} - 1) div {capacity}")
+        )
+        .select(
+            id_col,
+            token_col,
+            "global_start",
+            F.explode(F.sequence(F.col("_first"), F.col("_last"))).alias(
+                "span_chunk_id"
+            ),
+        )
+    )
+    chunk_start = F.col("span_chunk_id") * cap
+    lo = F.greatest(g, chunk_start)
+    hi = F.least(g + t, chunk_start + cap)
+    return spans.select(
+        F.col("span_chunk_id").alias("chunk_id"),
+        id_col,
+        (lo - g).alias("doc_offset"),
+        (lo - chunk_start).alias("span_start"),
+        (hi - lo).alias("span_len"),
+    )

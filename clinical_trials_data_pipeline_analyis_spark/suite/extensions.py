@@ -2221,3 +2221,55 @@ def x43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_residual(
         queries, codes, assignments, cb, centroids, m=_PQ_M, k=5, nprobe=2
     )
+
+
+# =====================================================================
+# x44 — packed-chunk assembly: expand the x37 packing into the
+# chunk -> document-span map a training loader consumes (which slice of
+# which doc builds each fixed-size context). Explode fan-out is bounded
+# by ceil(doc_len / capacity) + 1 per doc, never by corpus size.
+# =====================================================================
+@register(
+    "x44_chunk_spans",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS global_start
+    FROM toks
+),
+spans AS (
+    SELECT doc_id, n_tokens, global_start, CAST(ch AS BIGINT) AS chunk_id
+    FROM cum,
+         UNNEST(generate_series(
+             global_start // {_PACK_CAPACITY},
+             (global_start + n_tokens - 1) // {_PACK_CAPACITY}
+         )) AS t(ch)
+    WHERE n_tokens > 0
+)
+SELECT chunk_id, doc_id,
+       GREATEST(global_start, chunk_id * {_PACK_CAPACITY})
+           - global_start AS doc_offset,
+       GREATEST(global_start, chunk_id * {_PACK_CAPACITY})
+           - chunk_id * {_PACK_CAPACITY} AS span_start,
+       LEAST(global_start + n_tokens, (chunk_id + 1) * {_PACK_CAPACITY})
+           - GREATEST(global_start, chunk_id * {_PACK_CAPACITY}) AS span_len
+FROM spans
+""",
+    covers=("X-SEQUENCE-PACK", "W2"),
+)
+def x44_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import chunk_spans, pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=_PACK_CAPACITY)
+    return chunk_spans(packed, "doc_id", "n_tokens", capacity=_PACK_CAPACITY)

@@ -161,6 +161,40 @@ def test_pack_sequences_two_phase_equals_global_window(spark):
     assert chunk_rows == 0
 
 
+def test_chunk_spans_crafted(spark):
+    """Span expansion on a hand-computed fixture: a doc inside one
+    chunk, a doc straddling a boundary, a doc spanning 3 chunks, and a
+    zero-token doc (no interval -> no span row). Spans must tile each
+    chunk exactly: disjoint, contiguous, summing to the doc lengths."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.packing import (
+        chunk_spans,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 6), (1, 0), (2, 8), (3, 25), (4, 3)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=10)
+    rows = {
+        (r["chunk_id"], r["doc_id"]): (
+            r["doc_offset"], r["span_start"], r["span_len"]
+        )
+        for r in chunk_spans(packed, "doc_id", "n_tokens", 10).collect()
+    }
+    # offsets: d0@0 (6), d2@6 (8), d3@14 (25), d4@39 (3); d1 empty.
+    assert rows == {
+        (0, 0): (0, 0, 6),
+        (0, 2): (0, 6, 4),   # first 4 tokens of d2 finish chunk 0
+        (1, 2): (4, 0, 4),   # remaining 4 open chunk 1
+        (1, 3): (0, 4, 6),
+        (2, 3): (6, 0, 10),  # d3 owns all of chunk 2
+        (3, 3): (16, 0, 9),
+        (3, 4): (0, 9, 1),
+        (4, 4): (1, 0, 2),
+    }
+    assert not any(d == 1 for _, d in rows)
+
+
 def test_hash_sample_invariant_under_repartition(spark):
     """Sampling decisions depend only on the key hash — the same rows
     are kept regardless of partitioning (df.sample would not be)."""

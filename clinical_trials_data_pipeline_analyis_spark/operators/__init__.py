@@ -15,7 +15,7 @@ from .dedup import (
 )
 from .asof import asof_join
 from .curation import curation_report, first_failed_rule
-from .packing import chunk_spans, pack_sequences
+from .packing import chunk_spans, length_bucket_batches, pack_sequences
 from .pq import (
     ivfpq_topk,
     ivfpq_topk_residual,
@@ -25,7 +25,7 @@ from .pq import (
     residual_vectors,
     seed_codebooks,
 )
-from .repetition import repetition_features
+from .repetition import corpus_ngram_topk, repetition_features
 from .sampling import hash_bucket, hash_sample, mixture_rates, stratified_sample
 from .similarity import (
     brute_force_topk,
@@ -33,6 +33,7 @@ from .similarity import (
     ivf_assign,
     ivf_probe_assign,
     quantize_embeddings,
+    semantic_dedup,
     train_ivf,
 )
 from .multimodal import (
@@ -60,11 +61,13 @@ __all__ = [
     "simhash_near_duplicates",
     "asof_join",
     "chunk_spans",
+    "length_bucket_batches",
     "pack_sequences",
     "curation_report",
     "first_failed_rule",
     "ivfpq_topk",
     "ivfpq_topk_residual",
+    "corpus_ngram_topk",
     "repetition_features",
     "pq_adc_topk",
     "pq_encode",
@@ -80,6 +83,7 @@ __all__ = [
     "ivf_assign",
     "ivf_probe_assign",
     "quantize_embeddings",
+    "semantic_dedup",
     "train_ivf",
     "attach_binary_payload",
     "decode_image_metadata",

@@ -128,3 +128,58 @@ def chunk_spans(
         (lo - chunk_start).alias("span_start"),
         (hi - lo).alias("span_len"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    bucket_width: int,
+    batch_size: int,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference batching: batch documents of similar
+    length together so each fixed-size batch pads to its OWN max length
+    instead of the corpus max — the standard trick for cutting wasted
+    FLOPs in embedding/scoring passes over a corpus.
+
+    ``bucket = tokens div bucket_width``; within a bucket, documents are
+    deterministically sharded by ``md5(id) % num_shards`` (portable
+    hash, invariant under partitioning) so batch numbering parallelizes
+    — a single per-bucket window would funnel a popular length class
+    through one task. Within (bucket, shard) documents order by
+    (tokens, id) and ``batch_id = (row_number - 1) div batch_size``.
+
+    Returns per-batch stats ``(bucket, shard, batch_id, n_docs,
+    max_tokens, sum_tokens, pad_waste)`` where
+    ``pad_waste = n_docs * max_tokens - sum_tokens`` — the padding the
+    bucketing avoids paying at the corpus max.
+
+    Scale shape: windows keyed by (bucket, shard) — parallelism is
+    buckets × shards regardless of corpus size; the aggregate
+    partial-combines map-side. No global window, no skew beyond
+    1/num_shards of the most popular length class.
+    """
+    t = F.col(token_col).cast("long")
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % num_shards
+    )
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        t.alias("_t"),
+        F.expr(f"cast({token_col} as long) div {bucket_width}").alias("bucket"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(F.asc("_t"), F.asc("_id"))
+    batched = rows.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr(f"(_rn - 1) div {batch_size}")
+    )
+    return batched.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("_t").cast("long").alias("max_tokens"),
+        F.sum("_t").cast("long").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("_t") - F.sum("_t"))
+        .cast("long")
+        .alias("pad_waste"),
+    )

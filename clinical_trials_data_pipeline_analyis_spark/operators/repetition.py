@@ -104,3 +104,62 @@ def repetition_features(
             "max_run",
         )
     )
+
+
+def corpus_ngram_topk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table: the top-k n-grams per group
+    (language, domain, ...) with total occurrence count and document
+    frequency — the LM-statistics / contamination-screening view of a
+    corpus, where per-document signals (``repetition_features``) look at
+    one doc at a time.
+
+    Returns ``(group_col, ngram, cnt, doc_freq, rank <= k)`` ordered by
+    (cnt DESC, ngram ASC) within each group.
+
+    Scale shape: one posexplode (pre-spread), n-1 ``lead`` windows keyed
+    by doc (dense, bounded by doc length), then a two-level aggregate —
+    (group, ngram, doc) partial-combines map-side before the (group,
+    ngram) rollup — so the shuffle carries distinct n-grams, not token
+    instances. The top-k window runs over the aggregated table, whose
+    size is vocabulary², not corpus; hot n-grams are exactly what the
+    aggregation collapses.
+    """
+    toks = _spread(df).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        F.posexplode(whitespace_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_doc).alias(f"_t{i}") for i in range(1, n)
+    ]
+    grams = toks.select("grp", "doc", *parts)
+    cond = None
+    for i in range(1, n):
+        c = F.col(f"_t{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    if cond is not None:
+        grams = grams.filter(cond)
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.col(f"_t{i}") for i in range(1, n)]
+    )
+    per_doc = grams.select("grp", "doc", gram.alias("ngram")).groupBy(
+        "grp", "ngram", "doc"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = per_doc.groupBy("grp", "ngram").agg(
+        F.sum("_c").cast("long").alias("cnt"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "ngram", "cnt", "doc_freq", "rank")
+    )

@@ -289,3 +289,89 @@ def ivf_probe_assign(
         .filter(F.col("probe_rank") <= nprobe)
         .select("vec_id", "centroid_id", "cosine", "probe_rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    by embedding similarity. Cluster the corpus with a coarse quantizer,
+    link pairs whose cosine exceeds ``threshold`` WITHIN each cluster,
+    connected-component the links into duplicate groups, and keep one
+    representative per group — per the paper, the point FARTHEST from
+    its cluster centroid (lowest cosine-to-centroid; id tiebreak).
+
+    Returns ``(id_col, component, cos_centroid, kept)`` with kept in
+    {0, 1}; filtering ``kept = 1`` yields the deduplicated corpus.
+
+    Scale shape: the O(n²) pair scan is confined to IVF cells (the
+    paper's own trick — cells bound pair candidates by cluster size, not
+    corpus size); the assigned/blocked input is materialized once
+    (``localCheckpoint``) so the self-join does not re-execute the
+    centroid scoring per branch; components use the bounded-round CC
+    operator; the final keep-rank is a per-component window over
+    component sizes, never the corpus.
+    """
+    from .dedup import connected_components
+
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    blocked = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        .join(
+            assigned.select(
+                "vec_id", "centroid_id", F.col("cosine").alias("cos_centroid")
+            ),
+            "vec_id",
+        )
+        .localCheckpoint()
+    )
+    a = blocked.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("centroid_id").alias("cell_a"),
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("centroid_id").alias("cell_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "pair_cos"
+            ),
+        )
+        .filter(F.col("pair_cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(
+        pairs, "vec_a", "vec_b", blocked.select("vec_id"), "vec_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    return (
+        comp.join(blocked.select("vec_id", "cos_centroid"), "vec_id")
+        .withColumn(
+            "kept",
+            F.when(F.row_number().over(w) == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            F.col("vec_id").alias(id_col), "component", "cos_centroid", "kept"
+        )
+    )

@@ -2273,3 +2273,161 @@ def x44_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=_PACK_CAPACITY)
     return chunk_spans(packed, "doc_id", "n_tokens", capacity=_PACK_CAPACITY)
+
+
+# =====================================================================
+# x45 — SemDeDup (Abbas et al. 2023): semantic dedup by embedding
+# similarity. IVF cells bound the O(n^2) pair scan (the paper's own
+# blocking trick); links above the cosine threshold become duplicate
+# groups via connected components; the survivor per group is the point
+# FARTHEST from its centroid (lowest cosine-to-centroid, id tiebreak).
+# =====================================================================
+_SEMDEDUP_THRESHOLD = 0.40
+
+
+@register(
+    "x45_semantic_dedup",
+    oracle=f"""
+WITH RECURSIVE
+embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM embd WHERE vec_id % 97 = 0),
+sc AS (
+    SELECT v.vec_id, cid, {_COS_SQL.format(a="v.e", b="cent.ce")} AS cosc,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cid
+           ) AS rn
+    FROM embd AS v, cent
+),
+home AS (SELECT vec_id, cid, cosc FROM sc WHERE rn = 1),
+p AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM home AS a
+    JOIN home AS b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embd AS ea ON ea.vec_id = a.vec_id
+    JOIN embd AS eb ON eb.vec_id = b.vec_id
+    WHERE {_COS_SQL.format(a="ea.e", b="eb.e")} >= {_SEMDEDUP_THRESHOLD}
+),
+edges AS (
+    SELECT va AS e_src, vb AS e_dst FROM p
+    UNION ALL
+    SELECT vb AS e_src, va AS e_dst FROM p
+),
+walk(vec_id, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.e_dst, w.label FROM walk AS w JOIN edges AS e ON w.vec_id = e.e_src
+),
+comp AS (SELECT vec_id, MIN(label) AS component FROM walk GROUP BY vec_id)
+SELECT c.vec_id, c.component, h.cosc AS cos_centroid,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY h.cosc ASC, c.vec_id ASC
+       ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM comp AS c JOIN home AS h ON c.vec_id = h.vec_id
+""",
+    covers=("X-DEDUP-EMBEDDING", "X-DEDUP-CC", "X-ANN-IVF"),
+)
+def x45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)
+
+
+# =====================================================================
+# x46 — corpus bigram LM statistics: top-10 bigrams per language with
+# occurrence count and document frequency. The shuffle carries distinct
+# (lang, bigram) rows — partial-combined map-side — never token
+# instances; the top-k window runs over the aggregated vocabulary-sized
+# table.
+# =====================================================================
+@register(
+    "x46_corpus_bigrams",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+    FROM documents
+),
+grams AS (
+    SELECT lang, doc_id,
+           arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] AS ngram
+    FROM base, UNNEST(generate_series(1, len(arr) - 1)) AS t(i)
+),
+per_doc AS (
+    SELECT lang, ngram, doc_id, COUNT(*) AS c
+    FROM grams GROUP BY lang, ngram, doc_id
+),
+agg AS (
+    SELECT lang, ngram,
+           CAST(SUM(c) AS BIGINT) AS cnt,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM per_doc GROUP BY lang, ngram
+)
+SELECT lang, ngram, cnt, doc_freq,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, ngram ASC
+       ) AS BIGINT) AS rank
+FROM agg
+QUALIFY rank <= 10
+""",
+    covers=("X-TEXT-REPETITION", "A5", "O1"),
+)
+def x46_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import corpus_ngram_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ngram_topk(docs, "lang", n=2, k=10)
+
+
+# =====================================================================
+# x47 — length-bucketed inference batching: similar-length docs batch
+# together so each batch pads to its own max, not the corpus max.
+# Deterministic md5 sharding keeps batch numbering parallel (windows
+# keyed by (bucket, shard), never global); pad_waste quantifies the
+# saved padding.
+# =====================================================================
+@register(
+    "x47_length_batches",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+               AS BIGINT) AS n_tokens
+    FROM documents
+),
+rows_ AS (
+    SELECT doc_id, n_tokens,
+           n_tokens // 16 AS bucket,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 4 AS shard
+    FROM toks
+),
+batched AS (
+    SELECT bucket, shard, n_tokens,
+           (ROW_NUMBER() OVER (
+               PARTITION BY bucket, shard ORDER BY n_tokens, doc_id
+           ) - 1) // 8 AS batch_id
+    FROM rows_
+)
+SELECT bucket, shard, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM batched
+GROUP BY bucket, shard, batch_id
+""",
+    covers=("X-SEQUENCE-PACK", "A4", "W2"),
+)
+def x47_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import length_bucket_batches
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return length_bucket_batches(
+        docs, "doc_id", "n_tokens", bucket_width=16, batch_size=8, num_shards=4
+    )

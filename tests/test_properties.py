@@ -229,3 +229,86 @@ def test_train_ivf_iterates_and_is_deterministic(spark):
     # determinism: a second run folds to bit-identical centroids
     cents2, _ = train_ivf(emb, k=k, iters=2)
     assert got == sorted(map(tuple, cents2.collect()))
+
+
+def test_semantic_dedup_crafted(spark):
+    """Hand-checkable SemDeDup: two near-identical vectors share a cell
+    and link above threshold; the survivor is the one FARTHEST from the
+    centroid (lowest cos_centroid). A lone vector keeps itself."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.01]),
+            (1, [0.99, 0.05]),
+            (2, [0.1, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: (r["component"], r["kept"])
+        for r in semantic_dedup(emb, cents, threshold=0.99).collect()
+    }
+    # v0/v1 cluster together (component = min id = 0); v1 is farther
+    # from the centroid so v1 survives; v2 is its own singleton.
+    assert rows[0] == (0, 0)
+    assert rows[1] == (0, 1)
+    assert rows[2] == (2, 1)
+
+
+def test_corpus_ngram_topk_crafted(spark):
+    """Counts, doc frequency, and the (cnt DESC, ngram ASC) ranking on a
+    hand-computed two-document corpus."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.repetition import (
+        corpus_ngram_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a b a b"), (1, "en", "a b c")],
+        "doc_id long, lang string, text string",
+    )
+    got = [
+        (r["ngram"], r["cnt"], r["doc_freq"], r["rank"])
+        for r in corpus_ngram_topk(docs, "lang", n=2, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("a b", 3, 2, 1), ("b a", 1, 1, 2), ("b c", 1, 1, 3)]
+
+
+def test_length_bucket_batches_properties(spark):
+    """Every doc lands in exactly one batch, no batch exceeds
+    batch_size, waste is the per-batch padding identity, and the
+    assignment is invariant under repartitioning (md5 sharding, not
+    partition-dependent row numbering)."""
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.packing import (
+        length_bucket_batches,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    out = length_bucket_batches(
+        docs, "doc_id", "n_tokens", bucket_width=16, batch_size=8, num_shards=4
+    )
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(1 <= r["n_docs"] <= 8 for r in rows)
+    assert all(
+        r["pad_waste"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+        and r["pad_waste"] >= 0
+        for r in rows
+    )
+    again = length_bucket_batches(
+        docs.repartition(13),
+        "doc_id", "n_tokens", bucket_width=16, batch_size=8, num_shards=4,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

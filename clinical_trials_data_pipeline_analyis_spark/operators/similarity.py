@@ -315,6 +315,14 @@ def semantic_dedup(
     centroid scoring per branch; components use the bounded-round CC
     operator; the final keep-rank is a per-component window over
     component sizes, never the corpus.
+
+    The pair self-join broadcasts the build side and ``_spread``s the
+    probe side: the checkpointed input is a stats-less LogicalRDD, so
+    left alone the planner picks a sort-merge join whose tiny shuffle
+    AQE coalesces to ONE partition — serializing every pairwise cosine
+    (measured 8× slower). Past broadcast size, repartition both sides by
+    ``centroid_id`` instead: cell count grows with the corpus, so the
+    cell-keyed shuffle is the parallel scale path.
     """
     from .dedup import connected_components
 
@@ -331,7 +339,7 @@ def semantic_dedup(
         )
         .localCheckpoint()
     )
-    a = blocked.select(
+    a = _spread(blocked).select(
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
         F.col("centroid_id").alias("cell_a"),
@@ -343,7 +351,7 @@ def semantic_dedup(
     )
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("cell_a") == F.col("cell_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )

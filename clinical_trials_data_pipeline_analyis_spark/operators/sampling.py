@@ -102,3 +102,43 @@ def stratified_sample(
         .withColumn("rate_pct", rate.cast("int"))
         .filter(F.col("bucket") < F.col("rate_pct"))
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """Deterministic global permutation of a corpus — the "shuffle the
+    training data" step that precedes sequence packing, as a seeded,
+    reproducible rank instead of an unstable ``rand()`` sort.
+
+    Each row's sort key is ``md5(id || '-' || seed)``: uniformly
+    distributed (so the global sort range-partitions evenly, no skew by
+    construction) and a pure function of (id, seed), so the permutation
+    is identical across runs, partitionings, and engines. The rank is
+    computed by the two-phase ``surrogate_key_scalable`` pattern —
+    parallel range-sort, per-partition row_number, partition-count
+    prefix offsets — never a single global window.
+
+    Returns ``(id_col, shuffle_pos)`` with 1-based dense positions,
+    plus ``shard = (shuffle_pos - 1) div shard_size`` when
+    ``shard_size`` is given (the shuffled-corpus shard-file assignment).
+    """
+    from .surrogate_keys import surrogate_key_scalable
+
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))
+        ).alias("_skey"),
+    )
+    ranked = surrogate_key_scalable(
+        keyed, "shuffle_pos", ["_skey", id_col]
+    ).select(id_col, "shuffle_pos")
+    if shard_size is None:
+        return ranked
+    return ranked.withColumn(
+        "shard", F.expr(f"(shuffle_pos - 1) div {shard_size}")
+    )

@@ -2431,3 +2431,34 @@ def x47_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(
         docs, "doc_id", "n_tokens", bucket_width=16, batch_size=8, num_shards=4
     )
+
+
+# =====================================================================
+# x48 — deterministic corpus shuffle: seeded md5 rank as the global
+# permutation (uniform keys -> even range partitions, no skew), two-
+# phase scalable rank (never a global window), plus the shard-file
+# assignment of the shuffled corpus.
+# =====================================================================
+@register(
+    "x48_corpus_shuffle",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '-42') AS skey
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS BIGINT)
+               AS shuffle_pos
+    FROM keyed
+)
+SELECT doc_id, shuffle_pos, (shuffle_pos - 1) // 64 AS shard
+FROM ranked
+""",
+    covers=("W1", "O2", "X-SAMPLE-STRATIFIED"),
+)
+def x48_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_shuffle
+
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", seed=42, shard_size=64)

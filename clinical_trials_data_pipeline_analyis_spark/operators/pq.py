@@ -78,7 +78,7 @@ def seed_codebooks(
     """Deterministic codebooks: subvectors of every ``mod``-th vector.
 
     (subspace, code_id, codevec) with code_id = the seed vector's id —
-    the same mod-selection seeding x24's k-means uses, so a training
+    the same mod-selection seeding a24's k-means uses, so a training
     loop (``pq_train_step``) refines from a reproducible start.
     """
     seeds = df.filter(F.col(id_col) % mod == 0)
@@ -133,7 +133,7 @@ def pq_train_step(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One Lloyd iteration per subspace: re-center each code on the mean
-    of its assigned subvectors (the per-subspace analog of x24's k-means
+    of its assigned subvectors (the per-subspace analog of a24's k-means
     update; iterate pq_encode -> pq_train_step to train).
 
     Returns (subspace, code_id, dim, codebook_value) with dims local to

@@ -150,7 +150,7 @@ def train_ivf(
     per-dimension mean of its members. Per-dimension sums are ORDERED
     folds (sort members by id, then sequential double adds), so every
     iteration is bit-reproducible across engines — one step is
-    oracle-checked as x24_ivf_train_step. Empty cells drop, as in
+    oracle-checked as a24_ivf_train_step. Empty cells drop, as in
     standard k-means.
 
     Returns ``(centroids, assignments)``: centroids as

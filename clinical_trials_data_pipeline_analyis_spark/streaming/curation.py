@@ -34,7 +34,7 @@ def curate_docs_stream(
 
     ``rules`` are (name, fails-Column) over the signal frame
     (n_tokens, distinct_ratio, top_bigram_frac, max_run, is_duplicate);
-    default = the x40 funnel rules. Appends (id, stage, is_kept) to
+    default = the a40 funnel rules. Appends (id, stage, is_kept) to
     ``out_path`` and the batch fingerprints to ``store_path``.
     """
     from pyspark.errors import AnalysisException

@@ -40,11 +40,12 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright; with the nanosAsLong legacy conf the column
-    arrives as BIGINT nanoseconds — which we prefer anyway (pure integer
-    arithmetic, no timezone semantics to align with the oracle)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet carries ``ts`` as TIMESTAMP(MICROS); Spark reads it
+    as TIMESTAMP_NTZ and DuckDB as TIMESTAMP — both wall-clock types with
+    no timezone attached, so all event-time math below stays
+    timezone-free (date_trunc buckets, interval comparisons, formatted
+    string outputs) and agrees between the engines regardless of the
+    session timezone the driver happens to run with."""
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -512,18 +513,17 @@ def x11_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # x12 — tumbling-window event aggregation (batch form of the streaming
-# pipeline in streaming/events.py; nanosecond longs -> pure integer
-# window math, no timezone semantics involved).
+# pipeline in streaming/events.py; wall-clock hour buckets on the
+# TIMESTAMP_NTZ column — date_trunc involves no timezone conversion,
+# and the bucket is emitted as a formatted string so both engines hash
+# the same value).
 # =====================================================================
-_NS_PER_HOUR = 3_600_000_000_000
-
-
 @register(
     "x12_events_hourly_window",
-    oracle=f"""
+    oracle="""
 SELECT
     event_type,
-    CAST(epoch_ns(ts) // {_NS_PER_HOUR} AS BIGINT) AS hour_bucket,
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
     CAST(COUNT(*) AS BIGINT) AS n_events,
     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
@@ -536,9 +536,9 @@ def x12_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(
             "event_type",
-            # integer div: epoch-ns exceeds 2^53, double division would
-            # round near bucket boundaries
-            F.expr(f"ts div {_NS_PER_HOUR}").alias("hour_bucket"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+            ).alias("hour_bucket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -550,26 +550,26 @@ def x12_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x13 — sessionization via lag windows: a >30min gap starts a new session.
+# x13 — sessionization via lag windows: a >30min gap starts a new
+# session. Timestamp difference yields a day-time interval in both
+# engines; comparing against an INTERVAL literal keeps the gap test
+# exact and timezone-free.
 # =====================================================================
-_NS_PER_30MIN = 1_800_000_000_000
-
-
 @register(
     "x13_events_sessionize",
-    oracle=f"""
+    oracle="""
 WITH ordered AS (
     SELECT
         user_id,
-        epoch_ns(ts) AS ns,
-        LAG(epoch_ns(ts)) OVER (
+        ts,
+        LAG(ts) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
-        ) AS prev_ns
+        ) AS prev_ts
     FROM events
 )
 SELECT
     user_id,
-    CAST(SUM(CASE WHEN prev_ns IS NULL OR ns - prev_ns > {_NS_PER_30MIN}
+    CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
     CAST(COUNT(*) AS BIGINT) AS n_events
 FROM ordered
@@ -582,14 +582,17 @@ def x13_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "user_id",
-        F.col("ts").alias("ns"),
-        F.lag("ts").over(w).alias("prev_ns"),
+        F.col("ts"),
+        F.lag("ts").over(w).alias("prev_ts"),
     )
     return gaps.groupBy("user_id").agg(
         F.sum(
             F.when(
-                F.col("prev_ns").isNull()
-                | (F.col("ns") - F.col("prev_ns") > _NS_PER_30MIN),
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts") - F.col("prev_ts")
+                    > F.expr("INTERVAL 30 MINUTES")
+                ),
                 1,
             ).otherwise(0)
         ).alias("n_sessions"),
@@ -808,18 +811,18 @@ def x17_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x18_asof_join",
     oracle="""
 WITH purchases AS (
-    SELECT user_id, epoch_us(ts) AS ts, MAX(value) AS purchase_value
+    SELECT user_id, ts, MAX(value) AS purchase_value
     FROM events WHERE event_type = 'purchase'
-    GROUP BY user_id, epoch_us(ts)
+    GROUP BY user_id, ts
 ),
 clicks AS (
-    SELECT event_id, user_id, epoch_us(ts) AS ts
+    SELECT event_id, user_id, ts
     FROM events WHERE event_type = 'click'
 )
 SELECT
     c.event_id,
     c.user_id,
-    p.ts AS asof_ts,
+    strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
     ROUND(p.purchase_value, 6) AS purchase_value
 FROM clicks AS c
 ASOF LEFT JOIN purchases AS p ON c.user_id = p.user_id AND c.ts > p.ts
@@ -829,13 +832,11 @@ ASOF LEFT JOIN purchases AS p ON c.user_id = p.user_id AND c.ts > p.ts
 def x18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
-    # DuckDB truncates the nanosecond parquet timestamps to microseconds
-    # at read; truncate identically so the as-of comparisons agree.
-    # Integer `div`, NOT floor(x/1000): epoch-ns exceeds 2^53, so a
-    # double-division path loses the low microsecond digits.
-    ev = _read_events(spark, sf_dir).withColumn(
-        "ts", F.expr("ts div 1000")
-    )
+    # ts is TIMESTAMP(MICROS) in both engines — the as-of ordering
+    # compares wall-clock timestamps directly; the matched timestamp is
+    # emitted as a microsecond-formatted string (NULL stays NULL) so the
+    # value hashes agree across engines.
+    ev = _read_events(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.col("ts"))
@@ -855,7 +856,9 @@ def x18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.col("asof_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "asof_ts"
+        ),
         F.round("purchase_value", 6).alias("purchase_value"),
     )
 
@@ -947,7 +950,7 @@ def x20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x21 — near-duplicate CLUSTER assignment: MinHash/LSH candidate pairs
+# a21 — near-duplicate CLUSTER assignment: MinHash/LSH candidate pairs
 # (exactly x05's) promoted to connected components, so every document
 # gets a cluster_id (= min doc_id reachable) and a cluster_size — the
 # keep-one-per-cluster decision a training-data dedup pipeline actually
@@ -956,7 +959,7 @@ def x20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixpoint declaratively with a recursive CTE.
 # =====================================================================
 @register(
-    "x21_dedup_cc_clusters",
+    "a21_dedup_cc_clusters",
     oracle=f"""
 WITH RECURSIVE
 sh AS ({_SHINGLES_SQL}),
@@ -988,7 +991,7 @@ FROM comp
 """,
     covers=("X-DEDUP-CC", "X-DEDUP-MINHASH"),
 )
-def x21_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a21_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Staged signatures -> pairs -> clusters: each stage materialized
     # once (operators.dedup.dedup_pipeline), so the MinHash/LSH pipeline
     # executes exactly once however many times the CC loop iterates.
@@ -1007,7 +1010,7 @@ def x21_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x22 — TF-IDF top terms per document (whitespace tokens, natural-log
+# a22 — TF-IDF top terms per document (whitespace tokens, natural-log
 # idf = ln(N/df), top-3 by score). The quality-filtering / keyword
 # surface of a text pipeline. Both engines compute tf * ln(N/df) with
 # identical operand order and round to 6dp, and the per-document rank
@@ -1015,7 +1018,7 @@ def x21_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total and engine-stable.
 # =====================================================================
 @register(
-    "x22_text_tfidf",
+    "a22_text_tfidf",
     oracle=f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
@@ -1049,7 +1052,7 @@ WHERE rn <= 3
 """,
     covers=("X-TEXT-TFIDF", "A1", "W2"),
 )
-def x22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale shape: tf is one shuffle on (doc_id, token); df is a
     # map-side-combinable recount of the (already distinct) tf rows on
     # token — no countDistinct shuffle of raw tokens. N arrives as a
@@ -1082,7 +1085,7 @@ def x22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x23 — SimHash candidate pairs: documents sharing either 16-bit half of
+# a23 — SimHash candidate pairs: documents sharing either 16-bit half of
 # the 32-bit SimHash fingerprint (the standard Manku-style banding).
 # Spark side is TWO hash equi-joins (one per half) unioned + distinct —
 # never an OR-join, which would plan a BroadcastNestedLoopJoin
@@ -1090,7 +1093,7 @@ def x22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aact_silver_layer.sql:588-590).
 # =====================================================================
 @register(
-    "x23_dedup_simhash_pairs",
+    "a23_dedup_simhash_pairs",
     oracle=f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
@@ -1115,7 +1118,7 @@ FROM halves AS a JOIN halves AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
 """,
     covers=("X-DEDUP-SIMHASH", "J7"),
 )
-def x23_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a23_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_candidates
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1124,7 +1127,7 @@ def x23_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x25 — n-gram Jaccard with the hot-shingle (stopword-shingle) document
+# a25 — n-gram Jaccard with the hot-shingle (stopword-shingle) document
 # frequency bound: shingles appearing in more than MAX_DF documents are
 # dropped before the inverted-index pair join, so every join bucket is
 # at most MAX_DF documents wide — the bound that keeps the pair join
@@ -1134,7 +1137,7 @@ _NGRAM_MAX_DF = 5
 
 
 @register(
-    "x25_dedup_ngram_filtered",
+    "a25_dedup_ngram_filtered",
     oracle=f"""
 WITH sh0 AS ({_SHINGLES_SQL}),
 freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
@@ -1162,7 +1165,7 @@ LIMIT 50
 """,
     covers=("X-DEDUP-NGRAM-JACCARD", "P5"),
 )
-def x25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3, top_n=50, max_df=_NGRAM_MAX_DF
@@ -1170,7 +1173,7 @@ def x25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x24 — one deterministic IVF k-means training iteration: assign every
+# a24 — one deterministic IVF k-means training iteration: assign every
 # vector to its nearest seed centroid (vec_id % 97 = 0, as in x16), then
 # recompute each centroid as the ordered-fold per-dimension mean of its
 # members. This is operators.similarity.train_ivf with iters=1 — the
@@ -1178,7 +1181,7 @@ def x25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training loop, value-checked end-to-end.
 # =====================================================================
 @register(
-    "x24_ivf_train_step",
+    "a24_ivf_train_step",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
@@ -1195,7 +1198,7 @@ GROUP BY a.centroid_id, i
 """,
     covers=("X-ANN-IVF", "X-EMBED-CENTROID"),
 )
-def x24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import train_ivf
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1211,7 +1214,7 @@ def x24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x26 — verified SimHash near-duplicates: the banded candidates (x23)
+# a26 — verified SimHash near-duplicates: the banded candidates (a23)
 # filtered by Hamming distance <= 6 over the 32-bit fingerprints — the
 # Manku-style candidates -> verify pipeline end-to-end. The verify cost
 # is bit_count(xor) per candidate, so it scales with the (already
@@ -1221,7 +1224,7 @@ _SIMHASH_MAX_HAMMING = 6
 
 
 @register(
-    "x26_dedup_simhash_verified",
+    "a26_dedup_simhash_verified",
     oracle=f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
@@ -1256,7 +1259,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """,
     covers=("X-DEDUP-SIMHASH", "J8"),
 )
-def x26_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a26_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_duplicates
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1266,12 +1269,12 @@ def x26_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x27 — multimodal thumbnail sizing through the same Arrow/mapInPandas
+# a27 — multimodal thumbnail sizing through the same Arrow/mapInPandas
 # path as x15: integer aspect-fit math on the (fake-)decoded dims, so
 # the whole Python crossing is value-exact against SQL.
 # =====================================================================
 @register(
-    "x27_multimodal_resize",
+    "a27_multimodal_resize",
     oracle="""
 WITH dims AS (
     SELECT doc_id,
@@ -1294,7 +1297,7 @@ FROM scaled
 """,
     covers=("X-MULTIMODAL",),
 )
-def x27_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a27_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_image_metadata
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1304,12 +1307,12 @@ def x27_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x28 — frame sampling over binary payloads (video/audio fan-out stage):
+# a28 — frame sampling over binary payloads (video/audio fan-out stage):
 # every 2nd 64-byte frame's (index, byte offset), exploded INSIDE the
 # pandas batch so the Python boundary is paid per batch, not per frame.
 # =====================================================================
 @register(
-    "x28_multimodal_frames",
+    "a28_multimodal_frames",
     oracle="""
 WITH sizes AS (
     SELECT doc_id,
@@ -1325,7 +1328,7 @@ WHERE i % 2 = 0
 """,
     covers=("X-MULTIMODAL",),
 )
-def x28_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a28_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1335,13 +1338,13 @@ def x28_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x29 — absmax int8 embedding quantization (the 4x storage compression
+# a29 — absmax int8 embedding quantization (the 4x storage compression
 # an embedding store applies before writing at scale). Explicit
 # floor(+0.5) rounding and a 6dp-rounded scale keep both engines
 # bit-identical; row-local math, zero shuffles.
 # =====================================================================
 @register(
-    "x29_embedding_quantize",
+    "a29_embedding_quantize",
     oracle="""
 WITH embd AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1363,7 +1366,7 @@ FROM scaled, UNNEST(generate_series(1, len(e))) AS t(i)
 """,
     covers=("X-EMBED-QUANTIZE",),
 )
-def x29_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a29_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1371,15 +1374,15 @@ def x29_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x30 — the end-to-end dedup DECISION: MinHash/LSH pairs -> connected
-# components (x21's clusters) + quality scores (x04's features) ->
+# a30 — the end-to-end dedup DECISION: MinHash/LSH pairs -> connected
+# components (a21's clusters) + quality scores (x04's features) ->
 # keep exactly the highest-quality document per near-dup cluster
 # (quality DESC, doc_id tiebreak). This is the materialization a
 # training-data pipeline actually ships: every doc labeled with its
 # cluster and a keep/drop bit.
 # =====================================================================
 @register(
-    "x30_dedup_keep_best",
+    "a30_dedup_keep_best",
     oracle=f"""
 WITH RECURSIVE
 sh AS ({_SHINGLES_SQL}),
@@ -1433,7 +1436,7 @@ JOIN qual AS q ON c.doc_id = q.doc_id
 """,
     covers=("X-DEDUP-CC", "X-TEXT-QUALITY", "X-DEDUP-KEEP"),
 )
-def x30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_pipeline
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1475,14 +1478,14 @@ def x30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x31 — multi-probe IVF search: queries probe their nprobe=2 nearest
+# a31 — multi-probe IVF search: queries probe their nprobe=2 nearest
 # cells instead of 1 (the standard IVF recall knob — single-probe
 # misses neighbors just across a cell boundary). Candidates still come
 # from their home cell only; a candidate reachable via both probes is
 # deduplicated before ranking.
 # =====================================================================
 @register(
-    "x31_ann_ivf_multiprobe",
+    "a31_ann_ivf_multiprobe",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
@@ -1520,7 +1523,7 @@ QUALIFY rank <= 5
 """,
     covers=("X-ANN-IVF", "X-ANN-SEARCH"),
 )
-def x31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_similarity
     from ..operators.similarity import ivf_probe_assign
 
@@ -1572,11 +1575,11 @@ def x31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x32/x33 — product quantization: encode the corpus against per-subspace
+# a32/a33 — product quantization: encode the corpus against per-subspace
 # codebooks (m=4 subspaces of 16 dims, codes seeded from every 61st
 # vector), then answer top-k queries by asymmetric distance computation
 # (per-query LUT joined to the stored codes — no vector math touches
-# the corpus at query time). Composes with IVF (x10/x16/x31) as IVFADC.
+# the corpus at query time). Composes with IVF (x10/x16/a31) as IVFADC.
 # =====================================================================
 _PQ_M = 4
 _PQ_SUB = 16  # 64 dims / 4 subspaces
@@ -1612,14 +1615,14 @@ scored AS (
 
 
 @register(
-    "x32_pq_encode",
+    "a32_pq_encode",
     oracle=f"""
 WITH {_PQ_ENCODE_SQL}
 SELECT vec_id, subspace, code_id, dist2 FROM scored WHERE rn = 1
 """,
     covers=("X-ANN-PQ", "X-EMBED-QUANTIZE"),
 )
-def x32_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a32_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codes for every vector: 4 bytes/vector at k<=256 vs 256 bytes
     of float32 — the storage format an ANN index keeps at 100 TB."""
     from ..operators.pq import pq_encode, seed_codebooks
@@ -1630,7 +1633,7 @@ def x32_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x33_pq_adc_topk",
+    "a33_pq_adc_topk",
     oracle=f"""
 WITH {_PQ_ENCODE_SQL},
 codes AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1),
@@ -1656,7 +1659,7 @@ QUALIFY rank <= 5
 """,
     covers=("X-ANN-PQ", "X-ANN-SEARCH"),
 )
-def x33_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a33_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-5: LUT over the broadcast codebook, one equi-join on the
     codes table, decimal-exact subspace sum."""
     from ..operators.pq import pq_adc_topk, pq_encode, seed_codebooks
@@ -1669,13 +1672,13 @@ def x33_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x34 — one PQ codebook training iteration (per-subspace Lloyd update):
+# a34 — one PQ codebook training iteration (per-subspace Lloyd update):
 # re-center every code on the ordered mean of its assigned subvectors.
-# The per-subspace analog of x24's k-means step; iterate with pq_encode
+# The per-subspace analog of a24's k-means step; iterate with pq_encode
 # to train the quantizer.
 # =====================================================================
 @register(
-    "x34_pq_train_step",
+    "a34_pq_train_step",
     oracle=f"""
 WITH {_PQ_ENCODE_SQL},
 assign AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1)
@@ -1689,7 +1692,7 @@ GROUP BY a.subspace, a.code_id, i
 """,
     covers=("X-ANN-PQ", "X-EMBED-CENTROID"),
 )
-def x34_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a34_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_train_step, seed_codebooks
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1698,13 +1701,13 @@ def x34_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x35 — train/eval decontamination: training docs (doc_id % 50 <> 0)
+# a35 — train/eval decontamination: training docs (doc_id % 50 <> 0)
 # sharing >= 2 3-word shingles with any benchmark doc (doc_id % 50 = 0).
 # The benchmark shingle set is broadcast — the corpus side never
 # shuffles its text.
 # =====================================================================
 @register(
-    "x35_decontaminate",
+    "a35_decontaminate",
     oracle=f"""
 WITH sh AS ({_SHINGLES_SQL}),
 tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
@@ -1723,7 +1726,7 @@ GROUP BY train_id
 """,
     covers=("X-DEDUP-NGRAM-JACCARD", "X-DECONTAMINATE"),
 )
-def x35_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a35_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import decontaminate
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1733,7 +1736,7 @@ def x35_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x36 — deterministic stratified sampling (domain mixing): keep 60% of
+# a36 — deterministic stratified sampling (domain mixing): keep 60% of
 # en, 30% of de, 10% of every other language, decided purely by the
 # md5 hash of doc_id — reproducible across engines, reruns, and
 # cluster layouts. Row-local: scan -> project -> filter, no shuffle.
@@ -1742,7 +1745,7 @@ _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT
 
 
 @register(
-    "x36_stratified_sample",
+    "a36_stratified_sample",
     oracle=f"""
 SELECT doc_id, lang, bucket, rate_pct
 FROM (
@@ -1756,7 +1759,7 @@ WHERE bucket < rate_pct
 """,
     covers=("X-SAMPLE-STRATIFIED",),
 )
-def x36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import stratified_sample
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -1766,7 +1769,7 @@ def x36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x37 — sequence packing (concat-and-split): each document's global
+# a37 — sequence packing (concat-and-split): each document's global
 # running token offset and the fixed-size context chunk it starts in.
 # Spark side is the two-phase prefix sum (per-bucket windows + broadcast
 # bucket offsets) — the oracle's single global window is the semantics,
@@ -1776,7 +1779,7 @@ _PACK_CAPACITY = 512
 
 
 @register(
-    "x37_sequence_pack",
+    "a37_sequence_pack",
     oracle=f"""
 WITH toks AS (
     SELECT doc_id,
@@ -1796,7 +1799,7 @@ FROM cum
 """,
     covers=("X-SEQUENCE-PACK", "W2"),
 )
-def x37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
     from ..operators.packing import pack_sequences
 
@@ -1807,7 +1810,7 @@ def x37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x38 — IVFADC: the full two-stage ANN index. IVF coarse quantizer
+# a38 — IVFADC: the full two-stage ANN index. IVF coarse quantizer
 # (cosine, centroids = every 97th vector, nprobe=2) restricts each
 # query (every 200th vector) to its probed cells; PQ asymmetric
 # distances rank only those candidates. All small sides (centroids,
@@ -1815,7 +1818,7 @@ def x37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment tables never shuffle before the final partial-agg sum.
 # =====================================================================
 @register(
-    "x38_ivfpq_topk",
+    "a38_ivfpq_topk",
     oracle=f"""
 WITH {_PQ_ENCODE_SQL},
 codes AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1),
@@ -1862,7 +1865,7 @@ QUALIFY rank <= 5
 """,
     covers=("X-ANN-PQ", "X-ANN-IVF", "X-ANN-SEARCH"),
 )
-def x38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged-index search: codes + cell assignments are built once
     (here inline for the oracle), queries pay only probed cells."""
     from ..operators.pq import ivfpq_topk, pq_encode, seed_codebooks
@@ -1879,13 +1882,13 @@ def x38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x39 — repetition quality signals (Gopher/Dolma filter family):
+# a39 — repetition quality signals (Gopher/Dolma filter family):
 # type-token ratio, most-common-bigram fraction, and longest identical-
 # token run per document. Windows/aggs keyed by doc_id — dense,
 # skew-bounded by max doc length; raw text never shuffles.
 # =====================================================================
 @register(
-    "x39_text_repetition",
+    "a39_text_repetition",
     oracle=r"""
 WITH base AS (
     SELECT doc_id,
@@ -1932,7 +1935,7 @@ LEFT JOIN bigram_stats AS b ON t.doc_id = b.doc_id
 """,
     covers=("X-TEXT-REPETITION", "X-TEXT-QUALITY", "W2"),
 )
-def x39_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a39_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.repetition import repetition_features
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1940,14 +1943,14 @@ def x39_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x40 — curation funnel: the ordered filter cascade a corpus release
+# a40 — curation funnel: the ordered filter cascade a corpus release
 # ships, with first-fail attribution so per-stage drop counts are
 # additive (too_short -> repetitive -> exact_dup -> kept). Signals are
 # pre-joined; the verdict is one row-local CASE chain and the report
 # one low-cardinality groupBy.
 # =====================================================================
 @register(
-    "x40_curation_funnel",
+    "a40_curation_funnel",
     oracle=rf"""
 WITH base AS (
     SELECT doc_id,
@@ -1992,7 +1995,7 @@ FROM verdict GROUP BY stage
 """,
     covers=("X-CURATION-FUNNEL", "X-TEXT-QUALITY", "X-DEDUP-EXACT"),
 )
-def x40_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a40_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curation_report, first_failed_rule
     from ..operators.dedup import exact_duplicates
     from ..operators.repetition import repetition_features
@@ -2017,14 +2020,14 @@ def x40_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x41 — residual PQ encoding (the IVFADC refinement): subtract each
+# a41 — residual PQ encoding (the IVFADC refinement): subtract each
 # vector's home centroid before quantizing, so the per-subspace
 # codebooks only have to cover within-cell variation. Residual =
 # row-local zip_with after one broadcast centroid lookup; the PQ stage
-# is byte-identical to x32 with the residual frame swapped in.
+# is byte-identical to a32 with the residual frame swapped in.
 # =====================================================================
 @register(
-    "x41_pq_residual_encode",
+    "a41_pq_residual_encode",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
@@ -2063,7 +2066,7 @@ SELECT vec_id, subspace, code_id, dist2 FROM scored WHERE rn = 1
 """,
     covers=("X-ANN-PQ", "X-ANN-IVF", "X-EMBED-QUANTIZE"),
 )
-def x41_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a41_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_encode, residual_vectors, seed_codebooks
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2075,14 +2078,14 @@ def x41_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x42 — domain-mixture rates: per-language keep fractions that reshape
+# a42 — domain-mixture rates: per-language keep fractions that reshape
 # the observed language counts into a 60/25/15 en/de/fr release by
 # downsampling only (N* = min n_s/w_s; binding stratum keeps 100%).
 # One count aggregation + a broadcast scalar — the corpus is scanned
 # once.
 # =====================================================================
 @register(
-    "x42_mixture_rates",
+    "a42_mixture_rates",
     oracle="""
 WITH c AS (
     SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
@@ -2101,7 +2104,7 @@ WHERE w IS NOT NULL
 """,
     covers=("X-SAMPLE-STRATIFIED", "X-MIXTURE-RATES"),
 )
-def x42_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a42_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import mixture_rates
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2109,13 +2112,13 @@ def x42_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x43 — textbook residual IVFADC search: the index stores residual-
+# a43 — textbook residual IVFADC search: the index stores residual-
 # encoded PQ codes; each query builds one LUT PER PROBED CELL (its
 # residual differs per cell), and a candidate is scored with the LUT of
-# its home cell. The recall-accurate composition of x38 + x41.
+# its home cell. The recall-accurate composition of a38 + a41.
 # =====================================================================
 @register(
-    "x43_ivfpq_residual_topk",
+    "a43_ivfpq_residual_topk",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
@@ -2193,7 +2196,7 @@ QUALIFY rank <= 5
 """,
     covers=("X-ANN-PQ", "X-ANN-IVF", "X-ANN-SEARCH"),
 )
-def x43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import (
         ivfpq_topk_residual,
         pq_encode,
@@ -2224,13 +2227,13 @@ def x43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x44 — packed-chunk assembly: expand the x37 packing into the
+# a44 — packed-chunk assembly: expand the a37 packing into the
 # chunk -> document-span map a training loader consumes (which slice of
 # which doc builds each fixed-size context). Explode fan-out is bounded
 # by ceil(doc_len / capacity) + 1 per doc, never by corpus size.
 # =====================================================================
 @register(
-    "x44_chunk_spans",
+    "a44_chunk_spans",
     oracle=f"""
 WITH toks AS (
     SELECT doc_id,
@@ -2264,7 +2267,7 @@ FROM spans
 """,
     covers=("X-SEQUENCE-PACK", "W2"),
 )
-def x44_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a44_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
     from ..operators.packing import chunk_spans, pack_sequences
 
@@ -2276,7 +2279,7 @@ def x44_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x45 — SemDeDup (Abbas et al. 2023): semantic dedup by embedding
+# a45 — SemDeDup (Abbas et al. 2023): semantic dedup by embedding
 # similarity. IVF cells bound the O(n^2) pair scan (the paper's own
 # blocking trick); links above the cosine threshold become duplicate
 # groups via connected components; the survivor per group is the point
@@ -2286,7 +2289,7 @@ _SEMDEDUP_THRESHOLD = 0.40
 
 
 @register(
-    "x45_semantic_dedup",
+    "a45_semantic_dedup",
     oracle=f"""
 WITH RECURSIVE
 embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2327,7 +2330,7 @@ FROM comp AS c JOIN home AS h ON c.vec_id = h.vec_id
 """,
     covers=("X-DEDUP-EMBEDDING", "X-DEDUP-CC", "X-ANN-IVF"),
 )
-def x45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2336,14 +2339,14 @@ def x45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x46 — corpus bigram LM statistics: top-10 bigrams per language with
+# a46 — corpus bigram LM statistics: top-10 bigrams per language with
 # occurrence count and document frequency. The shuffle carries distinct
 # (lang, bigram) rows — partial-combined map-side — never token
 # instances; the top-k window runs over the aggregated vocabulary-sized
 # table.
 # =====================================================================
 @register(
-    "x46_corpus_bigrams",
+    "a46_corpus_bigrams",
     oracle=r"""
 WITH base AS (
     SELECT doc_id, lang,
@@ -2374,7 +2377,7 @@ QUALIFY rank <= 10
 """,
     covers=("X-TEXT-REPETITION", "A5", "O1"),
 )
-def x46_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a46_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.repetition import corpus_ngram_topk
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2382,14 +2385,14 @@ def x46_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x47 — length-bucketed inference batching: similar-length docs batch
+# a47 — length-bucketed inference batching: similar-length docs batch
 # together so each batch pads to its own max, not the corpus max.
 # Deterministic md5 sharding keeps batch numbering parallel (windows
 # keyed by (bucket, shard), never global); pad_waste quantifies the
 # saved padding.
 # =====================================================================
 @register(
-    "x47_length_batches",
+    "a47_length_batches",
     oracle=r"""
 WITH toks AS (
     SELECT doc_id,
@@ -2421,7 +2424,7 @@ GROUP BY bucket, shard, batch_id
 """,
     covers=("X-SEQUENCE-PACK", "A4", "W2"),
 )
-def x47_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a47_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
     from ..operators.packing import length_bucket_batches
 
@@ -2434,13 +2437,13 @@ def x47_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# x48 — deterministic corpus shuffle: seeded md5 rank as the global
+# a48 — deterministic corpus shuffle: seeded md5 rank as the global
 # permutation (uniform keys -> even range partitions, no skew), two-
 # phase scalable rank (never a global window), plus the shard-file
 # assignment of the shuffled corpus.
 # =====================================================================
 @register(
-    "x48_corpus_shuffle",
+    "a48_corpus_shuffle",
     oracle="""
 WITH keyed AS (
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '-42') AS skey
@@ -2457,7 +2460,7 @@ FROM ranked
 """,
     covers=("W1", "O2", "X-SAMPLE-STRATIFIED"),
 )
-def x48_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a48_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import deterministic_shuffle
 
     docs = read_table(spark, sf_dir, "documents")

@@ -93,11 +93,11 @@ def main() -> None:
         "x01_dedup_exact",
         "x05_dedup_minhash_lsh",
         "x17_dedup_minhash_estimate",
-        "x21_dedup_cc_clusters",
-        "x25_dedup_ngram_filtered",
-        "x35_decontaminate",
-        "x39_text_repetition",
-        "x40_curation_funnel",
+        "a21_dedup_cc_clusters",
+        "a25_dedup_ngram_filtered",
+        "a35_decontaminate",
+        "a39_text_repetition",
+        "a40_curation_funnel",
     ]
     # warm-up (session + parquet footer caches)
     queries["x01_dedup_exact"](spark, args.dir).count()

@@ -5,7 +5,7 @@ driver does.
 
 Usage:
     python scripts/drive_driver.py            # all queries (~90s)
-    python scripts/drive_driver.py x15 x23    # substring filters
+    python scripts/drive_driver.py x15 a23    # substring filters
 """
 
 from __future__ import annotations

@@ -142,7 +142,7 @@ def test_simhash_candidates_has_no_nested_loop_join(spark):
     """SimHash pair generation must be hash equi-joins on the 16-bit
     halves (union of two), never an OR-join that Spark can only plan as
     a BroadcastNestedLoopJoin / cartesian product."""
-    df = spark_queries()["x23_dedup_simhash_pairs"](spark, SF_DIR)
+    df = spark_queries()["a23_dedup_simhash_pairs"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -155,7 +155,7 @@ def test_simhash_candidates_has_no_nested_loop_join(spark):
 def test_quantize_plan_is_row_local(spark):
     """int8 quantization must plan as scan -> spread -> project/generate:
     no join, no aggregate — the math is row-local by design."""
-    df = spark_queries()["x29_embedding_quantize"](spark, SF_DIR)
+    df = spark_queries()["a29_embedding_quantize"](spark, SF_DIR)
     plan = _plan(df)
     assert "Join" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
@@ -165,7 +165,7 @@ def test_pq_encode_codebook_is_broadcast(spark):
     """PQ encode must cross the corpus with a BROADCAST codebook — the
     argmin window is the only shuffle; a shuffled codebook join or a
     nested-loop would not survive a 100 TB corpus."""
-    df = spark_queries()["x32_pq_encode"](spark, SF_DIR)
+    df = spark_queries()["a32_pq_encode"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -176,7 +176,7 @@ def test_pq_adc_join_is_broadcast_on_codes(spark):
     """ADC search touches the codes table with one broadcast LUT join —
     query cost must not involve any embedding-array math on the corpus
     side (no nested loop, LUT broadcast)."""
-    df = spark_queries()["x33_pq_adc_topk"](spark, SF_DIR)
+    df = spark_queries()["a33_pq_adc_topk"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -188,7 +188,7 @@ def test_ivfpq_plan_broadcasts_all_small_sides(spark):
     broadcast; the corpus-sized codes/assignment tables may never feed a
     nested loop. (The only allowed CartesianProduct-ish shape is the
     centroid crossJoin, which is itself a broadcast.)"""
-    for name in ("x38_ivfpq_topk", "x43_ivfpq_residual_topk"):
+    for name in ("a38_ivfpq_topk", "a43_ivfpq_residual_topk"):
         df = spark_queries()[name](spark, SF_DIR)
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name

@@ -291,6 +291,48 @@ def ivf_probe_assign(
     )
 
 
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the quality number a production ANN pipeline ships next to its
+    latency numbers (fraction of the true k nearest neighbors the index
+    actually returned, per query).
+
+    Both inputs are top-k tables with (query_id, candidate_id) columns
+    (e.g. ``brute_force_topk`` as ground truth and an IVF/IVFADC search
+    as the approximation). ``exact`` defines the query universe: queries
+    the index returned nothing for score 0, they do not disappear.
+
+    Returns one row per query: (query_id, hits bigint, recall double)
+    with recall = hits / k rounded to 6 places.
+
+    Scale shape: both inputs are already reduced to |queries| x k rows —
+    tiny relative to any corpus — so this is one equi-join plus one
+    aggregate; cost is independent of corpus size by construction.
+    """
+    e = exact.select("query_id", "candidate_id")
+    a = approx.select("query_id", "candidate_id")
+    matched = (
+        e.join(a, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    hits = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            hits.alias("hits"),
+            F.round(hits.cast("double") / float(k), 6).alias("recall"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame,

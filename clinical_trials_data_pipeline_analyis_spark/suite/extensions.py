@@ -2465,3 +2465,75 @@ def a48_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return deterministic_shuffle(docs, "doc_id", seed=42, shard_size=64)
+
+
+# =====================================================================
+# a49 — recall@k: the ANN quality loop closed. Exact brute-force top-k
+# (x09's plan) is the ground truth; the single-probe IVF search (x16's
+# plan) is the approximation; recall@5 per query is one tiny join + one
+# aggregate over two |queries| x k tables — cost independent of corpus
+# size. The quality number a production ANN deployment ships alongside
+# its latency (Jegou et al., TPAMI 2011, report exactly this curve).
+# =====================================================================
+@register(
+    "a49_ann_recall_at_k",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+q AS (SELECT vec_id AS query_id, e AS qe FROM embd WHERE vec_id < 5),
+exact_topk AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS_SQL.format(a="q.qe", b="c.e")} DESC, c.vec_id
+               ) AS rank
+        FROM q, embd AS c
+        WHERE c.vec_id <> q.query_id
+    ) WHERE rank <= 5
+),
+assign AS ({_ASSIGN_SQL}),
+iq AS (
+    SELECT a.vec_id AS query_id, a.centroid_id, e.e AS qe
+    FROM assign AS a JOIN embd AS e ON a.vec_id = e.vec_id
+    WHERE a.vec_id < 5
+),
+cell AS (
+    SELECT a.vec_id AS candidate_id, a.centroid_id, e.e AS ce2
+    FROM assign AS a JOIN embd AS e ON a.vec_id = e.vec_id
+),
+approx_topk AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT iq.query_id, cell.candidate_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY iq.query_id
+                   ORDER BY {_COS_SQL.format(a="iq.qe", b="cell.ce2")} DESC,
+                            cell.candidate_id
+               ) AS rank
+        FROM iq JOIN cell ON iq.centroid_id = cell.centroid_id
+        WHERE cell.candidate_id <> iq.query_id
+    ) WHERE rank <= 5
+),
+hits AS (
+    SELECT e.query_id, COUNT(*) AS hits
+    FROM exact_topk AS e
+    JOIN approx_topk AS a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+)
+SELECT qs.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact_topk) AS qs
+LEFT JOIN hits AS h ON qs.query_id = h.query_id
+""",
+    covers=("X-ANN-RECALL", "X-ANN-SEARCH", "J9", "A1"),
+)
+def a49_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import recall_at_k
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = x16_ann_ivf_topk(spark, sf_dir)
+    return recall_at_k(approx, exact, k=5)

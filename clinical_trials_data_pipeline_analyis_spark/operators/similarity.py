@@ -333,12 +333,87 @@ def recall_at_k(
     )
 
 
+#: Above this many corpus rows the SemDeDup pair scan stops broadcasting
+#: the build side and switches to the cell-keyed shuffle join. 2M rows of
+#: (id, 64-float vec, cell, cos) is ~600 MB serialized — near the edge of
+#: a comfortable executor broadcast; real deployments tune it per cluster.
+SEMANTIC_DEDUP_BROADCAST_LIMIT = 2_000_000
+
+
+def semantic_pair_candidates(
+    blocked: DataFrame,
+    threshold: float,
+    broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
+) -> DataFrame:
+    """The SemDeDup pair scan: same-cell pairs with cosine >=
+    ``threshold``, from a (vec_id, vec, centroid_id, cos_centroid)
+    table. Exposed so plan tests can pin both physical shapes.
+
+    Size-gated join strategy:
+
+    - ``rows <= broadcast_limit`` — broadcast the build side, ``_spread``
+      the probe side. The checkpointed input is a stats-less LogicalRDD,
+      so left alone the planner picks a sort-merge join whose tiny
+      shuffle AQE coalesces to ONE partition — serializing every
+      pairwise cosine (measured 8× slower at sf0.1). Fastest while the
+      corpus fits in a broadcast.
+    - beyond it — repartition BOTH sides by the cell key with an
+      explicit partition count (explicit numPartitions keeps AQE from
+      coalescing the exchange) and equi-join on the cell. Cell count
+      grows with the corpus, so the cell-keyed shuffle is the parallel
+      scale path: each task joins whole cells, no broadcast ceiling.
+    """
+    a_cols = [
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("centroid_id").alias("cell_a"),
+    ]
+    b_cols = [
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("centroid_id").alias("cell_b"),
+    ]
+    pair_cond = (F.col("cell_a") == F.col("cell_b")) & (
+        F.col("vec_a") < F.col("vec_b")
+    )
+    if blocked.count() <= broadcast_limit:
+        joined = _spread(blocked).select(*a_cols).join(
+            F.broadcast(blocked.select(*b_cols)), pair_cond
+        )
+    else:
+        nparts = max(
+            blocked.sparkSession.sparkContext.defaultParallelism, 2
+        )
+        joined = (
+            blocked.select(*a_cols)
+            .repartition(nparts, F.col("cell_a"))
+            .join(
+                blocked.select(*b_cols).repartition(
+                    nparts, F.col("cell_b")
+                ),
+                pair_cond,
+            )
+        )
+    return (
+        joined.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "pair_cos"
+            ),
+        )
+        .filter(F.col("pair_cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by embedding similarity. Cluster the corpus with a coarse quantizer,
@@ -356,15 +431,10 @@ def semantic_dedup(
     (``localCheckpoint``) so the self-join does not re-execute the
     centroid scoring per branch; components use the bounded-round CC
     operator; the final keep-rank is a per-component window over
-    component sizes, never the corpus.
-
-    The pair self-join broadcasts the build side and ``_spread``s the
-    probe side: the checkpointed input is a stats-less LogicalRDD, so
-    left alone the planner picks a sort-merge join whose tiny shuffle
-    AQE coalesces to ONE partition — serializing every pairwise cosine
-    (measured 8× slower). Past broadcast size, repartition both sides by
-    ``centroid_id`` instead: cell count grows with the corpus, so the
-    cell-keyed shuffle is the parallel scale path.
+    component sizes, never the corpus. The pair join itself is
+    size-gated (``semantic_pair_candidates``): broadcast below
+    ``broadcast_limit`` rows, cell-keyed repartition join above it —
+    both paths produce identical pairs (equality-tested).
     """
     from .dedup import connected_components
 
@@ -381,31 +451,8 @@ def semantic_dedup(
         )
         .localCheckpoint()
     )
-    a = _spread(blocked).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("vec").alias("va"),
-        F.col("centroid_id").alias("cell_a"),
-    )
-    b = blocked.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("vec").alias("vb"),
-        F.col("centroid_id").alias("cell_b"),
-    )
-    pairs = (
-        a.join(
-            F.broadcast(b),
-            (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
-                "pair_cos"
-            ),
-        )
-        .filter(F.col("pair_cos") >= F.lit(threshold))
-        .select("vec_a", "vec_b")
+    pairs = semantic_pair_candidates(
+        blocked, threshold, broadcast_limit=broadcast_limit
     )
     comp = connected_components(
         pairs, "vec_a", "vec_b", blocked.select("vec_id"), "vec_id"

@@ -39,14 +39,29 @@ from . import register
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+#: Explicit schema for events.parquet: pins ``ts`` to TIMESTAMP_NTZ so
+#: the wall-clock semantics do NOT depend on the session's
+#: ``spark.sql.parquet.inferTimestampNTZ.enabled`` conf (default true in
+#: Spark 4, but a driver session could disable it — then ts would arrive
+#: as TIMESTAMP_LTZ and every event-time output would shift with the
+#: session timezone while the DuckDB oracle stays wall-clock).
+#: tests/test_events_contract.py asserts the parquet physical type this
+#: schema assumes (TIMESTAMP(MICROS), no timezone).
+_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries ``ts`` as TIMESTAMP(MICROS); Spark reads it
-    as TIMESTAMP_NTZ and DuckDB as TIMESTAMP — both wall-clock types with
-    no timezone attached, so all event-time math below stays
-    timezone-free (date_trunc buckets, interval comparisons, formatted
-    string outputs) and agrees between the engines regardless of the
-    session timezone the driver happens to run with."""
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    """events.parquet carries ``ts`` as TIMESTAMP(MICROS); read with an
+    explicit TIMESTAMP_NTZ schema (DuckDB reads the same file as
+    TIMESTAMP) — both wall-clock types with no timezone attached, so all
+    event-time math below stays timezone-free (date_trunc buckets,
+    interval comparisons, formatted string outputs) and agrees between
+    the engines regardless of the session timezone or parquet-inference
+    conf the driver happens to run with."""
+    return spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
 
 
 # =====================================================================

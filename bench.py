@@ -5,7 +5,8 @@ Emission contract (the driver captures only the last ~2,000 chars of
 stdout and parses the FINAL line as JSON, so the summary must be small):
 
 - one verbose JSON line per query as it finishes:
-  {"query": full_name, "sec": t}  — these are for humans / logs;
+  {"query": full_name, "sec": t, "rows": n}  — these are for
+  humans / logs (``rows`` is the materialized count);
 - the full-name timing map is also written to ``bench_full.json``
   next to this script;
 - the LAST stdout line is ONE compact JSON summary
@@ -13,7 +14,10 @@ stdout and parses the FINAL line as JSON, so the summary must be small):
    "queries":{short: sec},"sf":...}
   where ``short`` is the query-id prefix (e.g. ``a21``, ``q06``,
   ``x05``) — unique across the suite and ~12 bytes per entry, keeping
-  the line well under the tail-capture limit at 78+ queries.
+  the line well under the tail-capture limit at 78+ queries. If the
+  line would still exceed the limit, the "queries" map is dropped and
+  "queries_truncated": true marks the omission (full map remains in
+  ``bench_full.json``).
 
 Each query is executed with a count()-style full materialization so the
 measured time covers the whole plan, not just plan construction.
@@ -62,6 +66,13 @@ def main() -> None:
     # Warm the JVM + file listing once so per-query numbers measure the
     # query, not session startup.
     qs[names[0]](spark, sf_dir).count()
+    # Warm the Python-worker/Arrow path too: the first mapInPandas in
+    # run order otherwise pays the one-time worker spinup (~1.5s) — in
+    # round 3 that single artifact put a27 4.3x over its baseline while
+    # the operator itself was unchanged.
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -91,7 +102,13 @@ def main() -> None:
     # Hard guard: the driver tail-captures ~2,000 chars; never exceed it.
     if len(line) > 1900:
         compact.pop("queries")
+        compact["queries_truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
+        print(
+            "bench: compact summary exceeded 1900 chars; per-query map "
+            "dropped from the final line (see bench_full.json)",
+            file=sys.stderr,
+        )
     sys.stdout.flush()
     print(line)
 

@@ -32,8 +32,14 @@ def get_spark(
       total executor cores (or left to AQE's coalescing with a high initial
       value).
     - UTC session timezone: reproducible date/timestamp semantics.
+    - driver memory: local[] mode runs everything in the driver JVM, whose
+      1g default heap is shared by all 32 task threads — scale runs (50k+
+      vector crossJoin scoring) OOM there. 8g default here; override via
+      SPARK_GRAFT_DRIVER_MEM. Only effective at JVM creation (ignored by
+      getOrCreate on an existing session, like all JVM-level settings).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if master is None:
         master = os.environ.get(
             "SPARK_GRAFT_MASTER", f"local[{cpus}]" if cpus else "local[*]"
@@ -48,6 +54,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: 128MB splits are the right granularity for the
         # medallion tables both locally and on a cluster.

@@ -5,6 +5,7 @@ from .events import (
     silver_studies_stream,
     streaming_events_source,
 )
+from .similarity import assign_cells_stream, nearest_centroid_expr
 
 __all__ = [
     "curate_docs_stream",
@@ -13,4 +14,6 @@ __all__ = [
     "hourly_event_counts_stream",
     "silver_studies_stream",
     "streaming_events_source",
+    "assign_cells_stream",
+    "nearest_centroid_expr",
 ]

@@ -2552,3 +2552,47 @@ def a49_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=5)
     approx = x16_ann_ivf_topk(spark, sf_dir)
     return recall_at_k(approx, exact, k=5)
+
+
+# =====================================================================
+# a50 — row-local IVF assignment (the streaming/ingest form): identical
+# output to x10's crossJoin+window plan, but the argmax is an
+# F.aggregate fold over a centroid literal — a pure projection with
+# ZERO exchanges (plan-asserted in the stream=batch test). At 100 TB
+# this is the assignment shape an ingest pipeline runs per arriving
+# vector; the window form exists because it is the direct SQL analog.
+# =====================================================================
+@register(
+    "a50_cell_assign_rowlocal",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+scored AS (
+    SELECT
+        v.vec_id,
+        cent.centroid_id,
+        {_COS_SQL.format(a="v.e", b="cent.ce")} AS cosine
+    FROM embd AS v, cent
+)
+SELECT vec_id, centroid_id, cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, centroid_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn = 1
+""",
+    covers=("X-ANN-IVF", "X-STREAM-ASSIGN"),
+)
+def a50_cell_assign_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.similarity import assign_cells_stream
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroid_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return assign_cells_stream(emb, centroid_rows)

@@ -374,3 +374,77 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Streaming ANN cell assignment (streaming/similarity.py)
+# ---------------------------------------------------------------------
+
+
+def test_streaming_cell_assign_matches_batch(spark, tmp_path):
+    """The row-local centroid fold over a stream must equal the batch
+    crossJoin+window ivf_assign over the same vectors (same rounded
+    cosine, same tiebreak), and its batch application must plan as a
+    pure projection — no join, no exchange, no aggregate operator."""
+    import json
+
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        assign_cells_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroid_rows = [
+        (r["vec_id"], list(r["embedding"])) for r in centroids.collect()
+    ]
+    expected = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"])
+        for r in ivf_assign(emb, centroids).collect()
+    }
+
+    # batch application: value-equal AND row-local (no join/shuffle/agg)
+    batch_out = assign_cells_stream(emb, centroid_rows)
+    got_batch = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"])
+        for r in batch_out.collect()
+    }
+    assert got_batch == expected
+    optimized = batch_out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in optimized
+    assert "Exchange" not in optimized
+    assert "Aggregate" not in optimized  # fold is an expression, not an op
+
+    # streaming application over a JSON file source
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    rows = emb.select("vec_id", "embedding").collect()
+    with open(src / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).json(str(src))
+    assigned = assign_cells_stream(stream, centroid_rows)
+    assert assigned.isStreaming
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("cells_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"])
+        for r in spark.table("cells_stream").collect()
+    }
+    assert got_stream == expected

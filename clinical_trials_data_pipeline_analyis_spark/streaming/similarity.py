@@ -12,11 +12,17 @@ zero shuffles, valid on batch and streaming frames alike, and exactly
 equal to the batch operator's (rounded-cosine DESC, centroid_id ASC)
 ranking (stream=batch equality is tested).
 
-This is also the honest 100 TB shape for assignment: the fold does
-|centroids| cosine computations per row with NO exchange, where the
-crossJoin+window plan shuffles n x |centroids| scored rows. The batch
-operator keeps the window form because it is directly oracle-checkable;
-both forms are value-identical.
+The fold is the STREAMING-legal form, not a batch optimization —
+measured on a 50k-vector x 516-centroid corpus, the batch
+crossJoin+window plan is ~5x FASTER than folding: Spark evaluates
+higher-order-function lambdas interpreted (outside whole-stage
+codegen), while the crossJoin pipeline runs the same cosine arithmetic
+codegen'd, and `WindowGroupLimit Partial` already reduces each map
+partition to its per-key top-k BEFORE the exchange, so the feared
+"shuffle all n x |centroids| scored rows" does not actually happen.
+Use this operator where a window is illegal (streams) or the centroid
+set is ingest-sized; keep ``ivf_assign`` for batch. Both forms are
+value-identical (equality-tested).
 """
 
 from __future__ import annotations

@@ -1,5 +1,9 @@
 from .curation import curate_docs_stream
-from .dedup import dedup_events_stream, near_dedup_docs_stream
+from .dedup import (
+    decontaminate_docs_stream,
+    dedup_events_stream,
+    near_dedup_docs_stream,
+)
 from .events import (
     hourly_event_counts_stream,
     silver_studies_stream,
@@ -9,6 +13,7 @@ from .similarity import assign_cells_stream, nearest_centroid_expr
 
 __all__ = [
     "curate_docs_stream",
+    "decontaminate_docs_stream",
     "dedup_events_stream",
     "near_dedup_docs_stream",
     "hourly_event_counts_stream",

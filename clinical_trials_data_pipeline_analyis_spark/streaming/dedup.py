@@ -108,3 +108,50 @@ def near_dedup_docs_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def decontaminate_docs_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_common: int = 2,
+):
+    """Streaming train/eval decontamination: flag each arriving training
+    document against the STATIC benchmark shingle set as it lands
+    (`operators.dedup.decontaminate` is the batch form; cites the same
+    GPT-3 appendix C / Dolma n-gram-overlap procedure).
+
+    Decontamination is per-document against a fixed benchmark — there is
+    NO cross-batch state — so the correct streaming form is
+    ``foreachBatch`` reusing the batch operator verbatim per micro-batch
+    (state-free: unlike the near-dedup stream above, no store grows).
+    The benchmark side is broadcast inside the batch operator, so each
+    micro-batch costs one map-side hash join + bounded aggregation.
+
+    Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Output
+    parquet accumulates one row per contaminated doc:
+    (id_col, n_bench_hits, max_common) — identical to what the batch
+    operator returns over the union of all batches (equality-tested).
+    """
+    from ..operators.dedup import decontaminate
+
+    def _process(batch_df: DataFrame, _epoch: int) -> None:
+        flagged = decontaminate(
+            batch_df,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            min_common=min_common,
+        )
+        flagged.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -448,3 +448,54 @@ def test_streaming_cell_assign_matches_batch(spark, tmp_path):
         for r in spark.table("cells_stream").collect()
     }
     assert got_stream == expected
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Per-micro-batch decontamination against the static benchmark must
+    flag exactly the documents (with identical hit counts) the batch
+    operator flags over the full corpus — decontamination has no
+    cross-batch state, so stream and batch results are equal by
+    construction, and this pins it."""
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        decontaminate,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.dedup import (
+        decontaminate_docs_stream,
+    )
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # benchmark: every 17th doc plays the eval set (non-trivial overlap
+    # with the corpus by construction — exact-duplicate chains exist)
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    chunks = str(tmp_path / "chunks")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{chunks}/c1")
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{chunks}/c2")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    q = decontaminate_docs_stream(
+        stream,
+        benchmark,
+        out_path=str(tmp_path / "flags"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_bench_hits"], r["max_common"])
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bench_hits"], r["max_common"])
+        for r in decontaminate(docs, benchmark).collect()
+    }
+    assert got == want and len(want) > 0

@@ -112,3 +112,35 @@ def langid_scores(col: Column) -> dict[str, Column]:
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+#: PII redaction patterns, ordered (applied first-to-last; order matters
+#: because the email pattern would otherwise eat the user part of a
+#: later match). Restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically — no lookaround, no backreferences —
+#: so the redaction is exactly oracle-checkable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and international-format phone
+    numbers with typed placeholder tokens — the scrubbing pass an LLM
+    training pipeline runs before a corpus ships. Row-local
+    regexp_replace chain: pure whole-stage-codegen projection, no
+    shuffle, no UDF."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (the audit metric next to redaction)."""
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }

@@ -2596,3 +2596,93 @@ def a50_cell_assign_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return assign_cells_stream(emb, centroid_rows)
+
+
+# =====================================================================
+# a51 — PII redaction: the scrubbing pass an LLM pipeline runs before a
+# corpus ships (emails / IPv4 / intl phone numbers -> typed placeholder
+# tokens) plus the per-kind audit counts. Row-local regexp chain inside
+# whole-stage codegen — no shuffle, no UDF. PII is injected
+# deterministically per doc_id so the redaction itself is value-checked
+# (the fixture texts carry none). Patterns restricted to the
+# Java/RE2-identical regex subset so Spark and DuckDB agree exactly.
+# =====================================================================
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 2 = 0
+                THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                ELSE '' END AS t
+    FROM documents
+"""
+
+
+@register(
+    "a51_pii_redaction",
+    oracle=r"""
+WITH inj AS (
+""" + _PII_INJECT_SQL + r"""
+)
+SELECT doc_id,
+    regexp_replace(
+        regexp_replace(
+            regexp_replace(
+                t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'
+            ),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'
+        ),
+        '\+\d{7,15}\b', '<PHONE>', 'g'
+    ) AS redacted,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+    CAST(len(regexp_extract_all(t, '\+\d{7,15}\b')) AS BIGINT) AS n_phone
+FROM inj
+""",
+    covers=("F5", "X-TEXT-PII"),
+)
+def a51_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10.2."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1555"),
+                F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    with_t = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return with_t.select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )

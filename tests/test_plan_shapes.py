@@ -295,3 +295,13 @@ def test_semantic_dedup_paths_agree(spark):
     large = semantic_dedup(emb, cent, 0.95, broadcast_limit=0)
     key = lambda r: (r["vec_id"], r["component"], r["cos_centroid"], r["kept"])
     assert sorted(map(key, small.collect())) == sorted(map(key, large.collect()))
+
+
+def test_pii_redaction_is_row_local(spark):
+    """PII scrub must be a pure codegen projection: no join, no
+    aggregate, no exchange — regexp chains stay row-local."""
+    df = spark_queries()["a51_pii_redaction"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Exchange" not in plan

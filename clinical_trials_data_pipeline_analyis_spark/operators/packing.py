@@ -183,3 +183,59 @@ def length_bucket_batches(
         .cast("long")
         .alias("pad_waste"),
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    size: int,
+    overlap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size sliding-window token chunks WITHIN each document —
+    the retrieval/RAG chunking op (complement of ``pack_sequences``,
+    which fills fixed contexts ACROSS document boundaries; retrieval
+    chunking must never cross them).
+
+    Windows start at 0, stride, 2*stride, ... for every start < n_tokens
+    (stride = size - overlap); the final windows are shorter than
+    ``size`` when the document runs out. Returns
+    (id_col, chunk_id, start_tok, end_tok, n_chunk_tokens, chunk_text)
+    with 0-based token offsets and end_tok exclusive.
+
+    Scale shape: row-local tokenize + sequence + explode — no shuffle
+    beyond the input spreading; fan-out is bounded by
+    ceil(n_tokens / stride) per document, never corpus size.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    from ..functions.text import whitespace_tokens
+    from .dedup import _spread
+
+    toks = whitespace_tokens(F.col(text_col))
+    base = (
+        _spread(docs)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, "_toks", F.size("_toks").alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0), (F.col("_n") - 1).cast("int"), F.lit(stride)
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode(starts).alias("_pos", "_start"),
+    )
+    end = F.least(F.col("_start") + size, F.col("_n"))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("_pos").cast("long").alias("chunk_id"),
+        F.col("_start").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - F.col("_start")).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

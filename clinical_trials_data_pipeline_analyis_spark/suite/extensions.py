@@ -2686,3 +2686,48 @@ def a51_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ipv4"),
         counts["phone"].alias("n_phone"),
     )
+
+
+# =====================================================================
+# a52 — sliding-window chunking: fixed-size overlapping token windows
+# WITHIN each document (the RAG/retrieval chunking op; a37/a44 pack
+# ACROSS documents, retrieval chunking must never cross a boundary).
+# Row-local tokenize + sequence + explode; per-doc fan-out bounded by
+# ceil(n_tokens / stride).
+# =====================================================================
+_CHUNK_SIZE = 16
+_CHUNK_OVERLAP = 4
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@register(
+    "a52_sliding_chunks",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+    FROM documents
+),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+st AS (
+    SELECT doc_id, tk, n,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id
+    FROM nz, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT), {_CHUNK_STRIDE})) AS t(s)
+)
+SELECT doc_id, chunk_id, start_tok,
+       CAST(LEAST(start_tok + {_CHUNK_SIZE}, n) AS BIGINT) AS end_tok,
+       CAST(LEAST(start_tok + {_CHUNK_SIZE}, n) - start_tok AS BIGINT) AS n_chunk_tokens,
+       array_to_string(
+           tk[CAST(start_tok + 1 AS INT):CAST(LEAST(start_tok + {_CHUNK_SIZE}, n) AS INT)],
+           ' '
+       ) AS chunk_text
+FROM st
+""",
+    covers=("X-SEQUENCE-PACK", "X-CHUNK-SLIDING"),
+)
+def a52_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import sliding_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)

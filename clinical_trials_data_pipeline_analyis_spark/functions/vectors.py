@@ -31,4 +31,7 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL cosine (instead of an
+    # ANSI-mode DIVIDE_BY_ZERO error) — downstream rankings order NULL
+    # last with a deterministic id tiebreak.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

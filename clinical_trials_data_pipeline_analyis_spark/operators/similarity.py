@@ -309,12 +309,17 @@ def recall_at_k(
     Returns one row per query: (query_id, hits bigint, recall double)
     with recall = hits / k rounded to 6 places.
 
+    Both inputs are deduplicated on (query_id, candidate_id) first: an
+    approximate search that returns the same candidate from multiple
+    probed cells must not count it twice (inflating recall past 1.0).
+
     Scale shape: both inputs are already reduced to |queries| x k rows —
     tiny relative to any corpus — so this is one equi-join plus one
-    aggregate; cost is independent of corpus size by construction.
+    aggregate (the distincts are over those same tiny tables); cost is
+    independent of corpus size by construction.
     """
-    e = exact.select("query_id", "candidate_id")
-    a = approx.select("query_id", "candidate_id")
+    e = exact.select("query_id", "candidate_id").distinct()
+    a = approx.select("query_id", "candidate_id").distinct()
     matched = (
         e.join(a, ["query_id", "candidate_id"])
         .groupBy("query_id")
@@ -344,10 +349,22 @@ def semantic_pair_candidates(
     blocked: DataFrame,
     threshold: float,
     broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
+    row_count_hint: int | None = None,
 ) -> DataFrame:
     """The SemDeDup pair scan: same-cell pairs with cosine >=
     ``threshold``, from a (vec_id, vec, centroid_id, cos_centroid)
     table. Exposed so plan tests can pin both physical shapes.
+
+    NOTE — eager action: choosing the join strategy runs
+    ``blocked.count()`` at CONSTRUCTION time (not at the first action),
+    and the self-join then consumes ``blocked`` once per branch. Callers
+    must pass a materialized frame (``localCheckpoint``/cached) or the
+    full upstream lineage executes three times; ``semantic_dedup`` does
+    this. Alternatively pass ``row_count_hint`` (e.g. from bookkeeping a
+    prior stage already did) to skip the count entirely. The gate is
+    row-count-based as a proxy for broadcast bytes — rows x (vec dims x
+    8B + key widths); ``broadcast_limit``'s default assumes ~64-float
+    vectors, tune it per schema/cluster.
 
     Size-gated join strategy:
 
@@ -376,7 +393,8 @@ def semantic_pair_candidates(
     pair_cond = (F.col("cell_a") == F.col("cell_b")) & (
         F.col("vec_a") < F.col("vec_b")
     )
-    if blocked.count() <= broadcast_limit:
+    n_rows = row_count_hint if row_count_hint is not None else blocked.count()
+    if n_rows <= broadcast_limit:
         joined = _spread(blocked).select(*a_cols).join(
             F.broadcast(blocked.select(*b_cols)), pair_cond
         )

@@ -9,7 +9,12 @@ from .events import (
     silver_studies_stream,
     streaming_events_source,
 )
-from .similarity import assign_cells_stream, nearest_centroid_expr
+from .similarity import (
+    MAX_LITERAL_CENTROIDS,
+    assign_cells_foreach_batch,
+    assign_cells_stream,
+    nearest_centroid_expr,
+)
 
 __all__ = [
     "curate_docs_stream",
@@ -19,6 +24,8 @@ __all__ = [
     "hourly_event_counts_stream",
     "silver_studies_stream",
     "streaming_events_source",
+    "MAX_LITERAL_CENTROIDS",
+    "assign_cells_foreach_batch",
     "assign_cells_stream",
     "nearest_centroid_expr",
 ]

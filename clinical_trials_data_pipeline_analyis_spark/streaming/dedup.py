@@ -134,12 +134,18 @@ def decontaminate_docs_stream(
 
     Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Output
     parquet accumulates one row per contaminated doc:
-    (id_col, n_bench_hits, max_common) — identical to what the batch
-    operator returns over the union of all batches (equality-tested).
+    (id_col, n_bench_hits, max_common), partitioned by ``epoch_id`` —
+    identical to what the batch operator returns over the union of all
+    batches (equality-tested). ``foreachBatch`` is at-least-once, so a
+    retried micro-batch re-runs the handler: the epoch-partitioned
+    DYNAMIC overwrite makes the retry rewrite its own partition instead
+    of appending duplicate flags.
     """
+    from pyspark.sql import functions as F
+
     from ..operators.dedup import decontaminate
 
-    def _process(batch_df: DataFrame, _epoch: int) -> None:
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
         flagged = decontaminate(
             batch_df,
             benchmark,
@@ -148,7 +154,13 @@ def decontaminate_docs_stream(
             k=k,
             min_common=min_common,
         )
-        flagged.write.mode("append").parquet(out_path)
+        (
+            flagged.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

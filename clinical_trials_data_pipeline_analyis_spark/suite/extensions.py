@@ -2623,28 +2623,32 @@ _PII_INJECT_SQL = """
 """
 
 
+def _pii_oracle_sql() -> str:
+    """a51 oracle, interpolated from the SAME ``PII_PATTERNS`` constants
+    the Spark operator compiles — editing a pattern in functions/text.py
+    cannot desync the two sides (ADVICE r04 #5). The patterns live in
+    the Java/RE2-common subset, so both engines match identically (note
+    the ipv4 ``\\d{1,3}`` octets accept out-of-range values like 999 —
+    a deliberate simplification, consistent across engines)."""
+    from ..functions.text import PII_PATTERNS
+
+    redacted = "t"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    return (
+        "WITH inj AS (\n"
+        + _PII_INJECT_SQL
+        + f"\n)\nSELECT doc_id,\n    {redacted} AS redacted,\n    {counts}\nFROM inj\n"
+    )
+
+
 @register(
     "a51_pii_redaction",
-    oracle=r"""
-WITH inj AS (
-""" + _PII_INJECT_SQL + r"""
-)
-SELECT doc_id,
-    regexp_replace(
-        regexp_replace(
-            regexp_replace(
-                t,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'
-            ),
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'
-        ),
-        '\+\d{7,15}\b', '<PHONE>', 'g'
-    ) AS redacted,
-    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-    CAST(len(regexp_extract_all(t, '\+\d{7,15}\b')) AS BIGINT) AS n_phone
-FROM inj
-""",
+    oracle=_pii_oracle_sql(),
     covers=("F5", "X-TEXT-PII"),
 )
 def a51_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,11 @@ _REQUIRED_IN_WINDOW = {
     "a48_corpus_shuffle",
     # ANN quality loop
     "a49_ann_recall_at_k",
+    # round-5 rotation: the three queries that had never had a driver
+    # verdict (VERDICT r04 ask #1)
+    "a50_cell_assign_rowlocal",
+    "a51_pii_redaction",
+    "a52_sliding_chunks",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -65,11 +70,14 @@ def test_every_window_query_has_value_oracle():
 
 
 def test_rotated_out_queries_remain_registered():
-    """q22-q30 and x01-x20 rotate out of the window but must stay
-    registered (locally oracle-checked by test_oracle_parity)."""
+    """Rotated-out queries (q07/q12/q18 in round 5; q22-q30 and x01-x20
+    since round 4) must stay registered (locally oracle-checked by
+    test_oracle_parity)."""
     names = set(registry())
-    expected = {f"q{i:02d}" for i in range(22, 31)} | {
-        f"x{i:02d}" for i in range(1, 21)
-    }
+    expected = (
+        {f"q{i:02d}" for i in range(22, 31)}
+        | {f"x{i:02d}" for i in range(1, 21)}
+        | {"q07", "q12", "q18"}
+    )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

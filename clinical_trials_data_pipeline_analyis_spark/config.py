@@ -46,6 +46,13 @@ class PipelineConfig:
 
     # -- IO ----------------------------------------------------------------
     warehouse_dir: str = "spark-warehouse/medallion"
+    #: Opt-in: write gold fact_trials partitioned by start_year (derived
+    #: from start_date_key) so year-scoped scans prune at the file
+    #: listing and incremental refreshes can dynamic-overwrite only the
+    #: touched years. Off by default: the unpartitioned layout matches
+    #: the reference's DROP+CTAS tables and keeps small-fixture runs
+    #: from fragmenting into per-year files.
+    partition_gold: bool = False
 
     def layer_path(self, layer: str, table: str) -> str:
         return f"{self.warehouse_dir}/{layer}/{table}"

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot
 from .dedup import _spread
 
 
@@ -335,6 +335,161 @@ def recall_at_k(
             hits.alias("hits"),
             F.round(hits.cast("double") / float(k), 6).alias("recall"),
         )
+    )
+
+
+def rhp_plan_vectors(
+    n_bits: int, dim: int, seed: int = 13
+) -> list[list[float]]:
+    """Deterministic random-hyperplane normals for sign-bit LSH.
+
+    A splitmix64-style integer mix (pure arithmetic — reproducible in
+    any engine, no RNG library) maps (seed, bit, dim) to a value in
+    [-1, 1). Hyperplanes ship as plan literals on BOTH the Spark and the
+    DuckDB oracle side, so signatures are engine-exact.
+    """
+    out = []
+    mask = (1 << 64) - 1
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            z = (seed * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + d + 1) & mask
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            row.append((z % 2_000_000) / 1_000_000.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def rhp_signatures(
+    embeddings: DataFrame,
+    n_bits: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign-bit) LSH signatures over an embedding
+    column — the EMBEDDING analog of the token-level SimHash: bit b is
+    1 when dot(v, h_b) >= 0 (Charikar, "Similarity estimation
+    techniques from rounding algorithms", STOC 2002: P[bits agree] =
+    1 - angle/pi), banded into ``bands`` integer keys for bucketing.
+
+    Returns (id_col, band 0.., band_sig long) — one row per band.
+    Row-local projection (the hyperplanes are plan literals; at
+    production bit-widths they stay far below the centroid-literal
+    ceiling since n_bits x dim floats is KBs), so signing a 100 TB
+    corpus is an embarrassingly parallel map with NO shuffle; the only
+    exchange in the downstream pipeline is the bucket equi-join.
+    """
+    if n_bits % bands != 0:
+        raise ValueError("bands must divide n_bits")
+    planes = rhp_plan_vectors(n_bits, dim, seed)
+    bits = [
+        F.when(
+            F.coalesce(
+                dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in planes[b]]),
+                ),
+                F.lit(0.0),
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for b in range(n_bits)
+    ]
+    per_band = n_bits // bands
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                sum(
+                    (
+                        bits[band * per_band + i] * F.lit(2**i)
+                        for i in range(per_band)
+                    ),
+                    start=F.lit(0),
+                )
+                .cast("long")
+                .alias("band_sig"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return (
+        _spread(embeddings)
+        .select(F.col(id_col), F.explode(band_rows).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+    )
+
+
+def rhp_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bits: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    bucketing — the label-free SCALE path for embedding near-dup (the
+    label-blocked ``embedding_duplicate_pairs`` needs a partition
+    column; this derives its own buckets from the geometry).
+
+    Candidates = pairs sharing any band signature (a pair colliding in
+    k bands appears once — distinct before verify); verify = exact
+    cosine >= ``threshold``. Returns (vec_a, vec_b, cosine).
+
+    Scale shape: signatures are a row-local map; the candidate join is
+    a bucketed EQUI-join on (band, band_sig) — never all-pairs; the
+    cosine verify touches only colliding pairs. Recall is tunable with
+    n_bits/bands exactly like MinHash-LSH banding.
+    """
+    sigs = rhp_signatures(
+        embeddings, n_bits, bands, dim, seed, id_col, vec_col
+    )
+    a = sigs.select(
+        F.col("band").alias("band_a"),
+        F.col("band_sig").alias("sig_a"),
+        F.col(id_col).alias("vec_a"),
+    )
+    b = sigs.select(
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("sig_b"),
+        F.col(id_col).alias("vec_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
     )
 
 

@@ -47,7 +47,7 @@ from .plans import (
 from .plans import quality
 from .schemas import BRONZE_SCHEMAS
 from .sources.csv import read_mapping_csv, read_pipe_csv
-from .sources.parquet import write_table
+from .sources.parquet import overwrite_partitions, write_table
 
 #: extract file name per bronze table (reference COPY statements,
 #: aact_bronze_layer.sql:93-268)
@@ -121,6 +121,39 @@ def run_quality_gate(
     return results
 
 
+def fact_with_start_year(fact: DataFrame) -> DataFrame:
+    """Attach the gold fact's partition key: the year encoded in the
+    yyyyMMdd smart date key (0 for the default member — unmatched/NULL
+    start dates land in their own partition, never dropped)."""
+    from pyspark.sql import functions as F
+
+    return fact.withColumn(
+        "start_year", F.floor(F.col("start_date_key") / 10000).cast("int")
+    )
+
+
+def write_gold_fact(
+    fact: DataFrame, config: PipelineConfig, years: list[int] | None = None
+) -> None:
+    """Partitioned gold fact write (``config.partition_gold`` path).
+
+    Full refresh when ``years`` is None; with ``years`` given this is
+    the INCREMENTAL refresh: only the listed start-year partitions are
+    recomputed and dynamically overwritten — at 100 TB a daily load
+    rewrites the one or two years new trials fall into instead of the
+    whole fact table (vs the reference's full DROP+CTAS,
+    ``aact_silver_layer.sql:8-9``).
+    """
+    from pyspark.sql import functions as F
+
+    df = fact_with_start_year(fact)
+    if years is not None:
+        df = df.filter(F.col("start_year").isin([int(y) for y in years]))
+    overwrite_partitions(
+        df, config.layer_path("gold", "fact_trials"), ["start_year"]
+    )
+
+
 def build_gold(
     spark: SparkSession, silver: dict[str, DataFrame], config: PipelineConfig
 ) -> dict[str, DataFrame]:
@@ -152,7 +185,10 @@ def build_gold(
         ),
     }
     for name, df in gold.items():
-        write_table(df, config.layer_path("gold", name))
+        if name == "fact_trials" and config.partition_gold:
+            write_gold_fact(df, config)
+        else:
+            write_table(df, config.layer_path("gold", name))
     return gold
 
 

@@ -64,6 +64,28 @@ def write_table(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition's files untouched.
+
+    This is the 100 TB operational refresh shape (SURVEY §4): the
+    reference refreshes by DROP+CTAS (``aact_silver_layer.sql:8-9``),
+    which at scale means rewriting the whole table to update one day's
+    data. With ``partitionOverwriteMode=dynamic`` an incremental run
+    recomputes just the touched partitions (e.g. the start-years new
+    trials landed in) and swaps them in atomically per partition —
+    unchanged partitions are never read or written.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def union_all(*dfs: DataFrame) -> DataFrame:
     """Set-op helper (SURVEY §2.8: available though unused by the reference)."""
     return reduce(DataFrame.unionByName, dfs)

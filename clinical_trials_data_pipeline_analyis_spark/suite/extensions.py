@@ -2735,3 +2735,78 @@ def a52_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return sliding_chunks(docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+
+
+# =====================================================================
+# a53 — random-hyperplane LSH embedding near-dup: the LABEL-FREE scale
+# path for embedding-cosine near-duplicate detection (x08 blocks by a
+# given label column; a real corpus has no labels — this derives its
+# buckets from the geometry itself via Charikar sign-bit LSH). Sign the
+# corpus row-locally against shared deterministic hyperplanes, band the
+# bits into integer keys, equi-join colliding buckets, verify exact
+# cosine. The hyperplanes are splitmix64-derived plan literals, so both
+# engines compute bit-identical signatures.
+# =====================================================================
+_RHP_BITS = 16
+_RHP_BANDS = 2
+#: Verify threshold calibrated to the driver fixture: its embeddings are
+#: near-orthogonal with NO true near-dups (max pair cosine ~0.51 at
+#: sf0.01), so a production 0.95 would verify zero pairs and the driver
+#: row would prove nothing. 0.30 keeps the verify stage live (35/51/557
+#: surviving pairs at sf0.001/0.01/0.1 out of ~1.1k/1.1k/18.6k LSH
+#: candidates); real corpora pass their own threshold to the operator.
+_RHP_THRESHOLD = 0.30
+
+
+def _rhp_oracle_sql() -> str:
+    from ..operators.similarity import rhp_plan_vectors
+
+    planes = rhp_plan_vectors(_RHP_BITS, 64)
+    per_band = _RHP_BITS // _RHP_BANDS
+
+    def bit_sql(b: int) -> str:
+        arr = "[" + ", ".join(repr(x) for x in planes[b]) + "]"
+        return (
+            f"(CASE WHEN COALESCE(list_dot_product(e, {arr}::DOUBLE[]), 0)"
+            " >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, {band} AS band, CAST({expr} AS BIGINT) AS band_sig FROM embd".format(
+            band=band,
+            expr=" + ".join(
+                f"{bit_sql(band * per_band + i)} * {2 ** i}"
+                for i in range(per_band)
+            ),
+        )
+        for band in range(_RHP_BANDS)
+    )
+    cos = _COS_SQL.format(a="va.e", b="vb.e")
+    return f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sigs AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, {cos} AS cosine
+FROM cand
+JOIN embd va ON cand.vec_a = va.vec_id
+JOIN embd vb ON cand.vec_b = vb.vec_id
+WHERE {cos} >= {_RHP_THRESHOLD}
+"""
+
+
+@register(
+    "a53_rhp_embedding_neardup",
+    oracle=_rhp_oracle_sql(),
+    covers=("X-DEDUP-EMBED", "X-ANN-LSH"),
+)
+def a53_rhp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rhp_near_duplicates
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return rhp_near_duplicates(
+        emb, _RHP_THRESHOLD, n_bits=_RHP_BITS, bands=_RHP_BANDS
+    )

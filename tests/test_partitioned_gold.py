@@ -1,0 +1,137 @@
+"""Partitioned gold layout + incremental refresh (VERDICT r04 asks #5/#6).
+
+Proves, against the real medallion pipeline output (not a toy table):
+
+1. the opt-in ``partition_gold`` mode writes fact_trials hive-partitioned
+   by start_year and a year-scoped scan PRUNES at the file listing
+   (PartitionFilters on the scan node);
+2. the partitioned table is value-identical to the default layout
+   (pipeline parity unchanged);
+3. an incremental re-run (``write_gold_fact(..., years=[Y])``) dynamic-
+   overwrites ONLY the touched partition: other partitions' files are
+   bit-untouched on disk, replaced rows change, totals stay consistent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from test_pipeline_runner import data_dir  # noqa: F401  (pytest fixture)
+from clinical_trials_data_pipeline_analyis_spark.config import PipelineConfig
+from clinical_trials_data_pipeline_analyis_spark.pipeline import (
+    run_pipeline,
+    write_gold_fact,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def part_wh(spark, data_dir, tmp_path_factory):  # noqa: F811
+    wh = tmp_path_factory.mktemp("warehouse_part")
+    config = PipelineConfig(warehouse_dir=str(wh), partition_gold=True)
+    gold = run_pipeline(spark, str(data_dir), config)
+    return wh, config, gold
+
+
+def test_gold_fact_scan_prunes_partitions(spark, part_wh):
+    wh, _, _ = part_wh
+    fact_path = str(wh / "gold" / "fact_trials")
+    years = sorted(
+        r["start_year"]
+        for r in spark.read.parquet(fact_path).select("start_year").distinct().collect()
+    )
+    assert len(years) >= 2  # fixture spans multiple start years + default 0
+    target = years[-1]
+    scan = spark.read.parquet(fact_path).filter(F.col("start_year") == target)
+    plan = _plan(scan)
+    part_filters = plan.split("PartitionFilters")[1][:160]
+    assert "start_year" in part_filters and str(target) in part_filters, plan
+    # pruned scan must not list other partitions' files
+    assert scan.count() > 0
+
+
+def test_partitioned_fact_matches_default_layout(spark, part_wh, data_dir, tmp_path_factory):  # noqa: F811
+    """Opt-in partitioning must not change a single value (parity)."""
+    wh, _, _ = part_wh
+    flat_wh = tmp_path_factory.mktemp("warehouse_flat")
+    run_pipeline(spark, str(data_dir), PipelineConfig(warehouse_dir=str(flat_wh)))
+    part = spark.read.parquet(str(wh / "gold" / "fact_trials")).drop("start_year")
+    flat = spark.read.parquet(str(flat_wh / "gold" / "fact_trials"))
+    assert sorted(part.columns) == sorted(flat.columns)
+    key = lambda r: tuple(r[c] for c in sorted(part.columns))
+    assert sorted(map(key, part.collect())) == sorted(map(key, flat.collect()))
+
+
+def test_incremental_refresh_touches_only_target_partition(spark, part_wh):
+    import os
+
+    wh, config, gold = part_wh
+    fact_path = wh / "gold" / "fact_trials"
+    fact = gold["fact_trials"]
+
+    def file_state(exclude_year):
+        state = {}
+        for root, _, files in os.walk(fact_path):
+            if f"start_year={exclude_year}" in root:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    state[p] = (st.st_size, st.st_mtime_ns)
+        return state
+
+    years = sorted(
+        r["start_year"]
+        for r in spark.read.parquet(str(fact_path))
+        .select("start_year")
+        .distinct()
+        .collect()
+    )
+    target = years[-1]
+    before_others = file_state(target)
+    before_all = spark.read.parquet(str(fact_path))
+    n_total = before_all.count()
+    n_target = before_all.filter(F.col("start_year") == target).count()
+
+    # partial re-run: recompute the target year with a visible change
+    # (enrollment bumped by 1) and dynamic-overwrite just that partition
+    bumped = fact.withColumn("enrollment", F.col("enrollment") + F.lit(1))
+    write_gold_fact(bumped, config, years=[target])
+
+    after = spark.read.parquet(str(fact_path))
+    assert after.count() == n_total  # overwrite, not append
+    assert after.filter(F.col("start_year") == target).count() == n_target
+    # untouched partitions: identical files on disk, byte-for-byte slots
+    assert file_state(target) == before_others
+    # the touched partition carries the new values; others the old ones
+    orig_target_enr = {
+        r["nct_id"]: r["enrollment"]
+        for r in fact_with_year_rows(fact, target)
+    }
+    got_target_enr = {
+        r["nct_id"]: r["enrollment"]
+        for r in after.filter(F.col("start_year") == target)
+        .select("nct_id", "enrollment")
+        .collect()
+    }
+    assert got_target_enr == {
+        k: (None if v is None else v + 1) for k, v in orig_target_enr.items()
+    }
+
+
+def fact_with_year_rows(fact, year):
+    from clinical_trials_data_pipeline_analyis_spark.pipeline import (
+        fact_with_start_year,
+    )
+
+    return (
+        fact_with_start_year(fact)
+        .filter(F.col("start_year") == year)
+        .select("nct_id", "enrollment")
+        .collect()
+    )

@@ -305,3 +305,49 @@ def test_pii_redaction_is_row_local(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------
+# Registry-wide sweep (VERDICT r04 ask #3): the anti-patterns this
+# engine polices must be absent from EVERY registered query's physical
+# plan — a standing guard, not a per-operator spot check.
+# ---------------------------------------------------------------------
+
+#: Queries allowed to carry the Arrow-vectorized Python crossing
+#: (mapInPandas): the multimodal decode/resize/frame-sample family,
+#: where the per-batch pandas transform IS the operator. Nothing else
+#: may cross into Python.
+_ARROW_ALLOWED = {
+    "a27_multimodal_resize",
+    "a28_multimodal_frames",
+    "x15_multimodal_metadata",
+}
+
+#: Queries allowed a non-Cross BroadcastNestedLoopJoin: x19's range
+#: join is an inequality join (value BETWEEN lo AND hi) — no equi-key
+#: exists, and the broadcast build side keeps it one pass over the big
+#: side. Every other BNLJ in the registry must be an explicit Cross
+#: with a broadcast build (the centroid/query cross-scorings).
+_NON_CROSS_BNLJ_ALLOWED = {"x19_range_join"}
+
+
+@pytest.mark.parametrize("name", sorted(spark_queries()))
+def test_registry_plan_has_no_antipatterns(spark, name):
+    """No row-at-a-time Python, no scalar-pandas eval outside the
+    multimodal family, no CartesianProduct, and every nested-loop join
+    is an intentional broadcast Cross (or the allowlisted broadcast
+    range join) — for every registered query."""
+    df = spark_queries()[name](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name}: scalar pandas UDF"
+    if name not in _ARROW_ALLOWED:
+        assert "MapInPandas" not in plan, f"{name}: unexpected Python crossing"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name}: unexpected Python crossing"
+    assert "CartesianProduct" not in plan, f"{name}: non-broadcast cartesian"
+    bnlj_lines = [
+        l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l
+    ]
+    if name not in _NON_CROSS_BNLJ_ALLOWED:
+        bad = [l.strip() for l in bnlj_lines if "Cross" not in l]
+        assert not bad, f"{name}: non-Cross nested loop join: {bad}"

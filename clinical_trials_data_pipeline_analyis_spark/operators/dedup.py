@@ -358,6 +358,42 @@ def ngram_jaccard_pairs(
     ).limit(top_n)
 
 
+def dup_ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, n_shingles, n_dup, dup_coverage): the fraction of each
+    document's distinct k-word shingles that also appear in at least one
+    OTHER document — the duplicate-text-coverage signal
+    (RefinedWeb/Dolma-style) that catches boilerplate-heavy documents
+    pairwise dedup misses (no single pair is near-identical, but most of
+    the document is corpus-repeated).
+
+    Scale shape: two shuffles on the shingle key (the document-frequency
+    aggregate map-side-combines to distinct shingles; the join back is a
+    shingle-keyed equi-join over the same distinct-shingle table) and
+    one on the id for the final per-document rollup. Nothing is ever
+    pairwise — cost is O(shingle instances), not O(docs^2).
+    """
+    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias(
+                "dup_coverage"
+            ),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str,

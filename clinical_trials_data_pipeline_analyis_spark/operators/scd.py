@@ -1,0 +1,69 @@
+"""Slowly-changing-dimension (type 2) construction from change logs.
+
+The reference's gold star schema is SCD1 — each dim row is the latest
+state (``aact_gold_layer.sql:25-120``). At warehouse scale the standard
+upgrade is SCD2: keep every historical attribute value with a validity
+interval, so facts can join to the dimension *as of* their event time.
+This module derives SCD2 rows from an append-only observation log (the
+shape a CDC feed or event stream lands in) with pure window functions.
+
+Scale shape: both windows are partitioned by the natural key — the
+shuffle is one exchange on ``key_col`` and each partition holds one
+entity's history (bounded), never the corpus. No global window, no
+driver-side iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_log(
+    log: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an observation log into SCD2 validity intervals.
+
+    One input row = "entity ``key_col`` was observed with attribute
+    ``attr_col`` at ``ts_col``" (``tiebreak_col`` makes the per-entity
+    order total when timestamps tie). Output: one row per *change* —
+    consecutive observations with the same attribute collapse into one
+    interval:
+
+    - ``valid_from``  — timestamp of the first observation of the value;
+    - ``valid_to``    — next change's ``valid_from`` (NULL while open);
+    - ``version``     — 1-based change counter per entity;
+    - ``is_current``  — exactly one true row per entity.
+
+    Attribute comparison is null-safe (NULL -> 'x' is a change, and so
+    is 'x' -> NULL); the first observation per entity always opens
+    version 1 even when its attribute is NULL, which a naive
+    ``attr != lag(attr)`` filter would drop.
+    """
+    w_obs = Window.partitionBy(key_col).orderBy("valid_from", "_tie")
+    obs = log.select(
+        key_col,
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.col(tiebreak_col).alias("_tie"),
+    ).withColumns(
+        {
+            "_rn": F.row_number().over(w_obs),
+            "_prev": F.lag("attr").over(w_obs),
+        }
+    )
+    changes = obs.filter(
+        (F.col("_rn") == 1) | ~F.col("attr").eqNullSafe(F.col("_prev"))
+    )
+    w_chg = Window.partitionBy(key_col).orderBy("valid_from", "_tie")
+    return changes.select(
+        key_col,
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w_chg).alias("valid_to"),
+        F.row_number().over(w_chg).cast("long").alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -645,3 +645,49 @@ def semantic_dedup(
             F.col("vec_id").alias(id_col), "component", "cos_centroid", "kept"
         )
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim, n, mean, var, min_v, max_v): per-dimension distribution QC
+    for an embedding column — the health check an embedding store runs
+    after every encoder change (a dead dimension has var ~ 0; a scale
+    bug shows up as a mean/extremum shift).
+
+    Exactness discipline: the float->double element cast is exact; sums
+    accumulate in DECIMAL(38,10) so partial-aggregate merge order cannot
+    perturb the result; mean/variance are then derived with plain double
+    arithmetic from those exact sums (identical in any engine).
+
+    Scale shape: posexplode fans out rows x dims, but the aggregate
+    map-side-combines to one partial row per (partition, dim) — the
+    shuffle carries |dims| x |partitions| rows regardless of corpus
+    size. No window, no join.
+    """
+    x = F.col("x").cast("double")
+    xd = x.cast("decimal(38,10)")
+    return (
+        emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("_s1"),
+            F.sum((x * x).cast("decimal(38,10)")).alias("_s2"),
+            F.min(x).alias("min_v"),
+            F.max(x).alias("max_v"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("_s1").cast("double") / F.col("n"), 6).alias("mean"),
+            F.round(
+                F.col("_s2").cast("double") / F.col("n")
+                - (F.col("_s1").cast("double") / F.col("n"))
+                * (F.col("_s1").cast("double") / F.col("n")),
+                6,
+            ).alias("var"),
+            "min_v",
+            "max_v",
+        )
+    )

@@ -1,0 +1,88 @@
+"""Mergeable distribution sketches: binned quantile estimation.
+
+Exact percentiles (``percentile``/``percentile_cont``, SURVEY §2 A8 /
+q13) need every value of a group co-located and sorted — at 100 TB
+that is a full shuffle of the measure column and a sort per group. The
+scalable alternative every metrics store uses is a *mergeable
+histogram*: bucket values into fixed-width bins map-side, combine bin
+counts (a partial aggregate — the shuffle carries |groups| x |bins|
+rows, independent of row count), then read quantile estimates off the
+cumulative bin counts. Error is bounded by the bin width; the sketch
+merges associatively across partitions, days, or clusters.
+
+Everything below is deterministic integer/float arithmetic that DuckDB
+reproduces bit-for-bit, so the estimator itself is oracle-checkable —
+the cumulative-count threshold test is integer math (``cum * 10_000 >=
+q_bp * total``), never a float comparison on a boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binned_histogram(
+    df: DataFrame, group_col: str, value_col: str, bin_width: float
+) -> DataFrame:
+    """(group, bin, cnt): fixed-width histogram per group. NULL measures
+    are excluded (they carry no distribution information). ``bin`` is
+    ``floor(value / bin_width)`` — negative values bin correctly."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col),
+            F.floor(F.col(value_col) / F.lit(bin_width))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    quantiles_bp: Sequence[int] = (5000, 9000, 9900),
+) -> DataFrame:
+    """(group, q_bp, est): upper-edge quantile estimates per group from
+    the binned histogram. ``q_bp`` is the quantile in basis points
+    (5000 = p50); ``est`` is the upper edge of the first bin whose
+    cumulative count reaches the quantile — an estimate with error at
+    most ``bin_width``, never below the true quantile.
+
+    Scale shape: the only full-data pass is the map-side-combined
+    histogram aggregate; the cumulative window runs over |groups| x
+    |bins| rows partitioned by group, and the quantile fan-out
+    (explode of the requested quantile list) multiplies only that tiny
+    table. Compare q13 (exact percentile): same answer class, but this
+    plan's shuffle is O(bins) per group instead of O(rows).
+    """
+    hist = binned_histogram(df, group_col, value_col, bin_width)
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(group_col)
+    cum = hist.withColumns(
+        {
+            "cum": F.sum("cnt").over(w_cum),
+            "total": F.sum("cnt").over(w_tot),
+        }
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in quantiles_bp])
+    ).alias("q_bp")
+    return (
+        cum.select(group_col, "bin", "cum", "total", qs)
+        .filter(F.col("cum") * 10_000 >= F.col("q_bp") * F.col("total"))
+        .groupBy(group_col, "q_bp")
+        .agg(
+            F.round((F.min("bin") + 1) * F.lit(bin_width), 6).alias("est")
+        )
+    )

@@ -66,8 +66,14 @@ def register(
 #: (VERDICT r04 ask #1): a50-a52 — the only queries never driver-checked
 #: — replace q07/q12/q18, which are multi-round driver-green (r1-r4) and
 #: whose operator coverage (F13-F16 date spine, A7 scalar QA, F6/F8-F10
-#: token truncate) stays exercised by tests/test_oracle_parity.py. All
-#: rotated-out names (q07, q12, q18, q22-q30, x01-x20) remain registered.
+#: token truncate) stays exercised by tests/test_oracle_parity.py.
+#: Second round-5 rotation: the six new components (a53 RHP-LSH
+#: near-dup, a54 dup-ngram coverage, a55 SCD2, a56 vocab/OOV, a57
+#: embedding QC, a58 binned quantiles) replace q01/q02/q04/q05/q13/q21
+#: — all driver-green in EVERY round r1-r4, and their §2 operator rows
+#: (A1-A9, O1, F1, P3-P8, §2.8) keep green history plus local parity.
+#: All rotated-out names (q01, q02, q04, q05, q07, q12, q13, q18, q21,
+#: q22-q30, x01-x20) remain registered.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a22_text_tfidf",
@@ -101,24 +107,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a50_cell_assign_rowlocal",
     "a51_pii_redaction",
     "a52_sliding_chunks",
-    "q01_pricing_summary",
-    "q02_priority_frequency_topk",
+    "a53_rhp_embedding_neardup",
+    "a54_dup_ngram_coverage",
+    "a55_scd2_dimension",
+    "a56_vocab_oov_rates",
+    "a57_embedding_dim_stats",
+    "a58_binned_quantiles",
     "q03_mapping_standardize",
-    "q04_category_case_chain",
-    "q05_best_priority_agg",
     "q06_opportunity_rank",
     "q08_surrogate_dim",
     "q09_window_dedup",
     "q10_star_role_playing_dates",
     "q11_duration_parse",
-    "q13_percentile_caps",
     "q14_count_distinct",
     "q15_cohort_counts",
     "q16_having_filter",
     "q17_exclusion_filters",
     "q19_normalized_key_join",
     "q20_yoy_growth",
-    "q21_set_operations",
 )
 
 

@@ -2810,3 +2810,266 @@ def a53_rhp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rhp_near_duplicates(
         emb, _RHP_THRESHOLD, n_bits=_RHP_BITS, bands=_RHP_BANDS
     )
+
+
+# =====================================================================
+# a54 — duplicate n-gram coverage: per-document fraction of distinct
+# 3-word shingles shared with ANY other document (RefinedWeb/Dolma-style
+# boilerplate signal). Inverted-index shape — cost O(shingle instances),
+# never O(docs^2); the df aggregate map-side-combines to distinct
+# shingles before the shuffle.
+# =====================================================================
+@register(
+    "a54_dup_ngram_coverage",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT
+    s.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+    CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+    ROUND(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS dup_coverage
+FROM sh AS s JOIN dfreq AS d USING (shingle)
+GROUP BY s.doc_id
+""",
+    covers=("X-DEDUP-NGRAM",),
+)
+def a54_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_ngram_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dup_ngram_coverage(docs, "doc_id", "text", k=3)
+
+
+# =====================================================================
+# a55 — SCD2 dimension build from a change log: collapse per-entity
+# observation streams (events as a CDC feed: user_id observed with
+# event_type at ts) into validity intervals with version counters and
+# a current flag. The warehouse-grade upgrade of the reference's SCD1
+# gold dims (aact_gold_layer.sql:25-120 keeps latest state only).
+# Both windows partition on the natural key — no global window.
+# =====================================================================
+@register(
+    "a55_scd2_dimension",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_attr
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr
+),
+ver AS (
+    SELECT user_id,
+           event_type AS attr,
+           ts AS vf,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS vt,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS version
+    FROM changes
+)
+SELECT
+    user_id,
+    attr,
+    strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+    strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+    CAST(version AS BIGINT) AS version,
+    vt IS NULL AS is_current
+FROM ver
+""",
+    covers=("X-SCD2", "W2", "J4"),
+)
+def a55_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_log
+
+    ev = _read_events(spark, sf_dir)
+    out = scd2_from_log(ev, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "user_id",
+        "attr",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+#: Vocabulary coverage target in basis points (99.5% of token
+#: instances). Integer cutoff arithmetic — shared verbatim by operator
+#: and oracle so a boundary token cannot flip between engines.
+_VOCAB_COVERAGE_BP = 9950
+
+#: DuckDB mirror of operators.vocab._doc_tokens: BPE-ish instance
+#: tokenization over the shared normalization.
+_DOC_TOKENS_SQL = f"""
+    SELECT doc_id,
+           unnest(regexp_extract_all({_NORM_SQL}, '{_BPE_PATTERN}')) AS token
+    FROM documents
+"""
+
+
+# =====================================================================
+# a56 — vocabulary-coverage OOV rates: corpus token frequencies ->
+# smallest most-frequent-first vocabulary covering 99.5% of instances
+# -> per-document out-of-vocabulary rate against it (tokenizer-prep +
+# routing signal). The Spark prefix sum is the two-phase range-
+# partitioned form (operators/vocab.ranked_cumsum) — same totals as
+# the oracle's single window, no single-task global window.
+# =====================================================================
+@register(
+    "a56_vocab_oov_rates",
+    oracle=f"""
+WITH toks AS ({_DOC_TOKENS_SQL}),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+ranked AS (
+    SELECT token, cnt,
+           SUM(cnt) OVER (
+               ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING
+           ) AS cum,
+           SUM(cnt) OVER () AS total
+    FROM counts
+),
+vocab AS (
+    SELECT token FROM ranked
+    WHERE (cum - cnt) * 10000 < {_VOCAB_COVERAGE_BP} * total
+),
+per_doc AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM toks AS t LEFT JOIN vocab AS v USING (token)
+    GROUP BY t.doc_id
+)
+SELECT
+    d.doc_id,
+    CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+    ROUND(p.n_oov / CAST(p.n_tokens AS DOUBLE), 6) AS oov_rate
+FROM documents AS d LEFT JOIN per_doc AS p USING (doc_id)
+""",
+    covers=("X-VOCAB", "A1"),
+)
+def a56_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vocab import (
+        oov_stats,
+        token_frequencies,
+        vocab_by_coverage,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = token_frequencies(docs, "doc_id", "text")
+    vocab = vocab_by_coverage(counts, coverage_bp=_VOCAB_COVERAGE_BP)
+    return oov_stats(docs, "doc_id", "text", vocab)
+
+
+# =====================================================================
+# a57 — per-dimension embedding distribution QC (dead-dimension / scale-
+# shift detection after an encoder change). Sums accumulate in
+# DECIMAL(38,10) so merge order cannot perturb them; mean/var derive
+# from the exact sums in plain double arithmetic. posexplode fans out
+# rows x dims, but the partial aggregate combines map-side to |dims|
+# rows per partition before the shuffle.
+# =====================================================================
+@register(
+    "a57_embedding_dim_stats",
+    oracle="""
+WITH ex AS (
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(e[CAST(i AS INT)] AS DOUBLE) AS x
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         UNNEST(generate_series(1, len(e))) AS t(i)
+),
+agg AS (
+    SELECT dim,
+           COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(38,10))) AS s1,
+           SUM(CAST(x * x AS DECIMAL(38,10))) AS s2,
+           MIN(x) AS min_v,
+           MAX(x) AS max_v
+    FROM ex GROUP BY dim
+)
+SELECT
+    dim,
+    CAST(n AS BIGINT) AS n,
+    ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+    ROUND(CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS var,
+    min_v,
+    max_v
+FROM agg
+""",
+    covers=("X-EMBED-QC", "A7"),
+)
+def a57_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_dim_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, "embedding")
+
+
+#: Histogram bin width for the a58 quantile sketch (events.value spans
+#: ~[0, 330] — ~33 bins).
+_SKETCH_BIN_WIDTH = 10.0
+
+
+# =====================================================================
+# a58 — mergeable binned-quantile sketch: p50/p90/p99 per event_type
+# read off cumulative fixed-width bin counts. The scale-path answer to
+# q13's exact percentiles — the shuffle carries |groups| x |bins|
+# partial counts instead of every row, and the sketch merges
+# associatively across partitions/days/clusters. Threshold test is
+# integer math (cum * 10000 >= q_bp * total): no boundary float flip.
+# =====================================================================
+@register(
+    "a58_binned_quantiles",
+    oracle=f"""
+WITH binned AS (
+    SELECT event_type,
+           CAST(FLOOR(value / {_SKETCH_BIN_WIDTH}) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+),
+cum AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY bin
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS total
+    FROM binned
+)
+SELECT
+    c.event_type,
+    CAST(q.q_bp AS BIGINT) AS q_bp,
+    ROUND((MIN(c.bin) + 1) * {_SKETCH_BIN_WIDTH}, 6) AS est
+FROM cum AS c,
+     (SELECT UNNEST([5000, 9000, 9900]) AS q_bp) AS q
+WHERE c.cum * 10000 >= q.q_bp * c.total
+GROUP BY c.event_type, q.q_bp
+""",
+    covers=("X-SKETCH", "A8"),
+)
+def a58_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import binned_quantiles
+
+    ev = _read_events(spark, sf_dir)
+    return binned_quantiles(
+        ev, "event_type", "value", _SKETCH_BIN_WIDTH,
+        quantiles_bp=(5000, 9000, 9900),
+    )

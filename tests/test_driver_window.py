@@ -42,6 +42,14 @@ _REQUIRED_IN_WINDOW = {
     "a50_cell_assign_rowlocal",
     "a51_pii_redaction",
     "a52_sliding_chunks",
+    # round-5 additions: every newly-registered component must take its
+    # driver verdict the round it lands
+    "a53_rhp_embedding_neardup",
+    "a54_dup_ngram_coverage",
+    "a55_scd2_dimension",
+    "a56_vocab_oov_rates",
+    "a57_embedding_dim_stats",
+    "a58_binned_quantiles",
     # §2 flagship
     "q06_opportunity_rank",
 }

@@ -1,0 +1,197 @@
+"""Crafted-input and scale-hardening tests for the round-5 operators:
+SCD2, vocab/OOV (two-phase ranked prefix sum), binned quantiles,
+duplicate-ngram coverage, embedding dimension stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clinical_trials_data_pipeline_analyis_spark.operators.dedup import dup_ngram_coverage
+from clinical_trials_data_pipeline_analyis_spark.operators.scd import scd2_from_log
+from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+    embedding_dim_stats,
+)
+from clinical_trials_data_pipeline_analyis_spark.operators.sketches import binned_quantiles
+from clinical_trials_data_pipeline_analyis_spark.operators.vocab import (
+    oov_stats,
+    ranked_cumsum,
+    token_frequencies,
+    vocab_by_coverage,
+)
+from conftest import SF_DIR
+
+
+def test_scd2_crafted_log(spark):
+    """Null attributes, same-timestamp ties, and unchanged repeats: the
+    first observation always opens version 1 (even NULL), NULL<->value
+    transitions are changes, consecutive repeats collapse."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: a, a (collapse), b, b (collapse), a  -> 3 versions
+        (1, "a", t0, 1),
+        (1, "a", t0 + dt.timedelta(hours=1), 2),
+        (1, "b", t0 + dt.timedelta(hours=2), 3),
+        (1, "b", t0 + dt.timedelta(hours=3), 4),
+        (1, "a", t0 + dt.timedelta(hours=4), 5),
+        # user 2: NULL first obs, then NULL again (collapse), then x
+        (2, None, t0, 6),
+        (2, None, t0 + dt.timedelta(hours=1), 7),
+        (2, "x", t0 + dt.timedelta(hours=2), 8),
+        # user 3: timestamp tie broken by event id — y then z at t0
+        (3, "y", t0, 9),
+        (3, "z", t0, 10),
+    ]
+    log = spark.createDataFrame(
+        rows, "user_id BIGINT, attr_in STRING, ts TIMESTAMP_NTZ, eid BIGINT"
+    )
+    out = scd2_from_log(log, "user_id", "attr_in", "ts", "eid")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["attr"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+    assert len(got) == 7
+    h = dt.timedelta(hours=1)
+    assert got[(1, 1)] == ("a", t0, t0 + 2 * h, False)
+    assert got[(1, 2)] == ("b", t0 + 2 * h, t0 + 4 * h, False)
+    assert got[(1, 3)] == ("a", t0 + 4 * h, None, True)
+    assert got[(2, 1)] == (None, t0, t0 + 2 * h, False)
+    assert got[(2, 2)] == ("x", t0 + 2 * h, None, True)
+    # tie at t0: eid order makes y version 1 closed AT t0 by z
+    assert got[(3, 1)] == ("y", t0, t0, False)
+    assert got[(3, 2)] == ("z", t0, None, True)
+    # exactly one current row per entity
+    cur = out.filter("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_ranked_cumsum_two_phase_equals_global_window(spark):
+    """The range-partitioned two-phase prefix sum must equal the
+    single-partition global window exactly, at a size that forces
+    multiple range partitions."""
+    counts = (
+        spark.range(0, 5000)
+        .select(
+            F.concat(F.lit("tok"), F.col("id")).alias("token"),
+            # heavy ties: many tokens share a count -> tiebreak matters
+            (F.col("id") % 97 + 1).alias("cnt"),
+        )
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    # explicit partition count: forces the multi-partition shape even
+    # though AQE would coalesce a table this small to one partition
+    got = ranked_cumsum(counts, order, "cnt", num_partitions=8)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = counts.withColumn("cum", F.sum("cnt").over(w))
+    g = {r["token"]: r["cum"] for r in got.collect()}
+    e = {r["token"]: r["cum"] for r in want.collect()}
+    assert g == e
+
+
+def test_vocab_includes_boundary_token_and_oov_consistency(spark):
+    """The vocabulary is the SMALLEST most-frequent-first prefix whose
+    coverage reaches the target (boundary token included), and OOV
+    counts agree with a direct membership check."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa aa bb bb cc"),
+            (2, "aa bb cc dd"),
+            (3, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    counts = token_frequencies(docs, "doc_id", "text")
+    # totals: aa=5, bb=3, cc=2, dd=1 (11 instances)
+    vocab = vocab_by_coverage(counts, coverage_bp=8000)
+    toks = sorted(r["token"] for r in vocab.collect())
+    # cum_before(aa)=0, (bb)=5/11=45%, (cc)=8/11=72.7% < 80% -> cc IS
+    # included (boundary token), dd's cum_before=10/11=90.9% -> excluded
+    assert toks == ["aa", "bb", "cc"]
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_stats(docs, "doc_id", "text", vocab).collect()
+    }
+    assert out[1] == (7, 0, 0.0)
+    assert out[2] == (4, 1, 0.25)
+    assert out[3] == (0, 0, None)  # zero-token doc keeps a row
+
+
+def test_binned_quantiles_bound_vs_exact(spark):
+    """Estimator property on real data: the upper-edge estimate is
+    never below the exact quantile and overshoots by at most one bin
+    width."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    width = 10.0
+    est = binned_quantiles(ev, "event_type", "value", width)
+    # ceil-rank (discrete) quantile — the estimator's semantics: the
+    # smallest value whose CDF reaches q. Interpolated percentile() can
+    # sit a full inter-value gap below it, so it is the wrong yardstick.
+    disc = "sort_array(collect_list(value))[cast(ceil({q} * count(value)) as int) - 1]"
+    exact = ev.groupBy("event_type").agg(
+        F.expr(disc.format(q=0.5)).alias("p5000"),
+        F.expr(disc.format(q=0.9)).alias("p9000"),
+        F.expr(disc.format(q=0.99)).alias("p9900"),
+    )
+    ex = {r["event_type"]: r.asDict() for r in exact.collect()}
+    rows = est.collect()
+    assert len(rows) == 3 * len(ex)
+    for r in rows:
+        true_q = ex[r["event_type"]][f"p{r['q_bp']}"]
+        assert r["est"] >= true_q - 1e-9
+        assert r["est"] - true_q <= width + 1e-9
+
+
+def test_binned_quantiles_merge_invariance(spark):
+    """Partitioning must not affect the sketch (mergeable partial
+    aggregate): 1 partition and 32 partitions give identical output."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = binned_quantiles(ev.coalesce(1), "event_type", "value", 10.0)
+    b = binned_quantiles(ev.repartition(32), "event_type", "value", 10.0)
+    ka = {(r["event_type"], r["q_bp"]): r["est"] for r in a.collect()}
+    kb = {(r["event_type"], r["q_bp"]): r["est"] for r in b.collect()}
+    assert ka == kb
+
+
+def test_dup_ngram_coverage_crafted(spark):
+    """Two identical docs share every shingle (coverage 1.0); a disjoint
+    doc shares none (0.0); a doc sharing part of its text lands strictly
+    between."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words here with nothing shared"),
+            (4, "the quick brown fox sleeps all day long today"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["dup_coverage"])
+        for r in dup_ngram_coverage(docs, "doc_id", "text", k=3).collect()
+    }
+    assert out[1][1] == 1.0 and out[2][1] == 1.0
+    assert out[3][1] == 0.0
+    assert 0.0 < out[4][1] < 1.0
+
+
+def test_embedding_dim_stats_partition_invariance(spark):
+    """DECIMAL accumulation makes the stats independent of partition
+    layout/merge order — the property that makes the numbers trustable
+    on a real cluster."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = embedding_dim_stats(emb.coalesce(1), "embedding").collect()
+    b = embedding_dim_stats(emb.repartition(32), "embedding").collect()
+    ka = {r["dim"]: (r["n"], r["mean"], r["var"], r["min_v"], r["max_v"]) for r in a}
+    kb = {r["dim"]: (r["n"], r["mean"], r["var"], r["min_v"], r["max_v"]) for r in b}
+    assert ka == kb
+    assert len(ka) == 64
+    for n, mean, var, lo, hi in ka.values():
+        assert var >= 0 and lo <= mean <= hi

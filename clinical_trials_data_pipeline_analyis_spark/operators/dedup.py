@@ -394,6 +394,94 @@ def dup_ngram_coverage(
     )
 
 
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens): maximal token spans of
+    each document whose every k-token window also occurs elsewhere in
+    the corpus (another document, or another position of the same one).
+    This is the span-level exact-substring dedup signal (Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    operates on suffix arrays; the k-gram rolling form is the
+    MapReduce-friendly equivalent): downstream, the spans are CUT from
+    the training text rather than dropping whole near-dup documents.
+
+    Positions are 0-based token offsets over whitespace tokens of the
+    normalized text; ``span_end`` is exclusive. Documents shorter than
+    k tokens are skipped (they have no full k-window).
+
+    Scale shape: one shuffle on the 128-bit window hash (count >= 2 —
+    map-side combined, raw text never shuffled), an equi-join back on
+    the same hash, then per-document windows (natural-key partitions)
+    to merge overlapping duplicate windows into maximal spans via the
+    classic gap-flag/cumsum island trick. Cost is O(token instances),
+    never O(docs^2).
+    """
+    from pyspark.sql import Window
+
+    norm = normalized_text(F.col(text_col))
+    toks = whitespace_tokens(norm)
+    n = F.size(toks)
+    # one row per full k-token window: (id, pos, md5(window)). Filter
+    # BEFORE the explode: sequence(1, n-k+1) on a doc shorter than k
+    # would run DESCENDING (Spark picks step -1 when start > stop).
+    win = (
+        _spread(df)
+        .filter(n >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+        .localCheckpoint()
+    )
+    dup_gh = (
+        win.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    marked = win.join(dup_gh, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn("_prev", F.lag("pos").over(w))
+        # windows [pos, pos+k) and [prev, prev+k) union contiguously
+        # iff pos - prev <= k
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str,

@@ -3073,3 +3073,63 @@ def a58_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "value", _SKETCH_BIN_WIDTH,
         quantiles_bp=(5000, 9000, 9900),
     )
+
+
+#: a59 window length (tokens) for duplicate-span detection.
+_SPAN_K = 5
+
+
+# =====================================================================
+# a59 — duplicate-span detection: maximal token spans whose every
+# 5-token window recurs elsewhere in the corpus (the span-level
+# exact-substring dedup of Lee et al. 2022, k-gram rolling form).
+# Downstream these spans are CUT from training text, not whole-doc
+# dropped. Hash-keyed shuffle (never raw text), equi-join back, then
+# per-document gap-flag/cumsum island merge — O(token instances).
+# =====================================================================
+@register(
+    "a59_dup_spans",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+),
+win AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           md5(array_to_string(
+               w[CAST(i AS INT):CAST(i AS INT) + {_SPAN_K - 1}], ' '
+           )) AS gh
+    FROM base, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS t(i)
+    WHERE len(w) >= {_SPAN_K}
+),
+dup AS (SELECT gh FROM win GROUP BY gh HAVING COUNT(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM win AS w JOIN dup USING (gh)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                  OR pos - LAG(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                     ) > {_SPAN_K}
+                THEN 1 ELSE 0 END AS newf
+    FROM marked
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(newf) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+           ) AS island
+    FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SPAN_K} - MIN(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+    covers=("X-DEDUP-SPANS", "W2"),
+)
+def a59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)

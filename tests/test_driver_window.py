@@ -50,6 +50,7 @@ _REQUIRED_IN_WINDOW = {
     "a56_vocab_oov_rates",
     "a57_embedding_dim_stats",
     "a58_binned_quantiles",
+    "a59_dup_spans",
     # §2 flagship
     "q06_opportunity_rank",
 }

@@ -195,3 +195,128 @@ def test_embedding_dim_stats_partition_invariance(spark):
     assert len(ka) == 64
     for n, mean, var, lo, hi in ka.values():
         assert var >= 0 and lo <= mean <= hi
+
+
+def test_duplicate_spans_crafted(spark):
+    """Two docs sharing an 8-token phrase: each reports exactly the
+    phrase's token range (maximal, merged across overlapping windows);
+    a doc with no repeated 5-gram reports nothing; same-doc internal
+    repetition also counts."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} nine ten eleven twelve thirteen fourteen"),
+            (3, "all words here are used exactly once only ever"),
+            # doc 4 repeats its own 5-gram back to back: "r1..r5 r1..r5"
+            (4, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"),
+            (5, "tiny doc"),  # < k tokens: skipped entirely
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(docs, "doc_id", "text", k=5)
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in out.collect()
+    }
+    # doc1: shared phrase occupies tokens [3, 11)
+    assert spans[1] == (3, 11, 8)
+    # doc2: same phrase at [0, 8)
+    assert spans[2] == (0, 8, 8)
+    assert 3 not in spans
+    # doc4: every 5-gram window of the doubled phrase repeats... only
+    # the window "r1 r2 r3 r4 r5" (positions 0 and 5) occurs twice;
+    # windows spanning the seam are unique. Islands: pos 0 and 5 merge
+    # (gap == k) -> one span [0, 10).
+    assert spans[4] == (0, 10, 10)
+    assert 5 not in spans
+    # every span row is maximal: one row per doc here
+    assert out.count() == 3
+
+
+def test_streaming_histogram_matches_batch_and_feeds_quantiles(
+    spark, tmp_path
+):
+    """Stream-accumulated (group, bin) counts must equal the batch
+    histogram over the union of micro-batches, and the quantile
+    read-off over the streamed sink must equal the batch sketch."""
+    import pandas as pd
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        binned_histogram,
+        binned_quantiles,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.sketches import (
+        value_histogram_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pdf = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).toPandas()
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # three micro-batch files
+    for i, chunk in enumerate(
+        [pdf.iloc[:300], pdf.iloc[300:700], pdf.iloc[700:]]
+    ):
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_events_source,
+    )
+
+    stream = streaming_events_source(spark, str(src))
+    hist = value_histogram_stream(stream, "event_type", "value", 10.0)
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hist_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM hist_sink").collect()
+    }
+    want = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in binned_histogram(ev, "event_type", "value", 10.0).collect()
+    }
+    assert got == want
+
+    # quantile read-off over the streamed histogram == batch sketch
+    from pyspark.sql import Window
+
+    sink = spark.sql("SELECT * FROM hist_sink")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sink.withColumns(
+        {
+            "cum": F.sum("cnt").over(w_cum),
+            "total": F.sum("cnt").over(Window.partitionBy("event_type")),
+        }
+    )
+    est_stream = {}
+    for q_bp in (5000, 9000, 9900):
+        rows = (
+            cum.filter(F.col("cum") * 10_000 >= q_bp * F.col("total"))
+            .groupBy("event_type")
+            .agg(F.round((F.min("bin") + 1) * 10.0, 6).alias("est"))
+            .collect()
+        )
+        for r in rows:
+            est_stream[(r["event_type"], q_bp)] = r["est"]
+    est_batch = {
+        (r["event_type"], r["q_bp"]): r["est"]
+        for r in binned_quantiles(ev, "event_type", "value", 10.0).collect()
+    }
+    assert est_stream == est_batch

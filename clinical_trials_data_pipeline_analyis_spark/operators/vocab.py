@@ -77,8 +77,14 @@ def ranked_cumsum(
     way); set it explicitly to force the parallel shape.
     """
     range_args = order if num_partitions is None else [num_partitions, *order]
-    parts = counts.repartitionByRange(*range_args).withColumn(
-        "_pid", F.spark_partition_id()
+    # Materialize the ranged table ONCE: both the within-partition
+    # window and the offsets aggregate read it, and a re-executed range
+    # shuffle could (in principle) re-sample different boundaries —
+    # spark_partition_id() must mean the same thing in both branches.
+    parts = (
+        counts.repartitionByRange(*range_args)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -111,6 +117,9 @@ def vocab_by_coverage(
     the smallest prefix reaching the target, boundary token included.
     """
     order = [F.col("cnt").desc(), F.col("token").asc()]
+    # One pass over the corpus: the ranked table and the grand total
+    # both read the materialized counts, not the explode pipeline.
+    counts = counts.localCheckpoint()
     ranked = ranked_cumsum(counts, order, "cnt")
     total = counts.groupBy().agg(F.sum("cnt").alias("total"))
     return (

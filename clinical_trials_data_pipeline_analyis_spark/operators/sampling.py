@@ -142,3 +142,35 @@ def deterministic_shuffle(
     return ranked.withColumn(
         "shard", F.expr(f"(shuffle_pos - 1) div {shard_size}")
     )
+
+
+def leakage_safe_split(
+    assignments: DataFrame,
+    id_col: str,
+    group_col: str,
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """(id, group, bucket, side): train/test split decided by the hash
+    of the GROUP (near-dup cluster, url domain, author...), never the
+    row — so near-duplicate documents can never straddle the split and
+    leak training text into evaluation. The standard eval-hygiene step
+    after clustering a corpus.
+
+    Same determinism contract as ``hash_sample``: the side depends only
+    on the group key, so it is stable across reruns, repartitions, and
+    engines, and a corpus INCREMENT lands each new document on the same
+    side as its existing cluster. Row-local (scan -> project): the
+    grouping join is whatever produced ``assignments``; this adds no
+    shuffle.
+    """
+    return assignments.select(
+        id_col,
+        group_col,
+        hash_bucket(F.col(group_col), buckets).alias("bucket"),
+    ).withColumn(
+        "side",
+        F.when(F.col("bucket") < test_pct, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

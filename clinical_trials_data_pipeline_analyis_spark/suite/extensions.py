@@ -3133,3 +3133,135 @@ def a59_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+# =====================================================================
+# a60 — leakage-safe train/test split: the near-dup CLUSTER's hash
+# decides the side, so no near-duplicate pair ever straddles train and
+# eval (the contamination a row-level split silently creates). Rides
+# a21's staged MinHash/LSH -> connected-components pipeline; the split
+# itself is one row-local projection on top.
+# =====================================================================
+@register(
+    "a60_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands AS a
+    JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS e_src, doc_a AS e_dst FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.e_dst, w.label FROM walk AS w JOIN edges AS e ON w.doc_id = e.e_src
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS component FROM walk GROUP BY doc_id
+)
+SELECT
+    doc_id,
+    component,
+    CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
+         % 100 AS BIGINT) AS bucket,
+    CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
+              % 100 < 10
+         THEN 'test' ELSE 'train' END AS side
+FROM comp
+""",
+    covers=("X-SPLIT-LEAKAGE", "X-DEDUP-CC"),
+)
+def a60_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_pipeline
+    from ..operators.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    _sigs, _pairs, comp = dedup_pipeline(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=3
+    )
+    out = leakage_safe_split(comp, "doc_id", "component", test_pct=10)
+    return out.withColumn("bucket", F.col("bucket").cast("long"))
+
+
+# =====================================================================
+# a61 — per-source reputation rollup: exact-dup rate + quality signals
+# aggregated by origin (domain/feed). Pipelines drop or downweight
+# whole SOURCES on these numbers — the curation decision one level
+# above per-document filtering. Join of two aggregates over the same
+# scan; shuffle carries |sources| rows.
+# =====================================================================
+@register(
+    "a61_source_reputation",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id, source,
+           md5({_NORM_SQL}) AS fp,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+    FROM documents
+),
+dupmark AS (
+    SELECT doc_id, source, n_chars, n_tokens,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY fp ORDER BY doc_id
+                ) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM fp
+)
+SELECT
+    source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+    ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+    ROUND(SUM(CAST(n_chars AS DECIMAL(18,4)))
+          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars,
+    ROUND(SUM(CAST(n_tokens AS DECIMAL(18,4)))
+          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+FROM dupmark
+GROUP BY source
+""",
+    covers=("X-SOURCE-REP", "J9", "A4"),
+)
+def a61_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalized_text
+    from ..operators.dedup import _md5
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    marked = (
+        docs.select(
+            "doc_id",
+            "source",
+            _md5(normalized_text(F.col("text"))).alias("fp"),
+            F.length("text").alias("n_chars"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .withColumn(
+            "is_dup",
+            F.when(F.row_number().over(w) > 1, 1).otherwise(0),
+        )
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_chars"),
+        F.round(
+            F.sum(F.col("n_tokens").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_tokens"),
+    )

@@ -51,6 +51,8 @@ _REQUIRED_IN_WINDOW = {
     "a57_embedding_dim_stats",
     "a58_binned_quantiles",
     "a59_dup_spans",
+    "a60_leakage_safe_split",
+    "a61_source_reputation",
     # §2 flagship
     "q06_opportunity_rank",
 }

@@ -86,3 +86,57 @@ def binned_quantiles(
             F.round((F.min("bin") + 1) * F.lit(bin_width), 6).alias("est")
         )
     )
+
+
+def linear_counting_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 1024,
+) -> DataFrame:
+    """(group, d_buckets, est_distinct, exact_distinct, rel_err):
+    mergeable approximate COUNT(DISTINCT) by linear counting (Whang et
+    al. 1990): hash each value into ``m`` buckets, count occupied
+    buckets d, estimate n ~ -m * ln(1 - d/m). The estimate is computed
+    alongside the exact count here so callers (and tests) see the
+    error; production use drops the exact column and with it the full
+    distinct shuffle.
+
+    Scale shape: the sketch's shuffle carries at most ``m`` occupied
+    buckets per group — constant in corpus size — and occupied-bucket
+    SETS merge by union across partitions/days/clusters, which is what
+    makes the estimator incremental where exact COUNT(DISTINCT) must
+    re-shuffle every distinct value. The hash is the engine-portable
+    md5 idiom (``operators/sampling.hash_bucket``), so the estimate is
+    deterministic and exactly reproducible in DuckDB: saturated groups
+    (d == m) yield NULL (ln(0)), the signal to raise m.
+    """
+    from ..operators.sampling import hash_bucket
+
+    md = F.col("_d").cast("double")
+    est = F.when(
+        F.col("_d") < m, F.round(-m * F.log(F.lit(1.0) - md / m), 6)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count_distinct(
+                hash_bucket(F.col(value_col), m)
+            ).cast("long").alias("_d"),
+            F.count_distinct(F.col(value_col)).cast("long").alias(
+                "exact_distinct"
+            ),
+        )
+        .select(
+            group_col,
+            F.col("_d").alias("d_buckets"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -73,10 +73,11 @@ def register(
 #: — all driver-green in EVERY round r1-r4, and their §2 operator rows
 #: (A1-A9, O1, F1, P3-P8, §2.8) keep green history plus local parity.
 #: a59 (duplicate-span detection) later replaces q14, and a60
-#: (leakage-safe split) / a61 (source reputation) replace q15/q16 —
-#: A3/A5/P5 keep green history via q06/a46 plus local parity.
+#: (leakage-safe split) / a61 (source reputation) / a62 (linear-
+#: counting distinct sketch) replace q15/q16/q17 — A3/A5/P3/P5/P6/P8
+#: keep green history via q06/a46 plus local parity.
 #: All rotated-out names (q01, q02, q04, q05, q07, q12, q13, q14, q15,
-#: q16, q18, q21, q22-q30, x01-x20) remain registered.
+#: q16, q17, q18, q21, q22-q30, x01-x20) remain registered.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a22_text_tfidf",
@@ -125,7 +126,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a59_dup_spans",
     "a60_leakage_safe_split",
     "a61_source_reputation",
-    "q17_exclusion_filters",
+    "a62_linear_count_distinct",
     "q19_normalized_key_join",
     "q20_yoy_growth",
 )

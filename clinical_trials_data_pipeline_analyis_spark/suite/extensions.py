@@ -3265,3 +3265,64 @@ def a61_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_tokens"),
     )
+
+
+#: Linear-counting bucket count for a62 (distinct tokens per source run
+#: in the low hundreds at sf0.01 — m=1024 keeps occupancy < 40%).
+_LC_M = 1024
+
+_LC_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % " + str(_LC_M)
+)
+
+
+# =====================================================================
+# a62 — mergeable approximate COUNT(DISTINCT) via linear counting:
+# distinct tokens per source, estimated from md5-bucket occupancy next
+# to the exact count and relative error. The sketch's shuffle carries
+# <= m occupied buckets per group (constant in corpus size) and merges
+# by set union — the incremental/approximate path where exact
+# COUNT(DISTINCT) reshuffles every distinct value. Deterministic hash
+# -> the ESTIMATE itself is value-oracled, not just bounded.
+# =====================================================================
+@register(
+    "a62_linear_count_distinct",
+    oracle=f"""
+WITH toks AS ({_DOC_TOKENS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}),
+agg AS (
+    SELECT source,
+           COUNT(DISTINCT {_LC_BUCKET_SQL}) AS d,
+           COUNT(DISTINCT token) AS exact_distinct
+    FROM toks
+    GROUP BY source
+)
+SELECT
+    source,
+    CAST(d AS BIGINT) AS d_buckets,
+    CASE WHEN d < {_LC_M}
+         THEN ROUND(-{_LC_M} * ln(1.0 - CAST(d AS DOUBLE) / {_LC_M}), 6)
+    END AS est_distinct,
+    CAST(exact_distinct AS BIGINT) AS exact_distinct,
+    ROUND(abs(CASE WHEN d < {_LC_M}
+                   THEN ROUND(-{_LC_M} * ln(1.0 - CAST(d AS DOUBLE) / {_LC_M}), 6)
+              END - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM agg
+""",
+    covers=("X-SKETCH-DISTINCT", "A5"),
+)
+def a62_linear_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import linear_counting_distinct
+    from ..operators.vocab import _doc_tokens
+
+    from ..functions.text import bpe_ish_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    # carry the grouping column through the explode row-locally — a
+    # join back to the corpus to re-attach it would shuffle |docs| rows
+    toks = docs.select(
+        "source",
+        F.explode(
+            bpe_ish_tokens(normalized_text(F.col("text")))
+        ).alias("token"),
+    )
+    return linear_counting_distinct(toks, "source", "token", m=_LC_M)

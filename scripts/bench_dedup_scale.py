@@ -98,6 +98,12 @@ def main() -> None:
         "a35_decontaminate",
         "a39_text_repetition",
         "a40_curation_funnel",
+        # round-5 text/dedup additions (documents-only inputs)
+        "a54_dup_ngram_coverage",
+        "a56_vocab_oov_rates",
+        "a59_dup_spans",
+        "a60_leakage_safe_split",
+        "a61_source_reputation",
     ]
     # warm-up (session + parquet footer caches)
     queries["x01_dedup_exact"](spark, args.dir).count()

@@ -53,6 +53,7 @@ _REQUIRED_IN_WINDOW = {
     "a59_dup_spans",
     "a60_leakage_safe_split",
     "a61_source_reputation",
+    "a62_linear_count_distinct",
     # §2 flagship
     "q06_opportunity_rank",
 }

@@ -320,3 +320,114 @@ def test_streaming_histogram_matches_batch_and_feeds_quantiles(
         for r in binned_quantiles(ev, "event_type", "value", 10.0).collect()
     }
     assert est_stream == est_batch
+
+
+def test_scd2_stream_matches_batch(spark, tmp_path):
+    """Incremental SCD2 over micro-batches — including OUT-OF-ORDER
+    event time across batches (a late observation splitting an existing
+    interval) — must equal the batch operator over the union."""
+    import json as _json
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming.scd import scd2_stream
+
+    # batch 1: users 1,2 establish history; batch 2 contains a LATE
+    # observation for user 1 that lands between batch-1 observations
+    # and must split the collapsed 'a' run.
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:30:00", "user_id": 2, "event_type": "x", "value": 1.0, "props": "{}"},
+    ]
+    b2 = [
+        {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "b", "value": 1.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T03:00:00", "user_id": 2, "event_type": "y", "value": 1.0, "props": "{}"},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, batch in enumerate([b1, b2]):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in batch)
+        )
+
+    # maxFilesPerTrigger=1 -> one file per micro-batch
+    stream2 = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    writer = scd2_stream(
+        stream2,
+        store_path=str(tmp_path / "store"),
+        dim_path=str(tmp_path / "dim"),
+        checkpoint=str(tmp_path / "ckpt"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        buckets=8,
+    )
+    q = writer.start()
+    q.awaitTermination(120)
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.scd import scd2_from_log
+
+    union = spark.read.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ).json(str(src))
+    want = {
+        (r["user_id"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_log(
+            union, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    got = {
+        (r["user_id"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(str(tmp_path / "dim")).collect()
+    }
+    assert got == want
+    # the late 'b' really split user 1's 'a' run into three versions
+    assert len([k for k in got if k[0] == 1]) == 3
+
+
+def test_linear_counting_distinct_properties(spark):
+    """Estimator sanity on real data: estimate within the linear-
+    counting error envelope of exact, and partition-layout invariant
+    (mergeable)."""
+    from clinical_trials_data_pipeline_analyis_spark.functions.text import (
+        bpe_ish_tokens,
+        normalized_text,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        linear_counting_distinct,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(bpe_ish_tokens(normalized_text(F.col("text")))).alias(
+            "token"
+        ),
+    )
+    out = linear_counting_distinct(toks, "source", "token", m=1024).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["est_distinct"] is not None  # far from saturation
+        # loose envelope: within 15% at <40% occupancy
+        assert r["rel_err"] <= 0.15
+    a = {
+        r["source"]: r["est_distinct"]
+        for r in linear_counting_distinct(
+            toks.coalesce(1), "source", "token", m=1024
+        ).collect()
+    }
+    b = {
+        r["source"]: r["est_distinct"]
+        for r in linear_counting_distinct(
+            toks.repartition(32), "source", "token", m=1024
+        ).collect()
+    }
+    assert a == b

@@ -75,7 +75,10 @@ def register(
 #: a59 (duplicate-span detection) later replaces q14, and a60
 #: (leakage-safe split) / a61 (source reputation) / a62 (linear-
 #: counting distinct sketch) replace q15/q16/q17 — A3/A5/P3/P5/P6/P8
-#: keep green history via q06/a46 plus local parity.
+#: keep green history via q06/a46 plus local parity. a63 (BM25 top-k
+#: retrieval) / a64 (BPE pair-count training step) replace q19/q20 —
+#: J2 keeps green history via q03 + plans/silver tests, F13/W2 via
+#: q09/q10; both rotated-out queries stay in local parity.
 #: All rotated-out names (q01, q02, q04, q05, q07, q12, q13, q14, q15,
 #: q16, q17, q18, q21, q22-q30, x01-x20) remain registered.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -127,8 +130,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a60_leakage_safe_split",
     "a61_source_reputation",
     "a62_linear_count_distinct",
-    "q19_normalized_key_join",
-    "q20_yoy_growth",
+    "a63_bm25_topk",
+    "a64_bpe_pair_counts",
 )
 
 

@@ -3326,3 +3326,89 @@ def a62_linear_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
     return linear_counting_distinct(toks, "source", "token", m=_LC_M)
+
+
+# =====================================================================
+# a63 — BM25 top-k lexical retrieval: score documents against a fixed
+# keyword-query table (Okapi BM25, Lucene "plus one" idf) and return the
+# 5 best documents per query. The retrieval surface of a RAG / curation
+# pipeline; the scaled-up form of the reference's ILIKE search scans
+# (aact_silver_layer.sql:417-530). Per-term contributions round to 6dp
+# and sum as DECIMAL(18,6), so scores are bit-identical across engines
+# and the rank order (score DESC, doc_id ASC) is total.
+# =====================================================================
+
+#: Fixed query-term table for a63 — plan literal on the Spark side,
+#: VALUES list in the oracle, both interpolated from this one constant.
+_BM25_QUERY_TERMS: list[tuple[int, str]] = [
+    (0, "spark"), (0, "shuffle"), (0, "partition"),
+    (1, "hash"), (1, "join"), (1, "merge"),
+    (2, "window"), (2, "sort"), (2, "batch"),
+]
+
+
+def _a63_oracle() -> str:
+    from ..operators.retrieval import bm25_topk_oracle_sql
+
+    return bm25_topk_oracle_sql(_BM25_QUERY_TERMS, k=5, norm_sql=_NORM_SQL)
+
+
+@register(
+    "a63_bm25_topk",
+    oracle=_a63_oracle(),
+    covers=("X-RETRIEVAL-BM25", "A1", "W2", "O1"),
+)
+def a63_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id BIGINT, term STRING"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+# =====================================================================
+# a64 — BPE tokenizer-training step: corpus-weighted adjacent character
+# pair counts over the word-frequency dictionary, ranked — the merge
+# candidates of Sennrich-style BPE (the iterative trainer is
+# operators.bpe.bpe_train; this registers its first, oracle-exact
+# step). Scale shape: the ONLY corpus pass is the word-frequency
+# groupBy; pair extraction is a row-local transform over DISTINCT words
+# and the pair shuffle carries |alphabet|^2 keys. The global rank
+# window sits on that tiny aggregate, not the corpus.
+# =====================================================================
+@register(
+    "a64_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+),
+wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM words WHERE word <> '' GROUP BY word
+),
+pairs AS (
+    SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
+    FROM wf, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t
+    WHERE length(word) >= 2
+),
+counts AS (
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+)
+SELECT left_sym, right_sym, pair_count, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY pair_count DESC, left_sym, right_sym
+    ) AS rn FROM counts
+)
+WHERE rn <= 20
+""",
+    covers=("X-BPE-TRAIN", "A1", "W1", "O1"),
+)
+def a64_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import top_pair_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return top_pair_candidates(docs, k=20)

@@ -10,10 +10,12 @@ top-k documents per query.
 The corpus-side statistics are one token explode + one shuffle on
 (doc_id, term) — the same single pass that builds an inverted index.
 Everything query-side is broadcast: the query-term table (|queries| x
-|terms|, KBs) semi-probes the posting rows BEFORE document frequencies
-are aggregated, so the df aggregation and the scoring join only ever
-touch postings of queried terms — cost is governed by the posting-list
-sizes of the query vocabulary, not corpus size. The corpus-level scalar
+|terms|, KBs) semi-probes the exploded tokens BEFORE the tf shuffle,
+so every exchange after the scan carries only postings of queried
+terms — cost is governed by the posting-list sizes of the query
+vocabulary, not corpus size. Per-document length is size(tokens),
+computed row-locally and carried through the tf shuffle, so there is
+no doc-keyed join anywhere in the plan. The corpus-level scalar
 statistics (N, avgdl) arrive as a broadcast one-row aggregate, never a
 driver collect. Final top-k is a per-query window, pre-reduced by
 WindowGroupLimit before the exchange.
@@ -79,30 +81,45 @@ def bm25_topk(
     Returns (query_id, doc_id, n_terms_matched, score, rank), rank 1..k
     per query ordered by the exact decimal score DESC, doc_id ASC.
     """
-    toks = docs.select(
+    # Document length is size(tokens) — computed ROW-LOCALLY before the
+    # explode and carried through the tf shuffle as max(dl), so no
+    # posting-side re-aggregation and no dl join back on doc_id.
+    base = docs.select(
         F.col(id_col),
-        F.explode(whitespace_tokens(normalized_text(F.col(text_col)))).alias("term"),
+        whitespace_tokens(normalized_text(F.col(text_col))).alias("toks"),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    # Corpus scalars: N over ALL documents (zero-token docs count toward
-    # N and pull avgdl down, as in Lucene), total length from postings.
-    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    total_dl = dl.select(F.sum("dl").cast("double").alias("total_dl"))
-    stats = n_docs.crossJoin(total_dl).select(
-        "n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl")
-    )
+    # Corpus scalars in ONE aggregate pass: N over ALL documents
+    # (zero-token docs count toward N and pull avgdl down, as in
+    # Lucene), total length as sum(size(tokens)).
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("total_dl"),
+    ).select("n_docs", (F.col("total_dl") / F.col("n_docs")).alias("avgdl"))
 
+    toks = base.select(
+        id_col, F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
     # Probe the postings with the (broadcast) query vocabulary BEFORE
-    # computing df, so the df shuffle carries only queried terms.
+    # the tf shuffle, so every downstream exchange carries only postings
+    # of queried terms.
     vocab = queries.select("term").distinct()
-    tf_q = tf.join(F.broadcast(vocab), "term")
-    df_t = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    # Document frequency as a count window over the tf rows (one row per
+    # (doc, term), so the per-term count IS df). A groupBy+join would
+    # recompute the whole tf branch for the df side — the window reuses
+    # the single tf shuffle and only re-exchanges the (query-vocabulary-
+    # sized) postings by term. Applied BEFORE the queries join: a term
+    # shared by two queries must not double-count df.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
 
     scored = (
-        tf_q.join(F.broadcast(queries), "term")
-        .join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
+        tf.join(F.broadcast(queries), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

@@ -9,6 +9,7 @@ from .events import (
     silver_studies_stream,
     streaming_events_source,
 )
+from .joins import attribute_actions_batch, attribute_actions_stream
 from .similarity import (
     MAX_LITERAL_CENTROIDS,
     assign_cells_foreach_batch,
@@ -24,6 +25,8 @@ __all__ = [
     "hourly_event_counts_stream",
     "silver_studies_stream",
     "streaming_events_source",
+    "attribute_actions_batch",
+    "attribute_actions_stream",
     "MAX_LITERAL_CENTROIDS",
     "assign_cells_foreach_batch",
     "assign_cells_stream",

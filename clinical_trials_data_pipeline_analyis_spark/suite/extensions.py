@@ -3412,3 +3412,82 @@ def a64_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return top_pair_candidates(docs, k=20)
+
+
+# =====================================================================
+# a65 — hybrid retrieval: Reciprocal Rank Fusion (Cormack et al., SIGIR
+# 2009) of the BM25 lexical ranking (a63's terms, k=10) and the
+# brute-force embedding-cosine ranking (x09's shape, queries vec_id<3
+# matching the lexical query ids; documents/embeddings ids align 1:1).
+# RRF uses only ranks — the two systems' scores are incomparable — and
+# both input rankings are top-k-per-query tables, so fusion cost is
+# independent of corpus size. Contributions 1/(60+rank) round to 6dp
+# and sum as DECIMAL(18,6) for engine-exact ordering.
+# =====================================================================
+def _a65_oracle() -> str:
+    from ..operators.retrieval import bm25_topk_oracle_sql
+
+    lex = bm25_topk_oracle_sql(_BM25_QUERY_TERMS, k=10, norm_sql=_NORM_SQL)
+    return f"""
+WITH lex AS (
+    SELECT query_id, doc_id, rank FROM ({lex})
+),
+embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qv AS (SELECT vec_id AS query_id, e AS qe FROM embd WHERE vec_id < 3),
+sem_scored AS (
+    SELECT
+        qv.query_id,
+        c.vec_id AS doc_id,
+        {_COS_SQL.format(a="qv.qe", b="c.e")} AS cosine
+    FROM qv, embd AS c
+    WHERE c.vec_id <> qv.query_id
+),
+sem AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM sem_scored
+    ) WHERE rank <= 10
+),
+unioned AS (
+    SELECT * FROM lex UNION ALL SELECT * FROM sem
+),
+fused AS (
+    SELECT query_id, doc_id,
+           SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))) AS rrf_dec,
+           CAST(COUNT(*) AS BIGINT) AS n_systems
+    FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_systems,
+       CAST(rrf_dec AS DOUBLE) AS rrf_score,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_dec DESC, doc_id
+    ) AS rn FROM fused
+)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "a65_hybrid_rrf",
+    oracle=_a65_oracle(),
+    covers=("X-RETRIEVAL-RRF", "X-RETRIEVAL-BM25", "X-ANN-BRUTE", "A4", "W2", "O1"),
+)
+def a65_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id BIGINT, term STRING"
+    )
+    lex = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).select(
+        "query_id", F.col("candidate_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex.unionByName(sem), k0=60, k=10)

@@ -56,6 +56,7 @@ _REQUIRED_IN_WINDOW = {
     "a62_linear_count_distinct",
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
+    "a65_hybrid_rrf",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -91,7 +92,7 @@ def test_rotated_out_queries_remain_registered():
     expected = (
         {f"q{i:02d}" for i in range(22, 31)}
         | {f"x{i:02d}" for i in range(1, 21)}
-        | {"q07", "q12", "q18", "q19", "q20"}
+        | {"q03", "q07", "q12", "q18", "q19", "q20"}
     )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

@@ -199,3 +199,40 @@ def test_bm25_topk_truncates(spark):
     assert len(rows) == 3
     # Equal scores tie-break on doc_id ascending.
     assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.retrieval import rrf_fuse
+
+    ranked = spark.createDataFrame(
+        [
+            # system A ranking for query 0: docs 1, 2, 3
+            (0, 1, 1), (0, 2, 2), (0, 3, 3),
+            # system B ranking for query 0: docs 2, 1, 4
+            (0, 2, 1), (0, 1, 2), (0, 4, 3),
+        ],
+        "query_id LONG, doc_id LONG, rank LONG",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(ranked, k0=60, k=10).collect()}
+    # doc1: 1/61 + 1/62; doc2: 1/62 + 1/61 -> tie, doc1 wins on id.
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+    assert out[1]["n_systems"] == 2 and out[4]["n_systems"] == 1
+    want = round(round(1 / 61, 6) + round(1 / 62, 6), 10)
+    assert abs(out[1]["rrf_score"] - want) < 1e-9
+    # docs 3 and 4 tie on 1/63: id ascending.
+    assert out[3]["rank"] == 3 and out[4]["rank"] == 4
+
+
+def test_rrf_fuse_truncates_to_k(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.retrieval import rrf_fuse
+
+    ranked = spark.createDataFrame(
+        [(0, d, d) for d in range(1, 8)], "query_id LONG, doc_id LONG, rank LONG"
+    )
+    rows = rrf_fuse(ranked, k0=60, k=3).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]

@@ -104,6 +104,10 @@ def main() -> None:
         "a59_dup_spans",
         "a60_leakage_safe_split",
         "a61_source_reputation",
+        # retrieval / tokenizer-training additions (documents-only
+        # inputs; a65 RRF needs embeddings so it stays in the sf bench)
+        "a63_bm25_topk",
+        "a64_bpe_pair_counts",
     ]
     # warm-up (session + parquet footer caches)
     queries["x01_dedup_exact"](spark, args.dir).count()

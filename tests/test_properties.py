@@ -312,3 +312,50 @@ def test_length_bucket_batches_properties(spark):
         "doc_id", "n_tokens", bucket_width=16, batch_size=8, num_shards=4,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------
+# BPE greedy merge fold (operators/bpe.merge_pair_expr)
+# ---------------------------------------------------------------------
+
+if HAS_HYPOTHESIS:
+
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=0, max_size=12),
+            min_size=1,
+            max_size=25,
+        ),
+        left=st.sampled_from(["a", "b", "ab", "ba"]),
+        right=st.sampled_from(["a", "b", "ab", "ba"]),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_merge_fold_matches_python_reference(spark, words, left, right):
+        """The array-fold merge must equal the classic left-to-right
+        non-overlapping replacement for ANY symbol sequence and pair —
+        including overlap chains ('aaaa' under (a,a)) and multi-char
+        merged symbols already present in the input."""
+        from clinical_trials_data_pipeline_analyis_spark.operators.bpe import (
+            merge_pair_expr,
+        )
+
+        def ref(syms):
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            return out
+
+        rows = [(list(w),) for w in words]
+        df = spark.createDataFrame(rows, "symbols ARRAY<STRING>")
+        got = [
+            r["m"]
+            for r in df.select(
+                merge_pair_expr("symbols", left, right).alias("m")
+            ).collect()
+        ]
+        # createDataFrame preserves input order for a local list source
+        want = [ref(list(w)) for w in words]
+        assert got == want

@@ -21,6 +21,12 @@ stdout and parses the FINAL line as JSON, so the summary must be small):
 
 Each query is executed with a count()-style full materialization so the
 measured time covers the whole plan, not just plan construction.
+
+The summary also carries ``calib_sec`` — a fixed deterministic JVM-side
+workload timed each run (xxhash64 sum over range(200M), codegen-only,
+no I/O). Dividing per-query times by the ratio of two runs' calib_sec
+normalizes away host-speed differences between rounds (round 5 ran on
+a ~1.4x slower host than round 4; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -74,6 +80,19 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Host-speed calibration: a fixed, deterministic, JVM-side workload
+    # (xxhash64 over spark.range, whole-stage codegen, no I/O) timed on
+    # every bench run. Per-query times divide by (calib_sec / its value
+    # on the round-4 reference host) to compare across hosts: round 5
+    # observed IDENTICAL CODE running a uniform ~1.4x slower than the
+    # round-4 driver bench purely from a slower machine, which per-query
+    # rows alone cannot distinguish from a regression.
+    c0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(cast(xxhash64(id) as double)) as s"  # double: ANSI-safe sum
+    ).collect()
+    calib_sec = round(time.perf_counter() - c0, 4)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -98,6 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_sec": calib_sec,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as f:

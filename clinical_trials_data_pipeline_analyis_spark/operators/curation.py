@@ -49,3 +49,79 @@ def curation_report(verdicts: DataFrame) -> DataFrame:
     return verdicts.groupBy("stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+def retention_curve(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Threshold sweep for a quality filter: for every candidate cutoff,
+    how many documents and how much token mass survive ``score >= t``.
+
+    The decision artifact behind "filter at what threshold?" — tuning a
+    quality classifier's operating point means reading this curve, not
+    re-running the filter per candidate value. Scores are binned to
+    ``floor(score * bins)`` (clamped to the top bin so score = 1.0
+    doesn't escape); each output row is one cutoff::
+
+        threshold_bp = bin * 10000 / bins      -- cutoff in basis points
+        docs_retained / weight_retained        -- mass with score >= cutoff
+        docs_frac / weight_frac                -- as a fraction of total
+
+    Scale shape: ONE corpus pass (map-side-combinable groupBy on the
+    bin key, <= ``bins`` groups), then the descending cumulative sum and
+    the totals run as windows over the <= ``bins``-row aggregate — the
+    sweep over all thresholds costs exactly one scan regardless of how
+    many cutoffs it evaluates. NULL scores are excluded (they carry no
+    threshold information; route them through the curation funnel's
+    explicit rules instead).
+
+    Fractions are round(x, 6) on a double division of two exact BIGINT
+    sums — deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    binned = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(
+            F.least(
+                F.floor(F.col(score_col) * bins), F.lit(bins - 1)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(weight_col).cast("long").alias("weight"),
+        )
+    )
+    w_ge = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        binned.select(
+            "bin",
+            F.sum("docs").over(w_ge).alias("docs_retained"),
+            F.sum("weight").over(w_ge).alias("weight_retained"),
+            F.sum("docs").over(w_tot).alias("docs_total"),
+            F.sum("weight").over(w_tot).alias("weight_total"),
+        )
+        .select(
+            (F.col("bin") * 10_000 / bins).cast("long").alias("threshold_bp"),
+            "docs_retained",
+            "weight_retained",
+            F.round(
+                F.col("docs_retained") / F.col("docs_total").cast("double"), 6
+            ).alias("docs_frac"),
+            F.round(
+                F.col("weight_retained") / F.col("weight_total").cast("double"),
+                6,
+            ).alias("weight_frac"),
+        )
+    )

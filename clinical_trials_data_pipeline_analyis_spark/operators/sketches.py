@@ -140,3 +140,118 @@ def linear_counting_distinct(
             ).alias("rel_err"),
         )
     )
+
+
+# =====================================================================
+# Count-min sketch: mergeable heavy-hitter frequency estimation
+# =====================================================================
+
+#: Default CMS geometry: d independent hash rows x w counters. Error is
+#: ~ N * e/w with probability 1 - e^-d; d*w cells is the WHOLE sketch
+#: (4 x 256 = 1024 counters), mergeable by cell-wise addition.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_cells(
+    df: DataFrame, value_col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH
+) -> DataFrame:
+    """(row, col, cell_count): the count-min sketch of a value column
+    (Cormode & Muthukrishnan 2005). Each value increments one counter
+    per hash row; the estimate for a key is the MIN over its d cells
+    (collisions only ever inflate, so CMS over-estimates).
+
+    Scale shape: the fan-out is row-local (a d-element literal array
+    explode), and the aggregate partial-combines map-side down to at
+    most d x w cells per partition — the shuffle carries O(d*w) rows
+    per partition regardless of corpus size, and sketches of two
+    corpora (or two days, or two clusters) MERGE by summing cells.
+    The hash is the engine-portable md5 idiom salted per row
+    (``md5(row || ':' || value)``), deterministic across engines.
+    """
+    from .sampling import hash_bucket
+
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("row"),
+                hash_bucket(F.concat(F.lit(f"{r}:"), v), w)
+                .cast("long")
+                .alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_count"))
+    )
+
+
+def cms_topk_estimates(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """(value, exact_count, cms_estimate, overestimate, rank): the k most
+    frequent values with their exact counts next to the CMS estimate, so
+    callers (and tests) see the collision inflation. Production
+    heavy-hitter queries drop the exact branch and with it the full
+    per-value shuffle: the sketch answers point queries from d*w cells.
+
+    The candidate set here is the exact top-k (count DESC, value ASC —
+    total order); each candidate recomputes its d cell coordinates
+    row-locally and probes the BROADCAST sketch (d*w rows, KBs), taking
+    the min cell count over rows.
+    """
+    from .sampling import hash_bucket
+
+    cells = cms_cells(df, value_col, d=d, w=w)
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("value"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "value",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"),
+                        hash_bucket(
+                            F.concat(F.lit(f"{r}:"), F.col("value")), w
+                        )
+                        .cast("long")
+                        .alias("col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("value", "exact_count", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    est = (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("value", "exact_count")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+    return est.select(
+        "value",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("exact_count").desc(), F.col("value"))
+        )
+        .cast("long")
+        .alias("rank"),
+    )

@@ -41,3 +41,41 @@ def value_histogram_stream(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_cells_stream(
+    events: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """(row, col, cell_count): the count-min sketch from
+    ``operators/sketches.cms_cells`` maintained incrementally over a
+    stream. Identical cell semantics (salted-md5 buckets, NULLs
+    dropped), so the stream-accumulated cells equal a batch run over
+    the union of all micro-batches — the merge-by-addition property IS
+    the streaming story.
+
+    State is exactly d x w counters no matter how many events stream
+    through (the bounded-state contract of ``streaming/``: nothing here
+    scales with history). Run in update/complete mode; point estimates
+    read MIN over a key's d cells off the sink whenever asked, exactly
+    as in the batch ``cms_topk_estimates``.
+    """
+    from ..operators.sampling import hash_bucket
+
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("row"),
+                hash_bucket(F.concat(F.lit(f"{r}:"), v), w)
+                .cast("long")
+                .alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_count"))
+    )

@@ -81,8 +81,14 @@ def register(
 #: q09/q10; both rotated-out queries stay in local parity. a65 (hybrid
 #: RRF retrieval) replaces q03 — J1/S5/F2/P8 keep r1-r4 green history
 #: (q03 also stays exercised through plans/silver pipeline parity).
-#: All rotated-out names (q01, q02, q04, q05, q07, q12, q13, q14, q15,
-#: q16, q17, q18, q21, q22-q30, x01-x20) remain registered.
+#: Third round-5 rotation: a66 (DSIR importance), a67 (count-min
+#: heavy hitters), a68 (retention curve), a69 (bigram-LM scores)
+#: replace q08/q09/q10/q11 — all driver-green in r1-r4; their operator
+#: rows (W1/W2/J3/J4/F7/O2) keep green history via q06 + the gold-layer
+#: pipeline-parity tests, and all four stay in local oracle parity.
+#: All rotated-out names (q01, q02, q04, q05, q07, q08, q09, q10, q11,
+#: q12, q13, q14, q15, q16, q17, q18, q21, q22-q30, x01-x20) remain
+#: registered.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a22_text_tfidf",
@@ -124,10 +130,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a58_binned_quantiles",
     "a65_hybrid_rrf",
     "q06_opportunity_rank",
-    "q08_surrogate_dim",
-    "q09_window_dedup",
-    "q10_star_role_playing_dates",
-    "q11_duration_parse",
+    "a66_dsir_importance",
+    "a67_cms_heavy_hitters",
+    "a68_retention_curve",
+    "a69_bigram_lm_scores",
     "a59_dup_spans",
     "a60_leakage_safe_split",
     "a61_source_reputation",

@@ -3491,3 +3491,206 @@ def a65_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("candidate_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(lex.unionByName(sem), k0=60, k=10)
+
+
+# =====================================================================
+# a66 — DSIR importance scores (Xie et al., NeurIPS 2023): hashed-
+# unigram log-likelihood ratio of a target domain (here: the English
+# subset) vs the whole corpus, summed per document. The data-SELECTION
+# operator: rank raw documents by how target-like they are, then keep
+# the top mass. Everything corpus-sized stays in one (doc, bucket)
+# partial aggregate; the 512-bucket model is broadcast.
+# =====================================================================
+def _a66_oracle() -> str:
+    from ..operators.importance import dsir_oracle_sql
+
+    return dsir_oracle_sql("lang = 'en'", _NORM_SQL)
+
+
+@register(
+    "a66_dsir_importance",
+    oracle=_a66_oracle(),
+    covers=("X-DSIR", "A3", "A4", "J1"),
+)
+def a66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.importance import dsir_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_scores(docs, F.col("lang") == "en")
+
+
+# =====================================================================
+# a67 — count-min sketch heavy hitters: the 20 most frequent tokens
+# with exact counts next to the CMS estimate (min over d salted-md5
+# hash rows of a d x w counter grid). The sketch's shuffle carries at
+# most d*w cells per partition regardless of corpus size and merges by
+# cell-wise addition — the streaming/incremental path for "what are the
+# hot keys", where the exact branch exists here only to expose the
+# collision error. Deterministic md5 hashing -> exactly oracle-checkable.
+# =====================================================================
+def _a67_oracle() -> str:
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    bucket = (
+        "CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || value), 1, 8) "
+        f"AS BIGINT) % {CMS_WIDTH}"
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS value FROM documents
+),
+vals AS (SELECT value FROM toks WHERE value <> ''),
+hash_rows AS (
+    SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS row
+),
+cells AS (
+    SELECT row, {bucket} AS col, CAST(COUNT(*) AS BIGINT) AS cell_count
+    FROM vals, hash_rows GROUP BY 1, 2
+),
+exact AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM vals GROUP BY value
+    ORDER BY exact_count DESC, value LIMIT 20
+),
+probes AS (
+    SELECT value, exact_count, row, {bucket} AS col
+    FROM exact, hash_rows
+),
+est AS (
+    SELECT value, exact_count, MIN(cell_count) AS cms_estimate
+    FROM probes JOIN cells USING (row, col)
+    GROUP BY value, exact_count
+)
+SELECT value, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overestimate,
+       CAST(ROW_NUMBER() OVER (ORDER BY exact_count DESC, value) AS BIGINT)
+           AS rank
+FROM est
+"""
+
+
+@register(
+    "a67_cms_heavy_hitters",
+    oracle=_a67_oracle(),
+    covers=("X-CMS", "A1", "O1", "W1"),
+)
+def a67_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_topk_estimates
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            whitespace_tokens(normalized_text(F.col("text")))
+        ).alias("token")
+    )
+    return cms_topk_estimates(toks, "token", k=20)
+
+
+# =====================================================================
+# a68 — quality-filter retention curve: for each candidate cutoff over
+# the x04 quality score, the document count and token mass surviving
+# ``score >= t``. One corpus pass answers every threshold at once (the
+# groupBy has <= 20 groups; the cumulative windows run on that
+# aggregate) — the operating-point tuning artifact of any quality
+# classifier rollout.
+# =====================================================================
+_RETENTION_BINS = 20
+
+_X04_SCORE_SQL = """
+    SELECT
+        doc_id,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        ROUND(
+            0.5 * (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+            + 0.5 * LEAST(
+                len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> lower(t) IN ('the','a','of','and','to','in','is','it')))
+                / GREATEST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1)::DOUBLE * 5.0,
+                1.0),
+            6
+        ) AS quality_score
+    FROM documents
+"""
+
+
+@register(
+    "a68_retention_curve",
+    oracle=f"""
+WITH scored AS ({_X04_SCORE_SQL}),
+binned AS (
+    SELECT LEAST(CAST(FLOOR(quality_score * {_RETENTION_BINS}) AS BIGINT),
+                 {_RETENTION_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS weight
+    FROM scored WHERE quality_score IS NOT NULL
+    GROUP BY 1
+),
+cum AS (
+    SELECT bin,
+           CAST(SUM(docs) OVER (ORDER BY bin DESC) AS BIGINT) AS docs_retained,
+           CAST(SUM(weight) OVER (ORDER BY bin DESC) AS BIGINT) AS weight_retained,
+           CAST(SUM(docs) OVER () AS BIGINT) AS docs_total,
+           CAST(SUM(weight) OVER () AS BIGINT) AS weight_total
+    FROM binned
+)
+SELECT CAST(bin * 10000 / {_RETENTION_BINS} AS BIGINT) AS threshold_bp,
+       docs_retained,
+       weight_retained,
+       ROUND(docs_retained / docs_total::DOUBLE, 6) AS docs_frac,
+       ROUND(weight_retained / weight_total::DOUBLE, 6) AS weight_frac
+FROM cum
+""",
+    covers=("X-RETENTION", "A3", "W2", "F1"),
+)
+def a68_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import retention_curve
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    toks = whitespace_tokens(F.col("text"))
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: F.lower(t).isin(
+                "the", "a", "of", "and", "to", "in", "is", "it"
+            ),
+        )
+    ).cast("long")
+    n_tokens = feats["n_tokens"]
+    ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
+    score = 0.5 * (
+        F.when(n_tokens.between(20, 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    ) + 0.5 * F.least(ratio * 5.0, F.lit(1.0))
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(score, 6).alias("quality_score"),
+    )
+    return retention_curve(
+        scored, "quality_score", "n_tokens", bins=_RETENTION_BINS
+    )
+
+
+# =====================================================================
+# a69 — bigram-LM document scores (CCNet-style perplexity filtering,
+# Wenzek et al. 2020): every document scored under the corpus's own
+# add-alpha bigram model. The "model" is a DataFrame of n-gram counts;
+# training and inference are each one shuffle on n-gram keys, nothing
+# corpus-sized is broadcast or collected.
+# =====================================================================
+def _a69_oracle() -> str:
+    from ..operators.lm import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql(_NORM_SQL)
+
+
+@register(
+    "a69_bigram_lm_scores",
+    oracle=_a69_oracle(),
+    covers=("X-LM-SCORE", "A1", "J8", "F17"),
+)
+def a69_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_lm_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)

@@ -57,6 +57,10 @@ _REQUIRED_IN_WINDOW = {
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
     "a65_hybrid_rrf",
+    "a66_dsir_importance",
+    "a67_cms_heavy_hitters",
+    "a68_retention_curve",
+    "a69_bigram_lm_scores",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -92,7 +96,8 @@ def test_rotated_out_queries_remain_registered():
     expected = (
         {f"q{i:02d}" for i in range(22, 31)}
         | {f"x{i:02d}" for i in range(1, 21)}
-        | {"q03", "q07", "q12", "q18", "q19", "q20"}
+        | {"q03", "q07", "q08", "q09", "q10", "q11", "q12", "q18",
+           "q19", "q20"}
     )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

@@ -1,0 +1,258 @@
+"""Crafted-input tests for the second round-5 operator batch: DSIR
+importance scores, count-min sketch, quality retention curve, and
+bigram-LM document scoring. Each checks exact values against an
+independent in-Python reference (hashlib md5 / decimal arithmetic), not
+just shapes."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from clinical_trials_data_pipeline_analyis_spark.operators.curation import retention_curve
+from clinical_trials_data_pipeline_analyis_spark.operators.importance import dsir_scores
+from clinical_trials_data_pipeline_analyis_spark.operators.lm import bigram_lm_scores
+from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+    cms_cells,
+    cms_topk_estimates,
+)
+
+
+def _bucket(s: str, m: int) -> int:
+    """The engine-portable md5 bucket (operators.sampling.hash_bucket)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+
+# ---------------------------------------------------------------- DSIR
+def test_dsir_matches_python_reference(spark):
+    docs = [
+        (0, "apple apple banana", "en"),
+        (1, "apple cherry", "en"),
+        (2, "durian durian durian", "fr"),
+        (3, "banana durian", "fr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING, lang STRING")
+    buckets = 512
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(
+            df, F.col("lang") == "en", buckets=buckets
+        ).collect()
+    }
+
+    # Python reference with the same smoothing and rounding discipline.
+    tok_counts: dict[tuple[int, int], int] = {}
+    is_tgt = {0: True, 1: True, 2: False, 3: False}
+    for doc_id, text, _ in docs:
+        for t in text.split():
+            b = _bucket(t, buckets)
+            tok_counts[(doc_id, b)] = tok_counts.get((doc_id, b), 0) + 1
+    t_cnt: dict[int, int] = {}
+    r_cnt: dict[int, int] = {}
+    for (d, b), c in tok_counts.items():
+        r_cnt[b] = r_cnt.get(b, 0) + c
+        if is_tgt[d]:
+            t_cnt[b] = t_cnt.get(b, 0) + c
+    T = sum(t_cnt.values())
+    R = sum(r_cnt.values())
+    ratio = {
+        b: Decimal(
+            str(
+                round(
+                    math.log((t_cnt.get(b, 0) + 1) / (T + buckets))
+                    - math.log((r_cnt[b] + 1) / (R + buckets)),
+                    6,
+                )
+            )
+        )
+        for b in r_cnt
+    }
+    for doc_id in range(4):
+        score = sum(
+            c * ratio[b] for (d, b), c in tok_counts.items() if d == doc_id
+        )
+        n_tok = sum(c for (d, _), c in tok_counts.items() if d == doc_id)
+        row = out[doc_id]
+        assert row["n_tokens"] == n_tok
+        assert row["is_target"] == is_tgt[doc_id]
+        assert abs(row["dsir_score"] - float(score)) < 1e-9
+    # Target-only vocabulary must outscore non-target-only vocabulary.
+    assert out[1]["dsir_score"] > 0 > out[2]["dsir_score"]
+
+
+# ------------------------------------------------------ count-min sketch
+def test_cms_width_one_estimates_total(spark):
+    """w=1 forces every key into one cell per row: the estimate for any
+    key is the total event count — the degenerate upper bound."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "v STRING"
+    )
+    out = cms_topk_estimates(df, "v", k=3, d=4, w=1).collect()
+    assert {r["value"]: r["exact_count"] for r in out} == {
+        "a": 5, "b": 3, "c": 2
+    }
+    assert all(r["cms_estimate"] == 10 for r in out)
+    assert [r["value"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "a", "b", "c"
+    ]
+
+
+def test_cms_never_underestimates_and_usually_exact(spark):
+    vals = [(f"tok{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(vals, "v STRING")
+    out = cms_topk_estimates(df, "v", k=37, d=4, w=256).collect()
+    assert len(out) == 37
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in out)
+    # 37 keys in 256 buckets x 4 rows: the min-over-rows estimate is
+    # exact unless a key collides in ALL rows (probability ~ (37/256)^4).
+    exact = sum(r["overestimate"] == 0 for r in out)
+    assert exact >= 35
+
+
+def test_cms_cells_merge_by_addition(spark):
+    """The sketch of a union equals the cell-wise sum of the parts —
+    the property that makes CMS incremental across days/partitions."""
+    d1 = spark.createDataFrame([("a",), ("b",), ("a",)], "v STRING")
+    d2 = spark.createDataFrame([("a",), ("c",)], "v STRING")
+    u = cms_cells(d1.unionAll(d2), "v", d=2, w=8)
+    merged = (
+        cms_cells(d1, "v", d=2, w=8)
+        .unionAll(cms_cells(d2, "v", d=2, w=8))
+        .groupBy("row", "col")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    assert {tuple(r) for r in u.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+
+
+# ------------------------------------------------------- retention curve
+def test_retention_curve_crafted(spark):
+    rows = [
+        (1, 0.05, 10),
+        (2, 0.55, 20),
+        (3, 0.55, 30),
+        (4, 1.0, 40),   # clamps into the top bin (19), not bin 20
+        (5, None, 99),  # NULL score excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, q DOUBLE, w BIGINT")
+    out = {
+        r["threshold_bp"]: r
+        for r in retention_curve(df, "q", "w", bins=20).collect()
+    }
+    # 0.05 * 20 = 1.0000000000000002 in IEEE doubles -> bin 1 (500 bp),
+    # deterministically on BOTH engines (the oracle does the same
+    # double math) — the curve bins the representable double, not the
+    # decimal literal.
+    assert set(out) == {500, 5500, 9500}
+    assert (out[500]["docs_retained"], out[500]["weight_retained"]) == (4, 100)
+    assert (out[5500]["docs_retained"], out[5500]["weight_retained"]) == (3, 90)
+    assert (out[9500]["docs_retained"], out[9500]["weight_retained"]) == (1, 40)
+    assert out[500]["docs_frac"] == 1.0 and out[500]["weight_frac"] == 1.0
+    assert out[5500]["docs_frac"] == 0.75
+    assert out[9500]["weight_frac"] == 0.4
+
+
+# ------------------------------------------------------- bigram LM score
+def test_bigram_lm_matches_python_reference(spark):
+    docs = [
+        (0, "a b a b"),
+        (1, "a b c"),
+        (2, "z"),       # <2 tokens: no bigrams, absent from output
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, alpha=0.5).collect()}
+    assert set(out) == {0, 1}
+
+    # Python reference.
+    toks = {0: ["a", "b", "a", "b"], 1: ["a", "b", "c"]}
+    pairs: dict[tuple[str, str], int] = {}
+    uni: dict[str, int] = {"z": 1}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for w1, w2 in zip(ts, ts[1:]):
+            pairs[(w1, w2)] = pairs.get((w1, w2), 0) + 1
+    V = len(uni)
+    nll = {
+        (w1, w2): Decimal(
+            str(round(-math.log((c + 0.5) / (uni[w1] + 0.5 * V)), 6))
+        )
+        for (w1, w2), c in pairs.items()
+    }
+    for doc_id, ts in toks.items():
+        doc_pairs: dict[tuple[str, str], int] = {}
+        for w1, w2 in zip(ts, ts[1:]):
+            doc_pairs[(w1, w2)] = doc_pairs.get((w1, w2), 0) + 1
+        expect = sum(c * nll[p] for p, c in doc_pairs.items())
+        assert out[doc_id]["n_bigrams"] == len(ts) - 1
+        assert abs(out[doc_id]["total_nll"] - float(expect)) < 1e-9
+    # The repeated-bigram doc is more "fluent" per bigram than the
+    # one containing the rare (b, c) transition.
+    assert (
+        out[0]["total_nll"] / out[0]["n_bigrams"]
+        < out[1]["total_nll"] / out[1]["n_bigrams"]
+    )
+
+
+# --------------------------------------------------------- streaming CMS
+def test_cms_stream_matches_batch(spark, tmp_path):
+    """Stream-accumulated CMS cells must equal the batch sketch over the
+    union of micro-batches (merge-by-addition), and point estimates off
+    the streamed sink must match the batch estimator."""
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.streaming.events import (
+        streaming_events_source,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.sketches import (
+        cms_cells_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pdf = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).toPandas()
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    for i, chunk in enumerate(
+        [pdf.iloc[:300], pdf.iloc[300:700], pdf.iloc[700:]]
+    ):
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+
+    stream = streaming_events_source(spark, str(src))
+    q = (
+        cms_cells_stream(stream, "event_type", d=4, w=64)
+        .writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["row"], r["col"]): r["cell_count"]
+        for r in spark.sql("SELECT * FROM cms_sink").collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cell_count"]
+        for r in cms_cells(ev, "event_type", d=4, w=64).collect()
+    }
+    assert got == want
+
+    # point estimates off the streamed cells == batch estimator
+    sink = spark.sql("SELECT * FROM cms_sink")
+    batch_est = {
+        r["value"]: r["cms_estimate"]
+        for r in cms_topk_estimates(ev, "event_type", k=10, d=4, w=64).collect()
+    }
+    for value, want_est in batch_est.items():
+        cells = {
+            (r, _bucket(f"{r}:{value}", 64)) for r in range(4)
+        }
+        est = min(got[c] for c in cells)
+        assert est == want_est

@@ -79,18 +79,28 @@ def bigram_lm_scores(
     alpha: float = LM_ALPHA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """(doc_id, n_bigrams, total_nll): score each document under the
     corpus's own add-alpha bigram model. Documents with fewer than two
     tokens have no bigrams and do not appear (standard LM-filter
     semantics — they are handled by length filters, not perplexity).
 
-    NOTE: the per-(doc, bigram) subtree feeds both the corpus model
-    aggregates and the scoring join, so the tokenize+count executes
-    more than once per action; persist ``docs`` upstream when scoring
-    repeatedly.
+    The per-(doc, bigram) table feeds both the corpus model aggregate
+    and the scoring join, and the unigram table feeds both the model
+    join and the vocabulary count. ``materialize=False`` (default)
+    leaves dedup of those repeated subtrees to Catalyst's exchange
+    reuse — measured FASTER at bench scale (8.5s vs 10.0s on the 50k
+    fixture; a lazy localCheckpoint only breaks stage pipelining
+    there, see BASELINE.md round-5 notes). ``materialize=True``
+    lineage-truncates both tables with lazy ``localCheckpoint``s — the
+    guarantee (not just an optimizer rule) that each action tokenizes
+    the corpus exactly twice, for callers whose plans grow past
+    exchange-reuse reliability or who score repeatedly.
     """
     doc_pairs = _doc_bigrams(docs, id_col, text_col)
+    if materialize:
+        doc_pairs = doc_pairs.localCheckpoint(eager=False)
     bigrams = doc_pairs.groupBy("w1", "w2").agg(
         F.sum("cnt").cast("long").alias("c12")
     )
@@ -103,6 +113,8 @@ def bigram_lm_scores(
         .groupBy("w1")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
+    if materialize:
+        unigrams = unigrams.localCheckpoint(eager=False)
     vocab = unigrams.agg(
         F.count(F.lit(1)).cast("double").alias("v_size")
     )

@@ -108,6 +108,11 @@ def main() -> None:
         # inputs; a65 RRF needs embeddings so it stays in the sf bench)
         "a63_bm25_topk",
         "a64_bpe_pair_counts",
+        # data-selection / sketch additions (documents-only inputs)
+        "a66_dsir_importance",
+        "a67_cms_heavy_hitters",
+        "a68_retention_curve",
+        "a69_bigram_lm_scores",
     ]
     # warm-up (session + parquet footer caches)
     queries["x01_dedup_exact"](spark, args.dir).count()

@@ -493,3 +493,54 @@ def ivfpq_topk(
         summed.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def adc_rerank_topk(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refine stage of a compressed-index search (the "IVFADC+R" move,
+    Jegou et al., TPAMI 2011): take the ADC shortlist and re-rank it by
+    EXACT cosine over the full-precision vectors, returning the final
+    top-k. The quantized index buys the candidate scan; the refine pass
+    restores exact ordering at a cost proportional to
+    |queries| x shortlist — independent of corpus size.
+
+    ``shortlist`` is (query_id, candidate_id, ...) as produced by
+    ``pq_adc_topk`` / ``ivfpq_topk`` with a widened k (the standard
+    shortlist factor is 2-10x the final k).
+
+    100 TB shape: the shortlist (KBs) is BROADCAST against the corpus to
+    fetch candidate vectors — one pass over the embedding table, no
+    shuffle of it — and the query vectors join in by broadcast too. The
+    rerank window partitions by query over |q| x shortlist rows.
+
+    Returns (query_id, candidate_id, cosine, rank), cosine rounded to
+    6 dp, rank by (cosine DESC NULLS LAST, candidate_id ASC).
+    """
+    from ..functions.vectors import cosine_similarity
+
+    pairs = shortlist.select("query_id", "candidate_id")
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_cvec")
+    ).join(F.broadcast(pairs), "candidate_id")
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = cand_vecs.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id",
+        "candidate_id",
+        F.round(
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("candidate_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

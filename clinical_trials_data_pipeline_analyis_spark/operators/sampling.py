@@ -174,3 +174,45 @@ def leakage_safe_split(
             F.lit("train")
         ),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame, strata_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual sampling
+    rule of mBERT/XLM-R/mC4): target shares are DERIVED from the
+    observed stratum sizes as ``w_s = n_s^alpha / sum_t(n_t^alpha)``
+    instead of hand-specified — ``alpha < 1`` upweights tails (rare
+    languages/domains) and ``alpha = 1`` reproduces the corpus as-is.
+    The shares then feed the same no-upsampling rule as
+    ``mixture_rates``: ``N* = min_s(n_s / w_s)``, each stratum keeps
+    ``w_s * N* / n_s``.
+
+    Returns (strata_col, n_docs, target_w, keep_rate); ``target_w`` and
+    ``keep_rate`` are rounded to 6 dp, the binding (smallest
+    ``n_s/w_s``) stratum keeps 1.0.
+
+    Plan: one groupBy count (map-side combinable), a one-row aggregate
+    for the share denominator and another for N*, each joined back by
+    broadcast — the corpus is touched exactly once, everything after
+    the count is |strata|-sized.
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    pow_n = F.pow(F.col("_n"), F.lit(float(alpha)))
+    denom = counts.agg(F.sum(pow_n).alias("_denom"))
+    shares = counts.crossJoin(F.broadcast(denom)).select(
+        strata_col,
+        "_n",
+        F.round(pow_n / F.col("_denom"), 6).alias("_w"),
+    )
+    nstar = shares.agg(F.min(F.col("_n") / F.col("_w")).alias("_nstar"))
+    return shares.crossJoin(F.broadcast(nstar)).select(
+        strata_col,
+        F.col("_n").cast("bigint").alias("n_docs"),
+        F.col("_w").alias("target_w"),
+        F.round(
+            F.least(F.col("_w") * F.col("_nstar") / F.col("_n"), F.lit(1.0)), 6
+        ).alias("keep_rate"),
+    )

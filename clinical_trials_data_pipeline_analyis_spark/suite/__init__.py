@@ -86,19 +86,25 @@ def register(
 #: replace q08/q09/q10/q11 — all driver-green in r1-r4; their operator
 #: rows (W1/W2/J3/J4/F7/O2) keep green history via q06 + the gold-layer
 #: pipeline-parity tests, and all four stay in local oracle parity.
+#: Fourth round-5 rotation: a70 (IVFADC+rerank) and a71 (temperature
+#: mixture) replace a22_text_tfidf and a29_embedding_quantize — both
+#: r4-driver-green, both row-local/aggregation shapes that stay fully
+#: exercised by local parity at three SFs; their coverage tags stay
+#: green via a63 (corpus-statistic scoring) and a32-a34 (PQ row-local
+#: transforms).
 #: All rotated-out names (q01, q02, q04, q05, q07, q08, q09, q10, q11,
-#: q12, q13, q14, q15, q16, q17, q18, q21, q22-q30, x01-x20) remain
-#: registered.
+#: q12, q13, q14, q15, q16, q17, q18, q21, q22-q30, x01-x20, a22, a29)
+#: remain registered.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
-    "a22_text_tfidf",
+    "a70_ivfadc_rerank",
     "a23_dedup_simhash_pairs",
     "a24_ivf_train_step",
     "a25_dedup_ngram_filtered",
     "a26_dedup_simhash_verified",
     "a27_multimodal_resize",
     "a28_multimodal_frames",
-    "a29_embedding_quantize",
+    "a71_temperature_mixture",
     "a30_dedup_keep_best",
     "a31_ann_ivf_multiprobe",
     "a32_pq_encode",

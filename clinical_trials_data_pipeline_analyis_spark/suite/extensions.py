@@ -1832,10 +1832,9 @@ def a37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probes, LUT, candidate pairs) broadcast; the corpus-sized codes and
 # assignment tables never shuffle before the final partial-agg sum.
 # =====================================================================
-@register(
-    "a38_ivfpq_topk",
-    oracle=f"""
-WITH {_PQ_ENCODE_SQL},
+#: The IVF-probe + ADC-sum CTE chain shared by the a38 oracle and the
+#: a70 rerank oracle (which widens the shortlist and refines it).
+_IVFPQ_CHAIN_SQL = f"""{_PQ_ENCODE_SQL},
 codes AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1),
 embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
@@ -1870,7 +1869,13 @@ summed AS (
     JOIN lut AS l ON l.query_id = cd.query_id
                  AND l.subspace = c.subspace AND l.code_id = c.code_id
     GROUP BY cd.query_id, cd.candidate_id
-)
+)"""
+
+
+@register(
+    "a38_ivfpq_topk",
+    oracle=f"""
+WITH {_IVFPQ_CHAIN_SQL}
 SELECT query_id, candidate_id, adc,
        CAST(ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY adc, candidate_id
@@ -3694,3 +3699,96 @@ def a69_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs)
+
+
+# =====================================================================
+# a70 — IVFADC + exact rerank (IVFADC+R, Jegou et al. 2011): the a38
+# compressed-index search widened to a 10-candidate shortlist, then
+# refined by exact cosine over the full-precision vectors to the final
+# top-5. The standard accuracy/cost dial of production ANN: the
+# quantized index pays the scan, the refine pass costs
+# |queries| x shortlist regardless of corpus size (shortlist broadcast
+# probes the embedding table, nothing corpus-sized shuffles).
+# =====================================================================
+@register(
+    "a70_ivfadc_rerank",
+    oracle=f"""
+WITH {_IVFPQ_CHAIN_SQL},
+shortlist AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT query_id, candidate_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc, candidate_id
+               ) AS arank
+        FROM summed
+    ) WHERE arank <= 10
+),
+rescored AS (
+    SELECT s.query_id, s.candidate_id,
+           {_COS_SQL.format(a="q.e", b="c.e")} AS cosine
+    FROM shortlist AS s
+    JOIN embd AS q ON q.vec_id = s.query_id
+    JOIN embd AS c ON c.vec_id = s.candidate_id
+)
+SELECT query_id, candidate_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine DESC NULLS LAST, candidate_id
+       ) AS BIGINT) AS rank
+FROM rescored
+QUALIFY rank <= 5
+""",
+    covers=("X-ANN-PQ", "X-ANN-IVF", "X-ANN-SEARCH", "X-ANN-RERANK"),
+)
+def a70_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import adc_rerank_topk, ivfpq_topk, pq_encode, seed_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    cb = seed_codebooks(emb, m=_PQ_M, mod=61)
+    codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
+    assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    shortlist = ivfpq_topk(
+        queries, codes, assignments, cb, centroids, m=_PQ_M, k=10, nprobe=2
+    )
+    return adc_rerank_topk(shortlist, queries, emb, k=5)
+
+
+# =====================================================================
+# a71 — temperature-based mixture reweighting (mBERT/XLM-R/mC4
+# sampling rule): per-language target shares derived as
+# n^alpha / sum(n^alpha) with alpha=0.3 (tail languages upweighted),
+# then the same no-upsampling keep-rate rule as a42. The whole
+# computation after the one corpus count is |strata|-sized.
+# =====================================================================
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "a71_temperature_mixture",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM documents GROUP BY lang
+),
+shares AS (
+    SELECT lang, n,
+           ROUND(pow(n, {_TEMP_ALPHA}) /
+                 (SELECT SUM(pow(n, {_TEMP_ALPHA})) FROM counts), 6) AS w
+    FROM counts
+),
+nstar AS (SELECT MIN(n / w) AS ns FROM shares)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       w AS target_w,
+       ROUND(LEAST(w * ns / n, 1.0), 6) AS keep_rate
+FROM shares, nstar
+""",
+    covers=("X-MIXTURE", "A1", "J6"),
+)
+def a71_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture_rates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_mixture_rates(docs, "lang", alpha=_TEMP_ALPHA)

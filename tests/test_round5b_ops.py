@@ -19,6 +19,7 @@ from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
     cms_cells,
     cms_topk_estimates,
 )
+from conftest import SF_DIR
 
 
 def _bucket(s: str, m: int) -> int:
@@ -256,3 +257,88 @@ def test_cms_stream_matches_batch(spark, tmp_path):
         }
         est = min(got[c] for c in cells)
         assert est == want_est
+
+
+# ----------------------------------------------------- ADC exact rerank
+def test_adc_rerank_orders_by_exact_cosine(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.pq import adc_rerank_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),          # query
+            (1, [0.9, 0.1]),          # closest
+            (2, [0.5, 0.5]),
+            (3, [0.0, 1.0]),          # orthogonal
+            (4, [-1.0, 0.0]),         # opposite
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    # ADC shortlist deliberately mis-ordered (quantization error): the
+    # refine pass must restore the exact-cosine order and cut to k.
+    shortlist = spark.createDataFrame(
+        [(0, 4, 1), (0, 3, 2), (0, 2, 3), (0, 1, 4)],
+        "query_id BIGINT, candidate_id BIGINT, rank BIGINT",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = adc_rerank_topk(shortlist, queries, corpus, k=3).collect()
+    got = [(r["candidate_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    by_cand = {r["candidate_id"]: r["cosine"] for r in out}
+    import math as _m
+    assert abs(by_cand[1] - round(0.9 / _m.sqrt(0.81 + 0.01), 6)) < 1e-12
+    assert by_cand[3] == 0.0
+
+
+def test_adc_rerank_cost_is_shortlist_bounded(spark):
+    """The refine plan must broadcast the shortlist and the query
+    vectors — never shuffle or broadcast the corpus side."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.pq import adc_rerank_topk
+
+    corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 3)
+    shortlist = spark.createDataFrame(
+        [(0, 5, 1), (1, 6, 1), (2, 7, 1)],
+        "query_id BIGINT, candidate_id BIGINT, rank BIGINT",
+    )
+    plan = (
+        adc_rerank_topk(shortlist, queries, corpus, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ------------------------------------------- temperature mixture rates
+def test_temperature_mixture_crafted(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    rows = [("en",)] * 100 + [("fr",)] * 10
+    df = spark.createDataFrame(rows, "lang STRING")
+    out = {
+        r["lang"]: r
+        for r in temperature_mixture_rates(df, "lang", alpha=0.5).collect()
+    }
+    import math as _m
+
+    d = _m.sqrt(100) + _m.sqrt(10)
+    w_en = round(_m.sqrt(100) / d, 6)
+    w_fr = round(_m.sqrt(10) / d, 6)
+    assert out["en"]["target_w"] == w_en
+    assert out["fr"]["target_w"] == w_fr
+    # fr is the binding stratum (smallest n/w): keeps everything;
+    # en downsamples to w_en * N* / 100.
+    nstar = min(100 / w_en, 10 / w_fr)
+    assert out["fr"]["keep_rate"] == 1.0
+    assert out["en"]["keep_rate"] == round(w_en * nstar / 100, 6)
+    # alpha=1 reproduces the corpus up to the 6dp share rounding: the
+    # binding stratum keeps exactly 1.0 and the other within one
+    # rounding ulp of it (w is rounded before N*, so 100/0.909091 and
+    # 10/0.090909 differ in the 7th digit).
+    out1 = {
+        r["lang"]: r["keep_rate"]
+        for r in temperature_mixture_rates(df, "lang", alpha=1.0).collect()
+    }
+    assert max(out1.values()) == 1.0
+    assert min(out1.values()) >= 0.999998

@@ -784,3 +784,115 @@ def decontaminate(
         F.count(F.lit(1)).alias("n_bench_hits"),
         F.max("n_common").alias("max_common"),
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    k_hashes: int = 3,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    raw shingle set: the benchmark's k-word shingles are folded into a
+    ``m_bits``-position bit set (``k_hashes`` salted-md5 positions per
+    shingle), and a training shingle counts as a hit when ALL its
+    positions are set. One-sided error: every true overlap is caught
+    (no false negatives); hash collisions can only ADD false positives,
+    which the output quantifies next to the exact join.
+
+    Why it exists next to :func:`decontaminate`: a35 broadcasts the
+    benchmark's full shingle table — right when benchmarks are small,
+    but the broadcast grows with every benchmark added. The Bloom form
+    broadcasts AT MOST ``m_bits`` positions no matter how many
+    benchmarks fold in (set-union mergeable, like every sketch here),
+    making membership state CONSTANT-size — the shape an ingest
+    pipeline wants when the "do not train on this" list keeps growing.
+
+    Returns one row per training doc with >= 1 Bloom hit:
+    (id_col, n_shingles, bloom_hits, exact_hits, false_positives).
+
+    Scale shape: ONE pass over the training shingles — both membership
+    probes are broadcast LEFT joins carried through a single
+    (doc, shingle) partial aggregation, so the corpus never shuffles
+    text or full shingle sets and is never re-scanned per output
+    column; the exact-hit column (kept to expose the false-positive
+    rate) is the one a35-style broadcast join and is dropped in
+    production use.
+    """
+    from .sampling import hash_bucket
+
+    def positions(col):
+        return F.array_distinct(
+            F.array(
+                *[
+                    hash_bucket(
+                        F.concat(F.lit(f"{i}:"), col), m_bits
+                    ).cast("long")
+                    for i in range(k_hashes)
+                ]
+            )
+        )
+
+    ev = shingle_sets(benchmark, id_col, text_col, k)
+    bloom = (
+        ev.select(F.explode(positions(F.col("shingle"))).alias("pos"))
+        .distinct()
+        .withColumn("_in_bloom", F.lit(1).cast("long"))
+    )
+    bench_shingles = (
+        ev.select("shingle")
+        .distinct()
+        .withColumn("_in_bench", F.lit(1).cast("long"))
+    )
+
+    tr = shingle_sets(train, id_col, text_col, k).select(
+        F.col(id_col).alias("train_id"),
+        "shingle",
+        positions(F.col("shingle")).alias("_pos_arr"),
+    )
+    per_shingle = (
+        tr.join(F.broadcast(bench_shingles), "shingle", "left")
+        .select(
+            "train_id",
+            "shingle",
+            F.coalesce(F.col("_in_bench"), F.lit(0).cast("long")).alias(
+                "_exact"
+            ),
+            F.size("_pos_arr").cast("long").alias("_n_pos"),
+            F.explode("_pos_arr").alias("pos"),
+        )
+        .join(F.broadcast(bloom), "pos", "left")
+        .groupBy("train_id", "shingle")
+        .agg(
+            F.sum(F.coalesce(F.col("_in_bloom"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("_matched"),
+            F.max("_n_pos").alias("_n_pos"),
+            F.max("_exact").alias("_exact"),
+        )
+    )
+    return (
+        per_shingle.groupBy(F.col("train_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("_matched") == F.col("_n_pos")).cast("long")
+            )
+            .cast("long")
+            .alias("bloom_hits"),
+            F.sum("_exact").cast("long").alias("exact_hits"),
+        )
+        .filter(F.col("bloom_hits") > 0)
+        .select(
+            id_col,
+            "n_shingles",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias(
+                "false_positives"
+            ),
+        )
+    )

@@ -94,7 +94,10 @@ def register(
 #: transforms).
 #: All rotated-out names (q01, q02, q04, q05, q07, q08, q09, q10, q11,
 #: q12, q13, q14, q15, q16, q17, q18, q21, q22-q30, x01-x20, a22, a29)
-#: remain registered.
+#: remain registered. Fifth rotation: a72 (fixed-point PageRank) and
+#: a73 (Bloom decontamination) replace a36_stratified_sample and
+#: a42_mixture_rates — r4-green; the sampling/mixture family stays
+#: in-window via a48 and a71, and decontamination via a35.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -111,13 +114,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a33_pq_adc_topk",
     "a34_pq_train_step",
     "a35_decontaminate",
-    "a36_stratified_sample",
+    "a72_pagerank_copurchase",
     "a37_sequence_pack",
     "a38_ivfpq_topk",
     "a39_text_repetition",
     "a40_curation_funnel",
     "a41_pq_residual_encode",
-    "a42_mixture_rates",
+    "a73_bloom_decontaminate",
     "a43_ivfpq_residual_topk",
     "a44_chunk_spans",
     "a45_semantic_dedup",

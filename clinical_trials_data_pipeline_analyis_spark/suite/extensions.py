@@ -3792,3 +3792,117 @@ def a71_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return temperature_mixture_rates(docs, "lang", alpha=_TEMP_ALPHA)
+
+
+# =====================================================================
+# a72 — fixed-point PageRank over the order/part co-purchase graph:
+# 5 damped iterations in BIGINT parts-per-billion, so the iterative
+# ranking is bit-identical across engines and partitionings (float
+# PageRank is partition-order nondeterministic — not oracle-checkable).
+# The canonical-entity-selection move for clusters/graphs: CC says what
+# belongs together, PageRank says which member is central.
+# =====================================================================
+_PAGERANK_EDGES_SQL = (
+    "SELECT DISTINCT l_orderkey % 1000 AS src, "
+    "100000 + (l_partkey % 1000) AS dst FROM lineitem"
+)
+
+
+def _a72_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=5)
+
+
+@register(
+    "a72_pagerank_copurchase",
+    oracle=_a72_oracle(),
+    covers=("X-GRAPH-PAGERANK", "A1", "J8"),
+)
+def a72_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed_point
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1000).alias("dst"),
+    ).distinct()
+    return pagerank_fixed_point(edges, iterations=5)
+
+
+# =====================================================================
+# a73 — Bloom-filter decontamination: the a35 check with the benchmark
+# folded into a 4096-position bit set (3 salted-md5 hashes/shingle)
+# instead of a broadcast shingle table. Membership state is CONSTANT
+# size no matter how many benchmarks merge in; the output counts the
+# false positives the compression buys next to the exact join.
+# =====================================================================
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_POS_SQL = (
+    "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8) "
+    f"AS BIGINT) % {_BLOOM_M}"
+)
+
+
+@register(
+    "a73_bloom_decontaminate",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashes AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i),
+ev AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+bloom AS (
+    SELECT DISTINCT {_BLOOM_POS_SQL} AS pos FROM ev, hashes
+),
+bench_shingles AS (SELECT DISTINCT shingle FROM ev),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+tr_pos AS (
+    SELECT DISTINCT train_id, shingle, {_BLOOM_POS_SQL} AS pos
+    FROM tr, hashes
+),
+tr_npos AS (
+    SELECT train_id, shingle, CAST(COUNT(*) AS BIGINT) AS n_pos
+    FROM tr_pos GROUP BY train_id, shingle
+),
+matched AS (
+    SELECT p.train_id, p.shingle, CAST(COUNT(*) AS BIGINT) AS m
+    FROM tr_pos AS p JOIN bloom USING (pos)
+    GROUP BY p.train_id, p.shingle
+),
+hits AS (
+    SELECT m.train_id, m.shingle
+    FROM matched AS m JOIN tr_npos AS n
+      ON n.train_id = m.train_id AND n.shingle = m.shingle
+    WHERE m.m = n.n_pos
+),
+bloom_hits AS (
+    SELECT train_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits
+    FROM hits GROUP BY train_id
+),
+n_shingles AS (
+    SELECT train_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM tr GROUP BY train_id
+),
+exact AS (
+    SELECT train_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS exact_hits
+    FROM tr JOIN bench_shingles USING (shingle)
+    GROUP BY train_id
+)
+SELECT b.doc_id, s.n_shingles, b.bloom_hits,
+       COALESCE(e.exact_hits, 0) AS exact_hits,
+       b.bloom_hits - COALESCE(e.exact_hits, 0) AS false_positives
+FROM bloom_hits AS b
+JOIN n_shingles AS s ON s.doc_id = b.doc_id
+LEFT JOIN exact AS e ON e.doc_id = b.doc_id
+""",
+    covers=("X-DECONTAMINATE", "X-BLOOM", "A5", "J9"),
+)
+def a73_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bloom_decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_decontaminate(
+        train, bench, k=3, k_hashes=_BLOOM_K, m_bits=_BLOOM_M
+    )

@@ -63,6 +63,8 @@ _REQUIRED_IN_WINDOW = {
     "a69_bigram_lm_scores",
     "a70_ivfadc_rerank",
     "a71_temperature_mixture",
+    "a72_pagerank_copurchase",
+    "a73_bloom_decontaminate",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -99,7 +101,7 @@ def test_rotated_out_queries_remain_registered():
         {f"q{i:02d}" for i in range(22, 31)}
         | {f"x{i:02d}" for i in range(1, 21)}
         | {"q03", "q07", "q08", "q09", "q10", "q11", "q12", "q18",
-           "q19", "q20", "a22", "a29"}
+           "q19", "q20", "a22", "a29", "a36", "a42"}
     )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

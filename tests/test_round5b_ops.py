@@ -342,3 +342,75 @@ def test_temperature_mixture_crafted(spark):
     }
     assert max(out1.values()) == 1.0
     assert min(out1.values()) >= 0.999998
+
+
+# ------------------------------------------------------ PageRank (a72)
+def test_pagerank_matches_python_fixed_point(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star: 0 at the center of 1..4, plus an off-hub edge 5-6
+    edge_list = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6)]
+    edges = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    out = {
+        r["node"]: (r["degree"], r["rank_ppb"])
+        for r in pagerank_fixed_point(edges, iterations=5).collect()
+    }
+
+    # independent reference with the SAME integer arithmetic
+    sym: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    n = len(sym)
+    rank = {v: PAGERANK_SCALE // n for v in sym}
+    base = (15 * PAGERANK_SCALE // 100) // n
+    for _ in range(5):
+        contrib = {v: rank[v] // len(sym[v]) for v in sym}
+        rank = {
+            v: base + 85 * sum(contrib[u] for u in sym[v]) // 100
+            for v in sym
+        }
+    for v in sym:
+        assert out[v] == (len(sym[v]), rank[v]), v
+    # the hub out-ranks every leaf; leaves tie by symmetry
+    assert out[0][1] > out[1][1]
+    assert len({out[v][1] for v in (1, 2, 3, 4)}) == 1
+
+
+# ------------------------------------------- Bloom decontamination (a73)
+def test_bloom_decontaminate_no_false_negatives_and_fp_accounting(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        bloom_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta")], "doc_id BIGINT, text STRING"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma epsilon"),   # shares shingle "alpha beta gamma"
+            (2, "zeta eta theta iota"),        # no true overlap
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(train, bench, k=3).collect()
+    }
+    # true overlap always caught, and bloom_hits >= exact_hits everywhere
+    assert 1 in out and out[1]["exact_hits"] == 1
+    assert all(r["bloom_hits"] >= r["exact_hits"] for r in out.values())
+    assert all(r["false_positives"] >= 0 for r in out.values())
+
+    # m_bits=1: every position collides -> every shingle "hits"; the
+    # false-positive column must account for exactly the non-overlaps.
+    out1 = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(train, bench, k=3, m_bits=1).collect()
+    }
+    for d, r in out1.items():
+        assert r["bloom_hits"] == r["n_shingles"]
+        assert r["false_positives"] == r["n_shingles"] - r["exact_hits"]

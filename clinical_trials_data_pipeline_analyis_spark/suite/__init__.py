@@ -97,7 +97,10 @@ def register(
 #: remain registered. Fifth rotation: a72 (fixed-point PageRank) and
 #: a73 (Bloom decontamination) replace a36_stratified_sample and
 #: a42_mixture_rates — r4-green; the sampling/mixture family stays
-#: in-window via a48 and a71, and decontamination via a35.
+#: in-window via a48 and a71, and decontamination via a35. Sixth
+#: rotation: a74 (ordered funnel) and a75 (cohort retention) replace
+#: a44_chunk_spans and a47_length_batches — r4-green; the packing
+#: family keeps a37 and a52 in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -122,10 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a41_pq_residual_encode",
     "a73_bloom_decontaminate",
     "a43_ivfpq_residual_topk",
-    "a44_chunk_spans",
+    "a74_event_funnel",
     "a45_semantic_dedup",
     "a46_corpus_bigrams",
-    "a47_length_batches",
+    "a75_cohort_retention",
     "a48_corpus_shuffle",
     "a49_ann_recall_at_k",
     "a50_cell_assign_rowlocal",

@@ -3906,3 +3906,102 @@ def a73_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(
         train, bench, k=3, k_hashes=_BLOOM_K, m_bits=_BLOOM_M
     )
+
+
+# =====================================================================
+# a74 — ordered event funnel (view -> click -> purchase): a user
+# advances a step only with an event strictly AFTER their first
+# qualifying time for the previous step — the time-conditioned funnel
+# of product analytics, not a per-type distinct count. Each step is a
+# per-user MIN aggregate; the step frames join by user key and AQE
+# shares the user-hash exchange across them.
+# =====================================================================
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "a74_event_funnel",
+    oracle=f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events AS e JOIN s1 ON s1.user_id = e.user_id
+    WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events AS e JOIN s2 ON s2.user_id = e.user_id
+    WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+           CAST(COUNT(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}',
+           CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}',
+           CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, users,
+       ROUND(users / (SELECT users FROM counts WHERE step = 1)::DOUBLE, 6)
+           AS conv_pct
+FROM counts
+""",
+    covers=("X-FUNNEL", "A2", "J6", "J9"),
+)
+def a74_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import funnel_counts
+
+    ev = _read_events(spark, sf_dir)
+    return funnel_counts(ev, list(_FUNNEL_STEPS))
+
+
+# =====================================================================
+# a75 — weekly cohort retention: (first-activity week x age in weeks)
+# distinct-user matrix with per-cohort retention rates. Week buckets
+# are integral division on epoch-day numbers (Monday-anchored), so the
+# bucketing needs no engine week function and is bit-identical. The
+# only corpus-sized aggregate is the day-granular distinct-activity
+# table; everything after is |users|-sized.
+# =====================================================================
+@register(
+    "a75_cohort_retention",
+    oracle="""
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS d
+    FROM events
+),
+first AS (SELECT user_id, MIN(d) AS d0 FROM activity GROUP BY user_id),
+cohort AS (
+    SELECT (d0 - 4) // 7 AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY 1
+),
+matrix AS (
+    SELECT DISTINCT (f.d0 - 4) // 7 AS cohort_week,
+           (a.d - f.d0) // 7 AS age_weeks,
+           a.user_id
+    FROM activity AS a JOIN first AS f ON f.user_id = a.user_id
+)
+SELECT m.cohort_week, m.age_weeks,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       c.cohort_size,
+       ROUND(COUNT(*) / c.cohort_size::DOUBLE, 6) AS retention_pct
+FROM matrix AS m JOIN cohort AS c ON c.cohort_week = m.cohort_week
+GROUP BY m.cohort_week, m.age_weeks, c.cohort_size
+""",
+    covers=("X-COHORT", "A5", "F13", "J3"),
+)
+def a75_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import cohort_retention
+
+    ev = _read_events(spark, sf_dir)
+    return cohort_retention(ev)

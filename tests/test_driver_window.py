@@ -32,8 +32,6 @@ _REQUIRED_IN_WINDOW = {
     # packing / curation / sampling
     "a37_sequence_pack",
     "a40_curation_funnel",
-    "a44_chunk_spans",
-    "a47_length_batches",
     "a48_corpus_shuffle",
     # ANN quality loop
     "a49_ann_recall_at_k",
@@ -65,6 +63,8 @@ _REQUIRED_IN_WINDOW = {
     "a71_temperature_mixture",
     "a72_pagerank_copurchase",
     "a73_bloom_decontaminate",
+    "a74_event_funnel",
+    "a75_cohort_retention",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -101,7 +101,7 @@ def test_rotated_out_queries_remain_registered():
         {f"q{i:02d}" for i in range(22, 31)}
         | {f"x{i:02d}" for i in range(1, 21)}
         | {"q03", "q07", "q08", "q09", "q10", "q11", "q12", "q18",
-           "q19", "q20", "a22", "a29", "a36", "a42"}
+           "q19", "q20", "a22", "a29", "a36", "a42", "a44", "a47"}
     )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

@@ -414,3 +414,67 @@ def test_bloom_decontaminate_no_false_negatives_and_fp_accounting(spark):
     for d, r in out1.items():
         assert r["bloom_hits"] == r["n_shingles"]
         assert r["false_positives"] == r["n_shingles"] - r["exact_hits"]
+
+
+# ------------------------------------------------- ordered event funnel
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.events import (
+        funnel_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t0), (1, "click", t0 + h), (1, "purchase", t0 + 2 * h),
+        # user 2: clicked BEFORE first view -> stuck at step 1
+        (2, "click", t0), (2, "view", t0 + h),
+        # user 3: view+click ordered, purchase SIMULTANEOUS with click
+        # (strictly-after fails) -> step 2
+        (3, "view", t0), (3, "click", t0 + h), (3, "purchase", t0 + h),
+        # user 4: never viewed -> not in the funnel at all
+        (4, "purchase", t0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ"
+    )
+    out = {
+        r["step"]: r
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert (out[1]["users"], out[2]["users"], out[3]["users"]) == (3, 2, 1)
+    assert out[3]["conv_pct"] == round(1 / 3, 6)
+    assert out[1]["step_name"] == "view"
+
+
+# --------------------------------------------------- cohort retention
+def test_cohort_retention_week_math(spark):
+    import datetime as dt
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.events import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday: epoch_day 19723, (19723-4) DIV 7 = 2817.
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    d = dt.timedelta(days=1)
+    rows = [
+        (1, base),                 # cohort week W, active week 0
+        (1, base + 7 * d),         # ... and week 1
+        (2, base + 2 * d),         # same cohort week W (Wednesday)
+        (3, base + 7 * d),         # next cohort week W+1
+    ]
+    ev = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP_NTZ")
+    out = {
+        (r["cohort_week"], r["age_weeks"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    W = (19723 - 4) // 7
+    assert set(out) == {(W, 0), (W, 1), (W + 1, 0)}
+    assert out[(W, 0)]["active_users"] == 2
+    assert out[(W, 0)]["cohort_size"] == 2
+    assert out[(W, 1)]["active_users"] == 1
+    assert out[(W, 1)]["retention_pct"] == 0.5
+    assert out[(W + 1, 0)]["cohort_size"] == 1

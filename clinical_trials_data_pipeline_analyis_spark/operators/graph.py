@@ -116,25 +116,17 @@ def pagerank_fixed_point(
     return ranks.select("node", "degree", "rank_ppb")
 
 
-def pagerank_oracle_sql(
-    edges_sql: str,
-    iterations: int = 5,
-    damping_pct: int = 85,
+def pagerank_iteration_ctes(
+    iterations: int = 5, damping_pct: int = 85
 ) -> str:
-    """DuckDB oracle for :func:`pagerank_fixed_point`: the iteration
-    unrolled as chained CTEs, generated from the SAME constants.
-    ``edges_sql`` must select columns ``src, dst``."""
+    """The deg/nn/it0..itN CTE chain of the fixed-point iteration,
+    assuming a CTE named ``sym(a, b)`` (symmetrized, self-loop-free,
+    deduplicated edges) is already in scope — embeddable into larger
+    oracles (e.g. CC + centrality compositions). The final CTE is
+    ``it{iterations}(node, degree, rank_ppb)``."""
     base = (100 - damping_pct) * PAGERANK_SCALE // 100
     parts = [
-        f"""edges_in AS ({edges_sql}),
-sym AS (
-    SELECT DISTINCT a, b FROM (
-        SELECT src AS a, dst AS b FROM edges_in
-        UNION ALL
-        SELECT dst AS a, src AS b FROM edges_in
-    ) WHERE a <> b
-),
-deg AS (
+        f"""deg AS (
     SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
     FROM sym GROUP BY a
 ),
@@ -159,5 +151,25 @@ it0 AS (
     ) AS m ON m.node = d.node, nn
 )"""
         )
-    chain = ",\n".join(parts)
-    return f"WITH {chain}\nSELECT node, degree, rank_ppb FROM it{iterations}"
+    return ",\n".join(parts)
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB oracle for :func:`pagerank_fixed_point`: the iteration
+    unrolled as chained CTEs, generated from the SAME constants.
+    ``edges_sql`` must select columns ``src, dst``."""
+    chain = pagerank_iteration_ctes(iterations, damping_pct)
+    return f"""WITH edges_in AS ({edges_sql}),
+sym AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM edges_in
+        UNION ALL
+        SELECT dst AS a, src AS b FROM edges_in
+    ) WHERE a <> b
+),
+{chain}
+SELECT node, degree, rank_ppb FROM it{iterations}"""

@@ -100,7 +100,9 @@ def register(
 #: in-window via a48 and a71, and decontamination via a35. Sixth
 #: rotation: a74 (ordered funnel) and a75 (cohort retention) replace
 #: a44_chunk_spans and a47_length_batches — r4-green; the packing
-#: family keeps a37 and a52 in-window.
+#: family keeps a37 and a52 in-window. Seventh rotation: a76
+#: (canonical-by-centrality) replaces a46_corpus_bigrams — r4-green;
+#: corpus n-gram statistics stay in-window via a64 and a39.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -127,7 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a43_ivfpq_residual_topk",
     "a74_event_funnel",
     "a45_semantic_dedup",
-    "a46_corpus_bigrams",
+    "a76_canonical_by_centrality",
     "a75_cohort_retention",
     "a48_corpus_shuffle",
     "a49_ann_recall_at_k",

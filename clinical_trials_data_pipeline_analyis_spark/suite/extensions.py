@@ -4005,3 +4005,95 @@ def a75_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read_events(spark, sf_dir)
     return cohort_retention(ev)
+
+
+# =====================================================================
+# a76 — canonical-document selection by graph centrality: the a21
+# near-dup clusters crossed with a72's fixed-point PageRank over the
+# SAME candidate-pair graph; each multi-document cluster elects the
+# most central member (highest rank_ppb, doc_id tiebreak) as its
+# canonical representative — the "which copy do we keep" answer
+# upgraded from a30's feature heuristics to relational evidence.
+# Composition of two staged pipelines; the pair graph is built ONCE
+# (dedup_pipeline's checkpoint) and feeds both CC and PageRank.
+# =====================================================================
+def _a76_oracle() -> str:
+    from ..operators.graph import pagerank_iteration_ctes
+
+    return f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands AS a
+    JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS e_src, doc_a AS e_dst FROM pairs
+),
+walk(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.e_dst, w.label FROM walk AS w JOIN edges AS e ON w.doc_id = e.e_src
+),
+comp AS (
+    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+),
+sym AS (SELECT DISTINCT e_src AS a, e_dst AS b FROM edges WHERE e_src <> e_dst),
+{pagerank_iteration_ctes(iterations=5)},
+scored AS (
+    SELECT c.cluster_id, c.doc_id, r.rank_ppb,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+               AS cluster_size,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY r.rank_ppb DESC, c.doc_id
+           ) AS rn
+    FROM comp AS c JOIN it5 AS r ON r.node = c.doc_id
+)
+SELECT cluster_id, doc_id AS canonical_doc_id, rank_ppb, cluster_size
+FROM scored WHERE rn = 1
+"""
+
+
+@register(
+    "a76_canonical_by_centrality",
+    oracle=_a76_oracle(),
+    covers=("X-DEDUP-CC", "X-GRAPH-PAGERANK", "X-DEDUP-KEEP", "W2"),
+)
+def a76_canonical_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_pipeline
+    from ..operators.graph import pagerank_fixed_point
+
+    docs = read_table(spark, sf_dir, "documents")
+    _sigs, pairs, comp = dedup_pipeline(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=3
+    )
+    ranks = pagerank_fixed_point(
+        pairs, iterations=5, src_col="doc_a", dst_col="doc_b"
+    )
+    w_size = Window.partitionBy("cluster_id")
+    w_pick = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank_ppb"), F.asc("doc_id")
+    )
+    scored = (
+        comp.select("doc_id", F.col("component").alias("cluster_id"))
+        .join(ranks, F.col("doc_id") == F.col("node"))
+        .select(
+            "cluster_id",
+            "doc_id",
+            "rank_ppb",
+            F.count(F.lit(1)).over(w_size).cast("long").alias("cluster_size"),
+            F.row_number().over(w_pick).alias("rn"),
+        )
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "rank_ppb",
+        "cluster_size",
+    )

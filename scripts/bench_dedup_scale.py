@@ -113,6 +113,12 @@ def main() -> None:
         "a67_cms_heavy_hitters",
         "a68_retention_curve",
         "a69_bigram_lm_scores",
+        # graph-composition additions (documents-only inputs); the
+        # 50k fixture's preferential-attachment duplication makes the
+        # pair graph ~50x denser than sf0.1 — the worst case for the
+        # CC + PageRank composition
+        "a73_bloom_decontaminate",
+        "a76_canonical_by_centrality",
     ]
     # warm-up (session + parquet footer caches)
     queries["x01_dedup_exact"](spark, args.dir).count()

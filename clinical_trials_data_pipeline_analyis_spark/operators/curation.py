@@ -119,8 +119,15 @@ def retention_curve(
             F.round(
                 F.col("docs_retained") / F.col("docs_total").cast("double"), 6
             ).alias("docs_frac"),
+            # try_divide: a zero total weight (every doc weightless)
+            # yields NULL instead of an ANSI DIVIDE_BY_ZERO error —
+            # found by the hypothesis sweep; docs_total is >= 1
+            # whenever the curve is non-empty, so plain division there.
             F.round(
-                F.col("weight_retained") / F.col("weight_total").cast("double"),
+                F.try_divide(
+                    F.col("weight_retained"),
+                    F.col("weight_total").cast("double"),
+                ),
                 6,
             ).alias("weight_frac"),
         )

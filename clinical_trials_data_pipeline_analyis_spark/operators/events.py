@@ -77,13 +77,16 @@ def funnel_counts(
     first = counts.filter(F.col("step") == 1).select(
         F.col("users").alias("_first")
     )
+    # try_divide: an empty first step (nobody fired steps[0] at all)
+    # yields NULL conversion instead of an ANSI DIVIDE_BY_ZERO error —
+    # found by the hypothesis sweep.
     return counts.crossJoin(F.broadcast(first)).select(
         "step",
         "step_name",
         "users",
-        F.round(F.col("users") / F.col("_first").cast("double"), 6).alias(
-            "conv_pct"
-        ),
+        F.round(
+            F.try_divide(F.col("users"), F.col("_first").cast("double")), 6
+        ).alias("conv_pct"),
     )
 
 

@@ -3642,7 +3642,9 @@ SELECT CAST(bin * 10000 / {_RETENTION_BINS} AS BIGINT) AS threshold_bp,
        docs_retained,
        weight_retained,
        ROUND(docs_retained / docs_total::DOUBLE, 6) AS docs_frac,
-       ROUND(weight_retained / weight_total::DOUBLE, 6) AS weight_frac
+       CASE WHEN weight_total = 0 THEN NULL
+            ELSE ROUND(weight_retained / weight_total::DOUBLE, 6) END
+           AS weight_frac
 FROM cum
 """,
     covers=("X-RETENTION", "A3", "W2", "F1"),
@@ -3949,8 +3951,9 @@ counts AS (
            CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT step, step_name, users,
-       ROUND(users / (SELECT users FROM counts WHERE step = 1)::DOUBLE, 6)
-           AS conv_pct
+       CASE WHEN (SELECT users FROM counts WHERE step = 1) = 0 THEN NULL
+            ELSE ROUND(users / (SELECT users FROM counts WHERE step = 1)::DOUBLE, 6)
+       END AS conv_pct
 FROM counts
 """,
     covers=("X-FUNNEL", "A2", "J6", "J9"),

@@ -207,7 +207,13 @@ def temperature_mixture_rates(
         "_n",
         F.round(pow_n / F.col("_denom"), 6).alias("_w"),
     )
-    nstar = shares.agg(F.min(F.col("_n") / F.col("_w")).alias("_nstar"))
+    # try_divide: a stratum so small its 6dp-rounded share is 0.0 must
+    # not ANSI-crash the binding-stratum scan — NULL is ignored by MIN
+    # (and its keep_rate is 0 via w = 0), matching the oracle where
+    # n/0.0 is +inf and never the minimum.
+    nstar = shares.agg(
+        F.min(F.try_divide(F.col("_n"), F.col("_w"))).alias("_nstar")
+    )
     return shares.crossJoin(F.broadcast(nstar)).select(
         strata_col,
         F.col("_n").cast("bigint").alias("n_docs"),

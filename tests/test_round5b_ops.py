@@ -478,3 +478,22 @@ def test_cohort_retention_week_math(spark):
     assert out[(W, 1)]["active_users"] == 1
     assert out[(W, 1)]["retention_pct"] == 0.5
     assert out[(W + 1, 0)]["cohort_size"] == 1
+
+
+def test_temperature_mixture_vanishing_stratum(spark):
+    """A stratum whose 6dp-rounded share is 0.0 (1 doc among millions-
+    scale skew) must not crash the N* scan; it keeps 0.0 while the rest
+    stay sane. alpha=3 cubes the imbalance so w_fr rounds to zero."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    rows = [("en",)] * 200 + [("fr",)]
+    df = spark.createDataFrame(rows, "lang STRING")
+    out = {
+        r["lang"]: r
+        for r in temperature_mixture_rates(df, "lang", alpha=3.0).collect()
+    }
+    assert out["fr"]["target_w"] == 0.0
+    assert out["fr"]["keep_rate"] == 0.0
+    assert out["en"]["keep_rate"] == 1.0

@@ -56,9 +56,14 @@ def surrogate_key_scalable(
     for row in sizes:
         offsets[row["_pid"]] = acc
         acc += row["count"]
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )[F.col("_pid")]
+    if offsets:
+        offset_col = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("_pid")]
+    else:
+        # empty input: create_map() with zero args is a VOID-typed map
+        # that fails analysis — there are no rows, any offset works
+        offset_col = F.lit(0).cast("long")
     w = Window.partitionBy("_pid").orderBy(*order_by)
     return (
         with_pid.select(

@@ -28,16 +28,27 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: metadata schema emitted by the decode stage
+#: metadata schema emitted by the decode stage. Every metadata field is
+#: nullable: a NULL payload (missing/undecodable media) keeps its row
+#: with NULL metadata — dropping it would silently shrink the corpus.
 MEDIA_METADATA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
-        StructField("n_bytes", LongType(), False),
+        StructField("n_bytes", LongType(), True),
         StructField("format", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
     ]
 )
+
+
+def _nullable_len(payloads: pd.Series) -> pd.Series:
+    """Byte length as a pandas nullable Int64 — None payloads (missing
+    media) map to <NA> and propagate through the arithmetic instead of
+    raising ``len(None)``."""
+    return payloads.map(
+        lambda b: len(b) if b is not None else None
+    ).astype("Int64")
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,15 +78,16 @@ def decode_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            n = payloads.map(len).astype("int64")
+            n = _nullable_len(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": n,
-                    "format": ["fake/raw"] * len(pdf),
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
+                    "format": [
+                        None if pd.isna(x) else "fake/raw" for x in n
+                    ],
+                    "width": (n % 640 + 1).astype("Int32"),
+                    "height": (n % 480 + 1).astype("Int32"),
                 }
             )
 
@@ -124,17 +136,17 @@ def resize_image_metadata(
 
     def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len).astype("int64")
-            w = (n % 640 + 1).astype("int64")
-            h = (n % 480 + 1).astype("int64")
+            n = _nullable_len(pdf["payload"])
+            w = (n % 640 + 1).astype("Int64")
+            h = (n % 480 + 1).astype("Int64")
             scale = (max_w * 1000 // w).clip(upper=max_h * 1000 // h).clip(upper=1000)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "width": w.astype("int32"),
-                    "height": h.astype("int32"),
-                    "thumb_w": (w * scale // 1000).clip(lower=1).astype("int32"),
-                    "thumb_h": (h * scale // 1000).clip(lower=1).astype("int32"),
+                    "width": w.astype("Int32"),
+                    "height": h.astype("Int32"),
+                    "thumb_w": (w * scale // 1000).clip(lower=1).astype("Int32"),
+                    "thumb_h": (h * scale // 1000).clip(lower=1).astype("Int32"),
                 }
             )
 
@@ -172,6 +184,8 @@ def sample_frames(
             ids: list[int] = []
             idxs: list[int] = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue  # missing media: no frames to sample
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, every_n):
                     ids.append(int(doc_id))

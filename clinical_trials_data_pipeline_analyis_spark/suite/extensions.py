@@ -651,7 +651,7 @@ def x14_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
     doc_id,
     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-    'fake/raw' AS format,
+    CASE WHEN text IS NULL THEN NULL ELSE 'fake/raw' END AS format,
     CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
     CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
 FROM documents
@@ -2594,9 +2594,15 @@ def a50_cell_assign_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.similarity import assign_cells_stream
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # NULL embeddings cannot serve as centroids (no direction to
+    # compare against) — filtered before the collect so a degenerate
+    # table raises nearest_centroid_expr's explicit empty-index error
+    # instead of a TypeError mid-listcomp.
     centroid_rows = [
         (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 97 == 0)
+        for r in emb.filter(
+            (F.col("vec_id") % 97 == 0) & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .collect()
     ]

@@ -54,3 +54,52 @@ def test_every_query_survives_an_empty_corpus(spark, empty_dir):
                     (name, f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
                 )
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """Three rows per table, key columns populated, every other
+    nullable column NULL — the missing-media / absent-text shape real
+    ingests produce."""
+    import pyarrow as pa
+
+    keys = {
+        "doc_id", "vec_id", "event_id", "l_orderkey", "o_orderkey",
+        "c_custkey", "s_suppkey", "p_partkey", "n_nationkey",
+        "r_regionkey", "user_id",
+    }
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        n = 3
+        cols = {
+            f.name: (
+                pa.array(range(n), f.type)
+                if f.name in keys
+                else pa.array([None] * n, f.type)
+            )
+            for f in tbl.schema
+        }
+        pq.write_table(
+            pa.table(cols, schema=tbl.schema), str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+def test_every_query_survives_all_null_columns(spark, nulls_dir):
+    """NULL payloads/texts/embeddings must flow through as NULL outputs
+    (or vanish from token-derived aggregates), never crash — found the
+    multimodal decode stages calling len(None) when introduced."""
+    failures = []
+    for name, fn in spark_queries().items():
+        expected = _EXPECTED_RAISES.get(name)
+        try:
+            fn(spark, nulls_dir).count()
+            if expected is not None:
+                failures.append((name, f"expected {expected.__name__}"))
+        except Exception as e:  # noqa: BLE001
+            if expected is None or not isinstance(e, expected):
+                failures.append(
+                    (name, f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
+                )
+    assert not failures, failures

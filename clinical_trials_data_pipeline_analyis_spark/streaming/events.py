@@ -90,3 +90,33 @@ def silver_studies_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def user_day_activity_stream(events: DataFrame) -> DataFrame:
+    """(user_id, d, cnt): day-granular distinct user activity as a
+    streaming aggregation — the incremental substrate of cohort
+    retention (``operators/events.cohort_retention``).
+
+    The cohort matrix itself is NOT incrementally maintainable with
+    bounded per-key state: a user's first-activity day can move
+    backward when late data arrives, which re-assigns their ENTIRE
+    activity history to a different cohort — any streaming "retention"
+    operator keyed on the matrix would need to retract rows across
+    cohorts. The day-granular activity table IS safely incremental
+    (state: one counter per live (user, day), merge by addition), so
+    the streaming form maintains that, and the matrix read-off
+    (first-day scan + week bucketing over |users| x |days| rows) runs
+    batch-side on the sink — the same sketch-plus-readoff split as the
+    histogram (`value_histogram_stream`) and CMS twins.
+
+    Day numbers are epoch days from the event-time column, identical
+    to the batch operator's bucketing.
+    """
+    epoch_day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return (
+        events.select("user_id", epoch_day.alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -497,3 +497,82 @@ def test_temperature_mixture_vanishing_stratum(spark):
     assert out["fr"]["target_w"] == 0.0
     assert out["fr"]["keep_rate"] == 0.0
     assert out["en"]["keep_rate"] == 1.0
+
+
+# ------------------------------------------- streaming cohort substrate
+def test_cohort_activity_stream_matches_batch(spark, tmp_path):
+    """Stream-accumulated (user, day) activity must equal the batch
+    distinct-activity table over the union of micro-batches, and the
+    cohort read-off over the streamed sink must equal the batch
+    cohort_retention output."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.events import (
+        cohort_retention,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.events import (
+        streaming_events_source,
+        user_day_activity_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pdf = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).toPandas()
+    # to_json writes datetimes as epoch millis; the stream schema parses
+    # timestamps from strings — serialize ISO so event time survives.
+    pdf["ts"] = pdf["ts"].map(lambda t: t.isoformat())
+    src = tmp_path / "cohort_src"
+    src.mkdir()
+    for i, chunk in enumerate(
+        [pdf.iloc[:300], pdf.iloc[300:700], pdf.iloc[700:]]
+    ):
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+
+    stream = streaming_events_source(spark, str(src))
+    q = (
+        user_day_activity_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cohort_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sink = spark.sql("SELECT * FROM cohort_sink")
+    got_days = {(r["user_id"], r["d"]) for r in sink.collect()}
+    want_days = {
+        (r["user_id"], r["d"])
+        for r in ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("d"),
+        ).distinct().collect()
+    }
+    assert got_days == want_days
+
+    # matrix read-off over the streamed sink == batch operator
+    # (re-materialized: self-joining the memory-sink view trips Spark's
+    # conflicting-reference resolution)
+    sink = spark.createDataFrame(sink.collect(), sink.schema)
+    first = sink.groupBy("user_id").agg(F.min("d").alias("_d0"))
+    readoff = (
+        sink.join(first, "user_id")
+        .select(
+            F.expr("(_d0 - 4) DIV 7").alias("cohort_week"),
+            F.expr("(d - _d0) DIV 7").alias("age_weeks"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    got = {
+        (r["cohort_week"], r["age_weeks"]): r["active_users"]
+        for r in readoff.collect()
+    }
+    want = {
+        (r["cohort_week"], r["age_weeks"]): r["active_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == want

@@ -67,3 +67,52 @@ def scd2_from_log(
         F.lead("valid_from").over(w_chg).alias("valid_to"),
         F.row_number().over(w_chg).cast("long").alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content diff of two corpus snapshots: one row per document that
+    was ``added``, ``removed``, or ``changed`` between ``old`` and
+    ``new`` (unchanged documents are omitted — at corpus scale they are
+    the overwhelming majority and carry no operational signal).
+
+    The release-engineering primitive of a managed corpus: every
+    shipped dataset version is diffed against its predecessor for the
+    audit trail (what entered, what left, what mutated), and downstream
+    incremental consumers re-process exactly the diff. Comparison is by
+    md5 of the normalized text — a content identity, so reorderings of
+    unchanged bytes don't report as churn.
+
+    Returns (id_col, status, old_fp, new_fp), fingerprints NULL on the
+    absent side.
+
+    Scale shape: ONE full-outer shuffle join keyed by document id —
+    both sides reduce to (id, 16-byte fingerprint) projections before
+    the exchange, so the shuffle never carries text. Skewless by
+    construction (ids are unique per side).
+    """
+    from ..functions.text import md5_fingerprint
+
+    o = old.select(
+        F.col(id_col),
+        md5_fingerprint(F.col(text_col)).alias("old_fp"),
+    )
+    n = new.select(
+        F.col(id_col),
+        md5_fingerprint(F.col(text_col)).alias("new_fp"),
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status", "old_fp", "new_fp")
+    )

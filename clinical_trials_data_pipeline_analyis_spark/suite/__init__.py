@@ -102,12 +102,14 @@ def register(
 #: a44_chunk_spans and a47_length_batches — r4-green; the packing
 #: family keeps a37 and a52 in-window. Seventh rotation: a76
 #: (canonical-by-centrality) replaces a46_corpus_bigrams — r4-green;
-#: corpus n-gram statistics stay in-window via a64 and a39.
+#: corpus n-gram statistics stay in-window via a64 and a39. Eighth
+#: rotation: a77 (snapshot diff) replaces a24_ivf_train_step —
+#: r4-green; the k-means/Lloyd training family keeps a34 in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
     "a23_dedup_simhash_pairs",
-    "a24_ivf_train_step",
+    "a77_snapshot_diff",
     "a25_dedup_ngram_filtered",
     "a26_dedup_simhash_verified",
     "a27_multimodal_resize",

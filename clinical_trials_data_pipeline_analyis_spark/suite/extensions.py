@@ -4106,3 +4106,68 @@ def a76_canonical_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_ppb",
         "cluster_size",
     )
+
+
+# =====================================================================
+# a77 — corpus snapshot diff: content-fingerprint FULL OUTER join of
+# two dataset versions, reporting every added / removed / changed
+# document (unchanged rows omitted). The "new" snapshot is derived
+# deterministically from the fixture: ~1/17 of docs deleted, ~1/13
+# edited, ~1/19 re-landed under new ids — so the diff exercises all
+# three statuses. The shuffle carries (id, 16-byte fingerprint) only,
+# never text; this is also the registry's full-outer-join coverage.
+# =====================================================================
+_DIFF_FP_SQL = "substring(md5({norm}), 1, 16)"
+
+
+@register(
+    "a77_snapshot_diff",
+    oracle=f"""
+WITH new_snap AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 19 = 0
+),
+o AS (SELECT doc_id, {_DIFF_FP_SQL.format(norm=_NORM_SQL)} AS old_fp FROM documents),
+n AS (
+    SELECT doc_id, {_DIFF_FP_SQL.format(norm=_NORM_SQL)} AS new_fp
+    FROM new_snap
+),
+j AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM j
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+""",
+    covers=("X-SNAPSHOT-DIFF", "X-DOC-FINGERPRINT", "J-FULL-OUTER", "F2"),
+)
+def a77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_snap = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, new_snap)

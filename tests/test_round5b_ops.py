@@ -576,3 +576,26 @@ def test_cohort_activity_stream_matches_batch(spark, tmp_path):
         for r in cohort_retention(ev).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- corpus snapshot diff
+def test_snapshot_diff_statuses(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed"),
+         (4, "Whitespace   Normalized")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed!"), (5, "brand new"),
+         # same content identity after normalization: NOT churn
+         (4, "whitespace normalized")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(out) == {2, 3, 5}
+    assert out[2]["status"] == "changed"
+    assert out[2]["old_fp"] is not None and out[2]["new_fp"] is not None
+    assert out[3]["status"] == "removed" and out[3]["new_fp"] is None
+    assert out[5]["status"] == "added" and out[5]["old_fp"] is None

@@ -141,3 +141,51 @@ def cohort_retention(
             F.col("active_users") / F.col("cohort_size").cast("double"), 6
         ).alias("retention_pct"),
     )
+
+
+def daily_rolling_counts(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, d, day_count, rolling_count, rolling_avg): daily
+    event counts with a trailing ``window_days``-day RANGE-frame
+    rolling sum and average per event type — the time-series smoothing
+    behind every operational dashboard ("7-day moving average").
+
+    The frame is ``RANGE BETWEEN window_days-1 PRECEDING AND CURRENT
+    ROW`` over the integer day number, so days with NO events still
+    weigh the average down correctly for the days that exist — a
+    rows-frame would silently skip gaps and overstate the trend. The
+    average divides by the fixed window width (standard trailing-MA
+    semantics), rounded to 6 dp.
+
+    Scale shape: the corpus-sized pass is the (type, day) count
+    aggregate (map-side combinable); the window runs over
+    |types| x |days| rows partitioned by type. Nothing else touches
+    the event log.
+    """
+    from pyspark.sql import Window
+
+    epoch_day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = (
+        events.groupBy(F.col(type_col), epoch_day.alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("day_count"))
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("d")
+        .rangeBetween(-(window_days - 1), Window.currentRow)
+    )
+    return daily.select(
+        type_col,
+        "d",
+        "day_count",
+        F.sum("day_count").over(w).cast("long").alias("rolling_count"),
+        F.round(
+            F.sum("day_count").over(w) / F.lit(float(window_days)), 6
+        ).alias("rolling_avg"),
+    )

@@ -105,10 +105,13 @@ def register(
 #: corpus n-gram statistics stay in-window via a64 and a39. Eighth
 #: rotation: a77 (snapshot diff) replaces a24_ivf_train_step —
 #: r4-green; the k-means/Lloyd training family keeps a34 in-window.
+#: Ninth rotation: a78 (RANGE-frame rolling daily aggregates) replaces
+#: a23_dedup_simhash_pairs — r4-green; the SimHash family keeps its
+#: Hamming-verified end stage a26 in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
-    "a23_dedup_simhash_pairs",
+    "a78_rolling_daily",
     "a77_snapshot_diff",
     "a25_dedup_ngram_filtered",
     "a26_dedup_simhash_verified",

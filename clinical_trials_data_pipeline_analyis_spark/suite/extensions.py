@@ -4171,3 +4171,40 @@ def a77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, new_snap)
+
+
+# =====================================================================
+# a78 — trailing 7-day rolling aggregates over daily event counts: a
+# RANGE frame on the integer day number, so calendar gaps (days with
+# zero events) still discount the moving average — a ROWS frame would
+# skip them and overstate the trend. The only corpus pass is the
+# (type, day) count; the window runs over |types| x |days| rows.
+# =====================================================================
+@register(
+    "a78_rolling_daily",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS d,
+           CAST(COUNT(*) AS BIGINT) AS day_count
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, d, day_count,
+       CAST(SUM(day_count) OVER (
+           PARTITION BY event_type ORDER BY d
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_count,
+       ROUND(SUM(day_count) OVER (
+           PARTITION BY event_type ORDER BY d
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) / 7.0, 6) AS rolling_avg
+FROM daily
+""",
+    covers=("X-ROLLING-WINDOW", "W2", "F13", "A1"),
+)
+def a78_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import daily_rolling_counts
+
+    ev = _read_events(spark, sf_dir)
+    return daily_rolling_counts(ev, window_days=7)

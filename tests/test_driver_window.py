@@ -67,6 +67,7 @@ _REQUIRED_IN_WINDOW = {
     "a75_cohort_retention",
     "a76_canonical_by_centrality",
     "a77_snapshot_diff",
+    "a78_rolling_daily",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -103,7 +104,7 @@ def test_rotated_out_queries_remain_registered():
         {f"q{i:02d}" for i in range(22, 31)}
         | {f"x{i:02d}" for i in range(1, 21)}
         | {"q03", "q07", "q08", "q09", "q10", "q11", "q12", "q18",
-           "q19", "q20", "a22", "a29", "a24", "a36", "a42", "a44", "a46", "a47"}
+           "q19", "q20", "a22", "a29", "a23", "a24", "a36", "a42", "a44", "a46", "a47"}
     )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

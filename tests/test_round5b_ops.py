@@ -599,3 +599,32 @@ def test_snapshot_diff_statuses(spark):
     assert out[2]["old_fp"] is not None and out[2]["new_fp"] is not None
     assert out[3]["status"] == "removed" and out[3]["new_fp"] is None
     assert out[5]["status"] == "added" and out[5]["old_fp"] is None
+
+
+# ---------------------------------------------- rolling daily aggregates
+def test_rolling_daily_range_frame_respects_gaps(spark):
+    """A RANGE frame on day numbers must look back CALENDAR days, not
+    rows: with activity on days 0, 1, and 10, day 10's trailing-7-day
+    window contains only day 10."""
+    import datetime as dt
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.events import (
+        daily_rolling_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 8, 0)
+    d = dt.timedelta(days=1)
+    rows = (
+        [("click", base)] * 3
+        + [("click", base + d)] * 2
+        + [("click", base + 10 * d)] * 5
+    )
+    ev = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP_NTZ")
+    out = {
+        r["d"]: r for r in daily_rolling_counts(ev, window_days=7).collect()
+    }
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert out[d0]["rolling_count"] == 3
+    assert out[d0 + 1]["rolling_count"] == 5          # days 0+1
+    assert out[d0 + 10]["rolling_count"] == 5          # gap: day 10 only
+    assert out[d0 + 1]["rolling_avg"] == round(5 / 7, 6)

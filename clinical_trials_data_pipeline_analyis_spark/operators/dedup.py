@@ -896,3 +896,45 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+def cap_duplicates(
+    df: DataFrame,
+    max_copies: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep at most ``max_copies`` documents per exact content
+    fingerprint — the "cap repeats" middle ground between full exact
+    dedup and no dedup (limited natural duplication is often kept in
+    pretraining mixes; unbounded boilerplate is not). Survivors are the
+    lowest ids per fingerprint, deterministic.
+
+    Returns (id_col, fingerprint, copy_rank, n_copies) for survivors;
+    ``n_copies`` is the ORIGINAL duplication count, so downstream
+    weighting can discount capped content.
+
+    Scale shape: one shuffle on the 16-byte fingerprint carrying
+    (fingerprint, id) only; WindowGroupLimit pre-reduces each group to
+    ``max_copies`` rows map-side before the rank resolves.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_fingerprint
+
+    fp = df.select(
+        F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fp.select(
+            id_col,
+            "fingerprint",
+            F.row_number().over(w).cast("long").alias("copy_rank"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("fingerprint"))
+            .cast("long")
+            .alias("n_copies"),
+        )
+        .filter(F.col("copy_rank") <= max_copies)
+    )

@@ -107,7 +107,10 @@ def register(
 #: r4-green; the k-means/Lloyd training family keeps a34 in-window.
 #: Ninth rotation: a78 (RANGE-frame rolling daily aggregates) replaces
 #: a23_dedup_simhash_pairs — r4-green; the SimHash family keeps its
-#: Hamming-verified end stage a26 in-window.
+#: Hamming-verified end stage a26 in-window. Tenth rotation: a79
+#: (skew-safe distinct) and a80 (duplicate cap) replace
+#: a31_ann_ivf_multiprobe and a33_pq_adc_topk — r4-green; the ANN/ADC
+#: search family keeps a38/a43/a49/a70 in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -119,9 +122,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a28_multimodal_frames",
     "a71_temperature_mixture",
     "a30_dedup_keep_best",
-    "a31_ann_ivf_multiprobe",
+    "a79_skew_safe_distinct",
     "a32_pq_encode",
-    "a33_pq_adc_topk",
+    "a80_dup_cap",
     "a34_pq_train_step",
     "a35_decontaminate",
     "a72_pagerank_copurchase",

@@ -4208,3 +4208,69 @@ def a78_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read_events(spark, sf_dir)
     return daily_rolling_counts(ev, window_days=7)
+
+
+# =====================================================================
+# a79 — skew-safe exact COUNT(DISTINCT) as a registered surface: the
+# two-phase (key, value) dedup spreads a zipf-hot key across reducers
+# where a plain count-distinct funnels it through one (AQE rebalances
+# JOIN skew, not aggregation skew). Value-identical to the plain form
+# by construction — the oracle IS the plain form, so the driver proves
+# the skew-safe plan computes the same answer.
+# =====================================================================
+@register(
+    "a79_skew_safe_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_count
+FROM lineitem GROUP BY l_returnflag
+""",
+    covers=("X-SKEW-AGG", "A5", "A1"),
+)
+def a79_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count_distinct
+    from ..sources.parquet import read_table as _rt
+
+    li = _rt(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, ["l_returnflag"], "l_partkey").select(
+        "l_returnflag", F.col("distinct_count").cast("long").alias("distinct_count")
+    )
+
+
+# =====================================================================
+# a80 — duplicate-occurrence cap: keep at most N copies of each exact
+# content fingerprint (the "cap repeats, don't fully dedup" policy —
+# Gopher/MassiveText keeps limited duplication because some repetition
+# is natural). Window per fingerprint, keep-order by doc_id — the
+# shuffle carries (fingerprint, id), never text, and WindowGroupLimit
+# pre-reduces each group to N before the exchange resolves the rank.
+# =====================================================================
+_DUP_CAP = 2
+
+
+@register(
+    "a80_dup_cap",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id, substring(md5({_NORM_SQL}), 1, 16) AS fingerprint
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, fingerprint,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY fingerprint ORDER BY doc_id
+           ) AS BIGINT) AS copy_rank,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS n_copies
+    FROM fp
+)
+SELECT doc_id, fingerprint, copy_rank, n_copies
+FROM ranked WHERE copy_rank <= {_DUP_CAP}
+""",
+    covers=("X-DUP-CAP", "X-DEDUP-EXACT", "W2"),
+)
+def a80_dup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cap_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cap_duplicates(docs, max_copies=_DUP_CAP)

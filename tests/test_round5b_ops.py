@@ -628,3 +628,21 @@ def test_rolling_daily_range_frame_respects_gaps(spark):
     assert out[d0 + 1]["rolling_count"] == 5          # days 0+1
     assert out[d0 + 10]["rolling_count"] == 5          # gap: day 10 only
     assert out[d0 + 1]["rolling_avg"] == round(5 / 7, 6)
+
+
+# --------------------------------------------------- duplicate capping
+def test_cap_duplicates_keeps_n_lowest_ids(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import cap_duplicates
+
+    docs = [
+        (1, "same content"), (5, "same content"), (3, "same content"),
+        (2, "unique"),
+        (4, "Same   CONTENT"),  # normalizes to the same fingerprint
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in cap_duplicates(df, max_copies=2).collect()}
+    # fingerprint group {1,3,4,5}: survivors are the 2 lowest ids
+    assert set(out) == {1, 2, 3}
+    assert out[1]["copy_rank"] == 1 and out[3]["copy_rank"] == 2
+    assert out[1]["n_copies"] == 4  # original duplication preserved
+    assert out[2]["n_copies"] == 1

@@ -185,10 +185,32 @@ def bench_staged_ivfpq(spark, sf_dir: str, work_dir: str) -> dict[str, float]:
         nprobe=2,
     ).count()
     search_res_sec = round(time.time() - t0, 4)
+    # refine stage (a70's shape): widened shortlist -> exact-cosine
+    # rerank against the full-precision vectors; cost must track
+    # |queries| x shortlist, not corpus size.
+    from clinical_trials_data_pipeline_analyis_spark.operators.pq import (
+        adc_rerank_topk,
+    )
+
+    t0 = time.time()
+    shortlist = ivfpq_topk(
+        queries,
+        staged["codes_raw"],
+        staged["assignments"],
+        staged["codebooks_raw"],
+        centroids,
+        m=M,
+        k=10,
+        nprobe=2,
+    )
+    n_rr = adc_rerank_topk(shortlist, queries, emb, k=5).count()
+    search_rerank_sec = round(time.time() - t0, 4)
     out = {
         "build_sec": build_sec,
         "search_raw_sec": search_raw_sec,
         "search_res_sec": search_res_sec,
+        "search_rerank_sec": search_rerank_sec,
+        "rows_rerank": n_rr,
     }
     print(
         json.dumps(

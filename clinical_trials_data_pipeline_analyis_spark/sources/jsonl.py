@@ -57,3 +57,48 @@ def read_jsonl(
     ``_corrupt_record`` field in the schema to quarantine bad lines
     instead of failing the job."""
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL read split into (good_rows, quarantine).
+
+    Real corpus drops always contain some malformed lines (truncated
+    shards, encoding damage, producer bugs); failing a 100 TB job on
+    line 40-billion-and-one is not an option, and silently dropping bad
+    lines destroys the audit trail. This reads with Spark's PERMISSIVE
+    parser, routing unparseable lines into ``corrupt_col`` with the RAW
+    line preserved:
+
+    - ``good``: rows that parsed, with ``corrupt_col`` removed;
+    - ``quarantine``: one row per bad line — the RAW line in
+      ``corrupt_col`` plus whatever fields did parse (all NULL for
+      fully-malformed lines) — write it next to the ingest for
+      repair/forensics. (The full row is kept deliberately: Spark
+      refuses a query that references ONLY the corrupt-record column
+      of a raw scan — QUERY_ONLY_CORRUPT_RECORD_COLUMN.)
+
+    The split is two filters over ONE scan lineage (no extra pass; a
+    cached read serves both if the caller materializes). Note Spark's
+    PERMISSIVE semantics: a line that parses but violates the schema
+    types also lands in quarantine with its raw text.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = schema.add(corrupt_col, StringType(), True)
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull())
+    return good, quarantine

@@ -646,3 +646,30 @@ def test_cap_duplicates_keeps_n_lowest_ids(spark):
     assert out[1]["copy_rank"] == 1 and out[3]["copy_rank"] == 2
     assert out[1]["n_copies"] == 4  # original duplication preserved
     assert out[2]["n_copies"] == 1
+
+
+# ------------------------------------------------ JSONL quarantine read
+def test_jsonl_quarantine_split(spark, tmp_path):
+    from clinical_trials_data_pipeline_analyis_spark.sources.jsonl import (
+        read_jsonl_quarantined,
+    )
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "good line"}',
+        '{"doc_id": 2, "text": "also good"}',
+        '{"doc_id": 3, "text": "truncated',          # malformed JSON
+        'not json at all',
+        '{"doc_id": "not-a-number", "text": "type violation"}',
+    ]
+    (p / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    good, quarantine = read_jsonl_quarantined(
+        spark, str(p), "doc_id BIGINT, text STRING"
+    )
+    got = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert got == {1: "good line", 2: "also good"}
+    raw = {r["_corrupt_record"] for r in quarantine.collect()}
+    # every bad line preserved verbatim for forensics
+    assert raw == {lines[2], lines[3], lines[4]}

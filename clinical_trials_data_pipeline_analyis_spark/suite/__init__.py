@@ -110,7 +110,10 @@ def register(
 #: Hamming-verified end stage a26 in-window. Tenth rotation: a79
 #: (skew-safe distinct) and a80 (duplicate cap) replace
 #: a31_ann_ivf_multiprobe and a33_pq_adc_topk — r4-green; the ANN/ADC
-#: search family keeps a38/a43/a49/a70 in-window.
+#: search family keeps a38/a43/a49/a70 in-window. Eleventh rotation:
+#: a81 (language confusion matrix) and a82 (argmax aggregation) replace
+#: a32_pq_encode and a41_pq_residual_encode — r4-green; both encode
+#: paths run inline inside the in-window a38/a43 searches.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -123,7 +126,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a71_temperature_mixture",
     "a30_dedup_keep_best",
     "a79_skew_safe_distinct",
-    "a32_pq_encode",
+    "a81_lang_confusion",
     "a80_dup_cap",
     "a34_pq_train_step",
     "a35_decontaminate",
@@ -132,7 +135,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a38_ivfpq_topk",
     "a39_text_repetition",
     "a40_curation_funnel",
-    "a41_pq_residual_encode",
+    "a82_latest_event_argmax",
     "a73_bloom_decontaminate",
     "a43_ivfpq_residual_topk",
     "a74_event_funnel",

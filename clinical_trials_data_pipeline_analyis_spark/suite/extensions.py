@@ -4274,3 +4274,132 @@ def a80_dup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return cap_duplicates(docs, max_copies=_DUP_CAP)
+
+
+# =====================================================================
+# a81 — language-label confusion matrix: declared lang vs the x11
+# n-gram-heuristic prediction, with per-cell counts and per-declared-
+# lang recall. The label-quality audit a corpus release runs before
+# trusting its metadata (mislabeled language is a top corpus defect);
+# one corpus pass, |langs|^2 output cells.
+# =====================================================================
+def _a81_pred_sql() -> str:
+    return """CASE
+        WHEN s_en >= GREATEST(s_de, s_fr, s_es, s_zh) THEN 'en'
+        WHEN s_de >= GREATEST(s_fr, s_es, s_zh) THEN 'de'
+        WHEN s_fr >= GREATEST(s_es, s_zh) THEN 'fr'
+        WHEN s_es >= s_zh THEN 'es'
+        ELSE 'zh'
+    END"""
+
+
+@register(
+    "a81_lang_confusion",
+    oracle=f"""
+WITH scores AS (
+    SELECT
+        doc_id,
+        lang,
+        {_lang_score_sql('en')} AS s_en,
+        {_lang_score_sql('de')} AS s_de,
+        {_lang_score_sql('fr')} AS s_fr,
+        {_lang_score_sql('es')} AS s_es,
+        {_lang_score_sql('zh')} AS s_zh
+    FROM documents
+),
+labeled AS (
+    SELECT lang AS declared_lang, {_a81_pred_sql()} AS predicted_lang
+    FROM scores
+),
+cells AS (
+    SELECT declared_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labeled GROUP BY declared_lang, predicted_lang
+)
+SELECT declared_lang, predicted_lang, n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY declared_lang) AS BIGINT)
+           AS declared_total,
+       ROUND(n_docs / SUM(n_docs) OVER (PARTITION BY declared_lang)::DOUBLE, 6)
+           AS cell_frac
+FROM cells
+""",
+    covers=("X-LANG-CONFUSION", "X-TEXT-LANGID", "A1", "W2"),
+)
+def a81_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    scores = langid_scores(F.col("text"))
+    base = docs.select(
+        F.col("lang").alias("declared_lang"),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["zh"].alias("s_zh"),
+    )
+    pred = (
+        F.when(
+            F.col("s_en")
+            >= F.greatest(F.col("s_de"), F.col("s_fr"), F.col("s_es"), F.col("s_zh")),
+            "en",
+        )
+        .when(
+            F.col("s_de") >= F.greatest(F.col("s_fr"), F.col("s_es"), F.col("s_zh")),
+            "de",
+        )
+        .when(F.col("s_fr") >= F.greatest(F.col("s_es"), F.col("s_zh")), "fr")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    cells = (
+        base.select("declared_lang", pred.alias("predicted_lang"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("long").alias("declared_total"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("cell_frac"),
+    )
+
+
+# =====================================================================
+# a82 — latest event per user via max_by (argmax aggregation): the
+# one-pass alternative to the ROW_NUMBER()-over-window top-1. The
+# window form shuffles EVERY event row and sorts each user's full
+# history; max_by partial-aggregates map-side, so the exchange carries
+# one argmax buffer per (partition, user) — at 100 TB that is the
+# difference between shuffling the event log and shuffling the user
+# table. (Spark executes it as a two-phase SortAggregate — the struct
+# buffer is not hash-aggregable — but the sort runs over the
+# pre-aggregated rows, not the event log.) The oracle IS the window
+# form, so the driver proves plan equivalence. Tiebreak on
+# (ts, event_id) via the struct's lexicographic max, total order.
+# =====================================================================
+@register(
+    "a82_latest_event_argmax",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(value AS DOUBLE) AS last_value
+FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    covers=("X-ARGMAX-AGG", "A2", "O2"),
+)
+def a82_latest_event_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_id"), key).alias("last_event_id"),
+        F.max_by(F.col("event_type"), key).alias("last_event_type"),
+        F.max_by(F.col("value"), key).cast("double").alias("last_value"),
+    )

@@ -673,3 +673,19 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     raw = {r["_corrupt_record"] for r in quarantine.collect()}
     # every bad line preserved verbatim for forensics
     assert raw == {lines[2], lines[3], lines[4]}
+
+
+# --------------------------------------------------- argmax aggregation
+def test_argmax_latest_event_partial_aggregates(spark):
+    """The max_by form must run as a TWO-PHASE aggregate (partial map
+    side before the exchange) with no Window — the exchange then
+    carries one argmax buffer per (partition, user) instead of every
+    event row, which is the point of preferring it at scale. (Spark
+    executes the struct-keyed max_by as SortAggregate; the sort is over
+    pre-aggregated rows, not the event log.)"""
+    from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
+
+    df = spark_queries()["a82_latest_event_argmax"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan

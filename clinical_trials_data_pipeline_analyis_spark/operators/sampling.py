@@ -222,3 +222,56 @@ def temperature_mixture_rates(
             F.least(F.col("_w") * F.col("_nstar") / F.col("_n"), F.lit(1.0)), 6
         ).alias("keep_rate"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k items:
+    the A-Res scheme of Efraimidis & Spirakis (IPL 2006) — each row
+    draws key ``u^(1/w)`` with u uniform in (0,1), and the k largest
+    keys are exactly a weighted sample without replacement.
+
+    The uniform is hash-derived, not ``rand()``: u = (bucket + 1) /
+    (M + 1) over the md5 bucket of the id (M = 2^31 buckets), so the
+    sample is a pure function of (id, weight) — reproducible across
+    runs, partitionings, and engines, like every sampler here. The key
+    is rounded to 6 dp with an id tiebreak so the top-k cut is total
+    and engine-portable.
+
+    Rows with NULL or non-positive weight are excluded (they carry no
+    sampling mass). Returns (id_col, weight_col, sample_key, rank).
+
+    Scale shape: key computation is row-local; the top-k is
+    ORDER BY + LIMIT, which Spark plans as TakeOrderedAndProject —
+    per-partition heaps of size k, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    m = 2_147_483_648  # 2^31 hash buckets for the uniform draw
+    u = (hash_bucket(F.col(id_col), m).cast("double") + F.lit(1.0)) / F.lit(
+        float(m + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 6)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("sample_key"), F.asc(id_col))
+            )
+            .cast("long"),
+        )
+    )

@@ -113,7 +113,10 @@ def register(
 #: search family keeps a38/a43/a49/a70 in-window. Eleventh rotation:
 #: a81 (language confusion matrix) and a82 (argmax aggregation) replace
 #: a32_pq_encode and a41_pq_residual_encode — r4-green; both encode
-#: paths run inline inside the in-window a38/a43 searches.
+#: paths run inline inside the in-window a38/a43 searches. Twelfth
+#: rotation: a83 (weighted sampling without replacement) replaces
+#: a28_multimodal_frames — r4-green; the multimodal Arrow family keeps
+#: a27 in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -122,7 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a25_dedup_ngram_filtered",
     "a26_dedup_simhash_verified",
     "a27_multimodal_resize",
-    "a28_multimodal_frames",
+    "a83_weighted_sample",
     "a71_temperature_mixture",
     "a30_dedup_keep_best",
     "a79_skew_safe_distinct",

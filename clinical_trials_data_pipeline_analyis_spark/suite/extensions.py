@@ -4403,3 +4403,44 @@ def a82_latest_event_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("event_type"), key).alias("last_event_type"),
         F.max_by(F.col("value"), key).cast("double").alias("last_value"),
     )
+
+
+# =====================================================================
+# a83 — weighted sampling without replacement (Efraimidis-Spirakis
+# A-Res, IPL 2006): k documents drawn with probability proportional to
+# length, via hash-derived uniforms so the sample is a pure function
+# of (id, weight) — reproducible across runs, partitionings, engines.
+# Top-k by key plans as TakeOrderedAndProject (per-partition heaps),
+# never a global sort.
+# =====================================================================
+_WSAMPLE_K = 50
+
+
+@register(
+    "a83_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ROUND(pow(
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 2147483648 + 1.0) / 2147483649.0,
+               1.0 / CAST(n_chars AS DOUBLE)
+           ), 6) AS sample_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, sample_key, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY sample_key DESC, doc_id
+    ) AS rn FROM keyed
+)
+WHERE rn <= {_WSAMPLE_K}
+""",
+    covers=("X-SAMPLE-WEIGHTED", "O1", "F17"),
+)
+def a83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=_WSAMPLE_K)

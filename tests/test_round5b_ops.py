@@ -689,3 +689,56 @@ def test_argmax_latest_event_partial_aggregates(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan
+
+
+# ------------------------------------------- weighted sampling (A-Res)
+def test_weighted_sample_matches_python_reference(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(100)] + [(200, None), (201, 0)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, w BIGINT")
+    out = [
+        (r["doc_id"], r["rank"])
+        for r in sorted(
+            weighted_sample(df, "doc_id", "w", k=10).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+
+    m = 2_147_483_648
+    keyed = []
+    for i, w in rows:
+        if not w:
+            continue  # NULL / zero weight excluded
+        u = (_bucket(str(i), m) + 1.0) / (m + 1.0)
+        keyed.append((round(u ** (1.0 / w), 6), -i))
+    keyed.sort(reverse=True)
+    expect = [(-neg_id, rank) for rank, (_, neg_id) in enumerate(keyed[:10], 1)]
+    assert out == expect
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """Across many disjoint id universes, heavier items must be sampled
+    more often — the defining property of weighted sampling."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = []
+    for trial in range(40):
+        base = trial * 10
+        rows += [(base, 10, trial), (base + 1, 1, trial)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, w BIGINT, trial BIGINT")
+    heavy = light = 0
+    for trial in range(40):
+        sub = df.filter(F.col("trial") == trial)
+        picked = weighted_sample(sub, "doc_id", "w", k=1).collect()[0]["doc_id"]
+        if picked % 10 == 0:
+            heavy += 1
+        else:
+            light += 1
+    # P(heavy) = 10/11 per trial; 40 trials make heavy < light
+    # astronomically unlikely.
+    assert heavy > light

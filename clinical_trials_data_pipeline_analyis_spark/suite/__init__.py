@@ -115,8 +115,11 @@ def register(
 #: a32_pq_encode and a41_pq_residual_encode — r4-green; both encode
 #: paths run inline inside the in-window a38/a43 searches. Twelfth
 #: rotation: a83 (weighted sampling without replacement) replaces
-#: a28_multimodal_frames — r4-green; the multimodal Arrow family keeps
-#: a27 in-window.
+#: a28_multimodal_frames — r4-green. Thirteenth rotation: a84
+#: (per-source dup report) replaces a27_multimodal_resize — r4-green
+#: twice (r3 artifact cured + r4); the multimodal Arrow family keeps
+#: its driver history plus local parity at three SFs and the plan
+#: sweep's Arrow-crossing assertions.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -124,7 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a77_snapshot_diff",
     "a25_dedup_ngram_filtered",
     "a26_dedup_simhash_verified",
-    "a27_multimodal_resize",
+    "a84_source_dup_report",
     "a83_weighted_sample",
     "a71_temperature_mixture",
     "a30_dedup_keep_best",

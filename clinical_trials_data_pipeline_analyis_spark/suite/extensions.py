@@ -4444,3 +4444,59 @@ def a83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return weighted_sample(docs, "doc_id", "n_chars", k=_WSAMPLE_K)
+
+
+# =====================================================================
+# a84 — per-source duplication report: exact-dup rates rolled up by
+# source (docs, duplicates, dup_rate, distinct fingerprints) — the
+# "which feeds are redundant" table a curation pipeline reviews before
+# re-negotiating its source mix. One fingerprint window (the x01
+# machinery) + one groupBy; the shuffle carries (source, fingerprint),
+# never text.
+# =====================================================================
+@register(
+    "a84_source_dup_report",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id, source,
+           md5({_NORM_SQL}) AS fp
+    FROM documents
+),
+flagged AS (
+    SELECT doc_id, source, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+               AS is_duplicate
+    FROM fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duplicates,
+       ROUND(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 6) AS dup_rate,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fingerprints
+FROM flagged
+GROUP BY source
+""",
+    covers=("X-SOURCE-DUP", "X-DEDUP-EXACT", "A3", "A5"),
+)
+def a84_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    flags = exact_duplicates(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "source").join(flags, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("long"))
+        .cast("long")
+        .alias("n_duplicates"),
+        F.round(
+            F.sum(F.col("is_duplicate").cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.count_distinct(F.col("fp")).cast("long").alias(
+            "distinct_fingerprints"
+        ),
+    )

@@ -70,6 +70,7 @@ _REQUIRED_IN_WINDOW = {
     "a81_lang_confusion",
     "a82_latest_event_argmax",
     "a83_weighted_sample",
+    "a84_source_dup_report",
     # §2 flagship
     "q06_opportunity_rank",
 }
@@ -106,7 +107,7 @@ def test_rotated_out_queries_remain_registered():
         {f"q{i:02d}" for i in range(22, 31)}
         | {f"x{i:02d}" for i in range(1, 21)}
         | {"q03", "q07", "q08", "q09", "q10", "q11", "q12", "q18",
-           "q19", "q20", "a22", "a29", "a23", "a24", "a28", "a31", "a32", "a33", "a36", "a41", "a42", "a44", "a46", "a47"}
+           "q19", "q20", "a22", "a29", "a23", "a24", "a27", "a28", "a31", "a32", "a33", "a36", "a41", "a42", "a44", "a46", "a47"}
     )
     got_prefixes = {n.split("_", 1)[0] for n in names}
     assert expected <= got_prefixes

@@ -62,9 +62,14 @@ def retention_curve(
 
     The decision artifact behind "filter at what threshold?" — tuning a
     quality classifier's operating point means reading this curve, not
-    re-running the filter per candidate value. Scores are binned to
-    ``floor(score * bins)`` (clamped to the top bin so score = 1.0
-    doesn't escape); each output row is one cutoff::
+    re-running the filter per candidate value. Scores are expected in
+    the [0, 1] domain (the contract for every quality score in this
+    engine); out-of-range values are clamped INTO the curve rather than
+    silently distorting it — score < 0 counts in the bottom bin
+    (threshold 0 retains everything, by definition) and score > 1.0 in
+    the top bin, symmetric GREATEST/LEAST clamps. Scores are binned to
+    ``floor(score * bins)`` after clamping; each output row is one
+    cutoff::
 
         threshold_bp = bin * 10000 / bins      -- cutoff in basis points
         docs_retained / weight_retained        -- mass with score >= cutoff
@@ -86,8 +91,9 @@ def retention_curve(
     binned = (
         df.filter(F.col(score_col).isNotNull())
         .groupBy(
-            F.least(
-                F.floor(F.col(score_col) * bins), F.lit(bins - 1)
+            F.greatest(
+                F.least(F.floor(F.col(score_col) * bins), F.lit(bins - 1)),
+                F.lit(0),
             )
             .cast("long")
             .alias("bin")

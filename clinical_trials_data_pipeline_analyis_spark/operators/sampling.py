@@ -238,9 +238,19 @@ def weighted_sample(
     The uniform is hash-derived, not ``rand()``: u = (bucket + 1) /
     (M + 1) over the md5 bucket of the id (M = 2^31 buckets), so the
     sample is a pure function of (id, weight) — reproducible across
-    runs, partitionings, and engines, like every sampler here. The key
-    is rounded to 6 dp with an id tiebreak so the top-k cut is total
-    and engine-portable.
+    runs, partitionings, and engines, like every sampler here.
+
+    Ranking uses the LOG key ``ln(u)/w`` (monotone in ``u^(1/w)``
+    because ln is increasing and 1/w > 0, so the selected set is
+    identical) rather than the raw power: for large weights the raw
+    keys all crowd into a sliver below 1.0 and rounding them for
+    engine portability created mass ties that the id tiebreak then
+    resolved by LOWEST ID — biasing the sample toward low ids. The log
+    key spreads that sliver back over a wide range, so the 12-dp
+    rounding (needed for a cross-engine total order) almost never
+    ties; any residual tie within 1e-12 still falls back to the id
+    tiebreak, a deliberate, documented quantization bias of measure
+    ~1e-12 per row rather than the previous mass-tie artifact.
 
     Rows with NULL or non-positive weight are excluded (they carry no
     sampling mass). Returns (id_col, weight_col, sample_key, rank).
@@ -256,7 +266,7 @@ def weighted_sample(
         float(m + 1)
     )
     w = F.col(weight_col).cast("double")
-    key = F.round(F.pow(u, F.lit(1.0) / w), 6)
+    key = F.round(F.log(u) / w, 12)
     return (
         df.filter(w.isNotNull() & (w > 0))
         .select(

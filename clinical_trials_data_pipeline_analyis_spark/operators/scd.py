@@ -97,19 +97,30 @@ def snapshot_diff(
     """
     from ..functions.text import md5_fingerprint
 
+    # Presence is decided by which SIDE of the full-outer join matched,
+    # not by fingerprint nullness: a document whose text is NULL in both
+    # snapshots has NULL fingerprints on both sides, and inferring
+    # presence from the fingerprint would misreport it as "added" on
+    # every diff. The explicit per-side flags make NULL-text documents
+    # diff like any other content value (NULL = NULL → unchanged,
+    # NULL vs text → changed).
     o = old.select(
         F.col(id_col),
         md5_fingerprint(F.col(text_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         F.col(id_col),
         md5_fingerprint(F.col(text_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed")
+        )
     )
     return (
         joined.withColumn("status", status)

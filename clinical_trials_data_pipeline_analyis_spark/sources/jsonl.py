@@ -88,11 +88,16 @@ def read_jsonl_quarantined(
     types also lands in quarantine with its raw text.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import StringType, StructField
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    full = schema.add(corrupt_col, StringType(), True)
+    # Build a FRESH StructType: StructType.add mutates in place and
+    # returns self, so using it here would silently grow the caller's
+    # schema object (and a second call would append the corrupt column
+    # twice, yielding a duplicate-column schema).
+    fields = [f for f in schema.fields if f.name != corrupt_col]
+    full = StructType(fields + [StructField(corrupt_col, StringType(), True)])
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -3629,8 +3629,10 @@ _X04_SCORE_SQL = """
     oracle=f"""
 WITH scored AS ({_X04_SCORE_SQL}),
 binned AS (
-    SELECT LEAST(CAST(FLOOR(quality_score * {_RETENTION_BINS}) AS BIGINT),
-                 {_RETENTION_BINS - 1}) AS bin,
+    SELECT GREATEST(
+               LEAST(CAST(FLOOR(quality_score * {_RETENTION_BINS}) AS BIGINT),
+                     {_RETENTION_BINS - 1}),
+               0) AS bin,
            CAST(COUNT(*) AS BIGINT) AS docs,
            CAST(SUM(n_tokens) AS BIGINT) AS weight
     FROM scored WHERE quality_score IS NOT NULL
@@ -4137,16 +4139,21 @@ n AS (
     FROM new_snap
 ),
 j AS (
-    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+    -- presence = which side of the join matched (doc_id is non-NULL in
+    -- both snapshots), NOT fingerprint nullness: NULL-text docs present
+    -- on both sides are unchanged, not perpetual 'added' churn
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+           o.doc_id IS NOT NULL AS in_old,
+           n.doc_id IS NOT NULL AS in_new
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 )
 SELECT doc_id,
-       CASE WHEN old_fp IS NULL THEN 'added'
-            WHEN new_fp IS NULL THEN 'removed'
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
             ELSE 'changed' END AS status,
        old_fp, new_fp
 FROM j
-WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+WHERE NOT in_old OR NOT in_new OR old_fp IS DISTINCT FROM new_fp
 """,
     covers=("X-SNAPSHOT-DIFF", "X-DOC-FINGERPRINT", "J-FULL-OUTER", "F2"),
 )
@@ -4421,11 +4428,10 @@ _WSAMPLE_K = 50
     oracle=f"""
 WITH keyed AS (
     SELECT doc_id, n_chars,
-           ROUND(pow(
+           ROUND(ln(
                (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                    % 2147483648 + 1.0) / 2147483649.0,
-               1.0 / CAST(n_chars AS DOUBLE)
-           ), 6) AS sample_key
+                    % 2147483648 + 1.0) / 2147483649.0
+           ) / CAST(n_chars AS DOUBLE), 12) AS sample_key
     FROM documents
     WHERE n_chars IS NOT NULL AND n_chars > 0
 )

@@ -136,8 +136,10 @@ def test_retention_curve_crafted(spark):
         (1, 0.05, 10),
         (2, 0.55, 20),
         (3, 0.55, 30),
-        (4, 1.0, 40),   # clamps into the top bin (19), not bin 20
-        (5, None, 99),  # NULL score excluded entirely
+        (4, 1.0, 40),    # clamps into the top bin (19), not bin 20
+        (5, None, 99),   # NULL score excluded entirely
+        (6, -0.3, 7),    # clamps into the BOTTOM bin (0), never negative
+        (7, 1.7, 3),     # clamps into the top bin alongside 1.0
     ]
     df = spark.createDataFrame(rows, "id BIGINT, q DOUBLE, w BIGINT")
     out = {
@@ -148,13 +150,13 @@ def test_retention_curve_crafted(spark):
     # deterministically on BOTH engines (the oracle does the same
     # double math) — the curve bins the representable double, not the
     # decimal literal.
-    assert set(out) == {500, 5500, 9500}
-    assert (out[500]["docs_retained"], out[500]["weight_retained"]) == (4, 100)
-    assert (out[5500]["docs_retained"], out[5500]["weight_retained"]) == (3, 90)
-    assert (out[9500]["docs_retained"], out[9500]["weight_retained"]) == (1, 40)
-    assert out[500]["docs_frac"] == 1.0 and out[500]["weight_frac"] == 1.0
-    assert out[5500]["docs_frac"] == 0.75
-    assert out[9500]["weight_frac"] == 0.4
+    assert set(out) == {0, 500, 5500, 9500}
+    assert all(t >= 0 for t in out), "negative thresholds must not exist"
+    assert (out[0]["docs_retained"], out[0]["weight_retained"]) == (6, 110)
+    assert (out[500]["docs_retained"], out[500]["weight_retained"]) == (5, 103)
+    assert (out[5500]["docs_retained"], out[5500]["weight_retained"]) == (4, 93)
+    assert (out[9500]["docs_retained"], out[9500]["weight_retained"]) == (2, 43)
+    assert out[0]["docs_frac"] == 1.0 and out[0]["weight_frac"] == 1.0
 
 
 # ------------------------------------------------------- bigram LM score
@@ -584,21 +586,30 @@ def test_snapshot_diff_statuses(spark):
 
     old = spark.createDataFrame(
         [(1, "same text"), (2, "will change"), (3, "will be removed"),
-         (4, "Whitespace   Normalized")],
+         (4, "Whitespace   Normalized"),
+         (6, None),            # NULL text on BOTH sides: unchanged, no churn
+         (7, None)],           # NULL -> text: changed
         "doc_id BIGINT, text STRING",
     )
     new = spark.createDataFrame(
         [(1, "same text"), (2, "changed!"), (5, "brand new"),
          # same content identity after normalization: NOT churn
-         (4, "whitespace normalized")],
+         (4, "whitespace normalized"),
+         (6, None),
+         (7, "now has text"),
+         (8, None)],           # absent -> NULL text: still ADDED
         "doc_id BIGINT, text STRING",
     )
     out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
-    assert set(out) == {2, 3, 5}
+    # doc 6 (NULL text both sides) must NOT appear — presence is decided
+    # by join side, not fingerprint nullness
+    assert set(out) == {2, 3, 5, 7, 8}
     assert out[2]["status"] == "changed"
     assert out[2]["old_fp"] is not None and out[2]["new_fp"] is not None
     assert out[3]["status"] == "removed" and out[3]["new_fp"] is None
     assert out[5]["status"] == "added" and out[5]["old_fp"] is None
+    assert out[7]["status"] == "changed" and out[7]["old_fp"] is None
+    assert out[8]["status"] == "added" and out[8]["new_fp"] is None
 
 
 # ---------------------------------------------- rolling daily aggregates
@@ -675,6 +686,37 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     assert raw == {lines[2], lines[3], lines[4]}
 
 
+def test_jsonl_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place; the reader must build a FRESH
+    schema, so the caller's object is unchanged and a second call with
+    the same object doesn't produce a duplicate corrupt column."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from clinical_trials_data_pipeline_analyis_spark.sources.jsonl import (
+        read_jsonl_quarantined,
+    )
+
+    p = tmp_path / "drop2"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\nbroken\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    good1, quar1 = read_jsonl_quarantined(spark, str(p), schema)
+    good2, quar2 = read_jsonl_quarantined(spark, str(p), schema)
+    assert [f.name for f in schema.fields] == ["doc_id", "text"]
+    assert good1.columns == good2.columns == ["doc_id", "text"]
+    assert quar2.columns.count("_corrupt_record") == 1
+    # collect (all columns) rather than count(): a bare count() prunes
+    # to only the corrupt column, which Spark's raw-scan rule forbids
+    assert len(quar1.collect()) == len(quar2.collect()) == 1
+
+
 # --------------------------------------------------- argmax aggregation
 def test_argmax_latest_event_partial_aggregates(spark):
     """The max_by form must run as a TWO-PHASE aggregate (partial map
@@ -707,13 +749,15 @@ def test_weighted_sample_matches_python_reference(spark):
         )
     ]
 
+    import math
+
     m = 2_147_483_648
     keyed = []
     for i, w in rows:
         if not w:
             continue  # NULL / zero weight excluded
         u = (_bucket(str(i), m) + 1.0) / (m + 1.0)
-        keyed.append((round(u ** (1.0 / w), 6), -i))
+        keyed.append((round(math.log(u) / w, 12), -i))
     keyed.sort(reverse=True)
     expect = [(-neg_id, rank) for rank, (_, neg_id) in enumerate(keyed[:10], 1)]
     assert out == expect

@@ -120,7 +120,10 @@ def main() -> None:
         "calib_sec": calib_sec,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_full.json"), "w") as f:
+    out_json = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "bench_full.json")
+    )
+    with open(out_json, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     compact = dict(full)

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side architecture is real and tested — schema, partitioning,
-Arrow-batched ``mapInPandas`` UDF signature, output StructType — while the
-actual media decode is STUBBED (image/audio libraries are not available in
-this environment): ``decode_image_metadata`` runs a deterministic fake
-decoder, and ``decode_image_real`` raises NotImplementedError with the
-integration contract documented.
+Arrow-batched ``mapInPandas`` UDF signature, output StructType. The
+METADATA path is real too: ``parse_image_header`` reads PNG/JPEG/GIF
+dimensions straight from the container header bytes (pure Python, no
+imaging library), and ``decode_image_metadata`` uses it for any payload
+that carries a recognized image signature, falling back to the
+deterministic fake only for non-image payloads (the text-derived
+testdata). Only PIXEL decode — actually rasterizing image data, which
+genuinely needs PIL/opencv/ffmpeg — remains stubbed in
+``decode_image_real`` with the integration contract documented.
 
 At scale this is the right shape: binary payloads stay columnar
 (Parquet binary), batches cross to Python once via Arrow, and the decode
@@ -66,43 +70,130 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: JPEG start-of-frame markers that carry the frame dimensions (SOF0-15
+#: minus DHT 0xC4, JPG-extension 0xC8, and DAC 0xCC, which do not).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) read directly from container header bytes
+    — pure Python, no imaging library:
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian u32
+      width/height at byte offsets 16/20 (ISO 15948 §5.2, §11.2.2 —
+      IHDR is REQUIRED to be the first chunk, so fixed offsets are
+      spec-correct, not a heuristic).
+    - JPEG: SOI then marker-segment walk to the first start-of-frame
+      marker; height/width are big-endian u16 at offsets +5/+7 inside
+      the SOF segment (ITU T.81 §B.2.2). Standalone markers (RST,
+      TEM) have no length field and are skipped as bare markers.
+    - GIF: 6-byte version signature, then LITTLE-endian u16
+      width/height (GIF89a spec, logical screen descriptor).
+
+    A payload with none of these signatures returns (None, None, None)
+    — the caller decides its fallback. A recognized container whose
+    dimension fields are truncated returns the format with NULL dims
+    (honest partial metadata beats a guess).
+    """
+    if payload is None:
+        return (None, None, None)
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24:
+            return (
+                "image/png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        return ("image/png", None, None)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 <= len(b):
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker: no length field
+                continue
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return ("image/jpeg", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            return (
+                "image/gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        return ("image/gif", None, None)
+    return (None, None, None)
+
+
 def decode_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Extract typed metadata from the binary payload via Arrow-batched
     ``mapInPandas``.
 
-    The decode itself is a deterministic FAKE (byte-derived width/height)
-    — swap ``_fake_decode`` for a real PIL/ffmpeg call in an environment
-    that has them; everything else (batching, schema, parallelism) is the
-    production path.
+    Payloads carrying a real PNG/JPEG/GIF signature get their TRUE
+    format and dimensions from ``parse_image_header`` (no imaging
+    library needed for header metadata). Payloads with no recognized
+    signature — e.g. the text-derived testdata payloads — fall back to
+    the deterministic byte-derived fake (format ``fake/raw``), keeping
+    the whole path value-oracleable in SQL. Swap in PIL/ffmpeg here
+    only when PIXEL data is needed; batching, schema, and parallelism
+    are the production path either way.
     """
 
-    def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = _nullable_len(pdf["payload"])
+            ids, n_bytes, fmts, widths, heights = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ids.append(int(doc_id))
+                if payload is None:
+                    n_bytes.append(None)
+                    fmts.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                n = len(payload)
+                n_bytes.append(n)
+                fmt, w, h = parse_image_header(payload)
+                if fmt is None:
+                    fmt, w, h = "fake/raw", n % 640 + 1, n % 480 + 1
+                fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": n,
-                    "format": [
-                        None if pd.isna(x) else "fake/raw" for x in n
-                    ],
-                    "width": (n % 640 + 1).astype("Int32"),
-                    "height": (n % 480 + 1).astype("Int32"),
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "format": pd.array(fmts, dtype=object),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                 }
             )
 
     return df.select(id_col, "payload").mapInPandas(
-        _fake_decode, schema=MEDIA_METADATA_SCHEMA
+        _decode, schema=MEDIA_METADATA_SCHEMA
     )
 
 
 def decode_image_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Real decode integration point (requires PIL/opencv — not in this
-    container)."""
+    """PIXEL decode integration point (requires PIL/opencv — not in this
+    container). Header METADATA needs no such library — that path is
+    real; see ``parse_image_header`` / ``decode_image_metadata``."""
     raise NotImplementedError(
-        "Real image decode requires an imaging library (PIL/opencv). "
-        "Plug the decoder into decode_image_metadata's mapInPandas body; "
-        "the schema, batching and partitioning here are production-ready."
+        "Rasterizing image pixel data requires an imaging library "
+        "(PIL/opencv). Plug the decoder into decode_image_metadata's "
+        "mapInPandas body; the schema, batching and partitioning there "
+        "are production-ready, and header metadata already works "
+        "without it (parse_image_header)."
     )
 
 

@@ -143,6 +143,143 @@ def linear_counting_distinct(
 
 
 # =====================================================================
+# HyperLogLog-shaped register-max distinct sketch
+# =====================================================================
+
+#: Default register count (2^10). Standard error ~ 1.04/sqrt(m) = 3.25%.
+HLL_M = 1024
+
+
+def _hll_rho(value_col) -> "F.Column":
+    """rho = (leading zero bits of a 32-bit hash word) + 1, in [1, 33].
+
+    The hash word is md5 hex chars 9-16 of the value — disjoint from
+    the register-index chars 1-8 (`sampling.hash_bucket`), the standard
+    HLL split of one hash into (index bits, rank bits). Leading zeros
+    are counted with STRING ops + a 16-way CASE over the first non-zero
+    hex digit — pure integer/string arithmetic, no float log2 (whose
+    floor is engine-fragile at exact powers of two), so rho is
+    bit-identical across engines. An all-zero word (p = 2^-32) gets
+    rho = 33.
+    """
+    hx = F.substring(F.md5(value_col.cast("string")), 9, 8)
+    stripped = F.regexp_replace(hx, "^0+", "")
+    nz_hex = F.lit(8) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    in_digit = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(F.length(stripped) == 0, F.lit(33)).otherwise(
+        nz_hex * 4 + in_digit + 1
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, m: int = HLL_M
+) -> DataFrame:
+    """(group, register, max_rho): the HLL register table — the sketch
+    itself. Registers MERGE BY MAX across partitions, micro-batches,
+    days, or clusters (max is associative/commutative/idempotent),
+    which is the whole point: union two corpora's register tables,
+    take max per register, read the estimate — no re-scan.
+
+    Scale shape: one map-side-combinable aggregate; the shuffle carries
+    at most ``m`` registers per group, constant in corpus size.
+    """
+    from .sampling import hash_bucket
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col),
+            hash_bucket(F.col(value_col), m).cast("long").alias("register"),
+        )
+        .agg(F.max(_hll_rho(F.col(value_col))).cast("long").alias("max_rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = HLL_M,
+    with_exact: bool = True,
+) -> DataFrame:
+    """(group, occupied_registers, est_distinct, exact_distinct,
+    rel_err): HyperLogLog distinct estimate (Flajolet et al. 2007) per
+    group, next to the exact count so callers (and tests) see the
+    error; production use passes ``with_exact=False`` and drops the
+    full distinct shuffle.
+
+    Unlike linear counting (`linear_counting_distinct`), the estimator
+    does NOT saturate when cardinality approaches or exceeds the
+    register count: a full register table still carries max-rho ranks
+    that keep growing with cardinality. The small-range regime
+    (raw estimate <= 2.5m with empty registers) falls back to linear
+    counting over EMPTY registers exactly as the paper prescribes.
+
+    Determinism: sum(2^-max_rho) adds exact dyadic rationals (each
+    has <= 33 fractional bits, the total needs < 53 bits), so the sum
+    is EXACT regardless of add order and the estimate reproduces
+    bit-for-bit in DuckDB — the sketch estimate itself is
+    value-oracled, not just bounded.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, group_col, value_col, m=m)
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_occ_sum"),
+        F.count(F.lit(1)).cast("long").alias("occupied_registers"),
+    )
+    zeros = (F.lit(m) - F.col("occupied_registers")).cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("_occ_sum") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("occupied_registers") < m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 6),
+    ).otherwise(F.round(raw, 6))
+    out = agg.select(
+        group_col, "occupied_registers", est.alias("est_distinct")
+    )
+    if not with_exact:
+        return out
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count_distinct(F.col(value_col)).cast("long").alias(
+                "exact_distinct"
+            )
+        )
+    )
+    return out.join(exact, group_col).select(
+        group_col,
+        "occupied_registers",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def hll_rho_sql(value_sql: str) -> str:
+    """The DuckDB expression mirroring ``_hll_rho`` — exposed so oracle
+    SQL interpolates the SAME definition the Spark side computes."""
+    stripped = f"regexp_replace(substr(md5({value_sql}), 9, 8), '^0+', '')"
+    return f"""CASE WHEN length({stripped}) = 0 THEN 33
+     ELSE (8 - length({stripped})) * 4
+          + CASE substr({stripped}, 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END
+          + 1 END"""
+
+
+# =====================================================================
 # Count-min sketch: mergeable heavy-hitter frequency estimation
 # =====================================================================
 

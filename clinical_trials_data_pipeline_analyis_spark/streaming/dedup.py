@@ -62,10 +62,19 @@ def near_dedup_docs_stream(
 
     Scale shape: the per-batch cost is |batch| x matching band buckets —
     never history x history (the asymmetric ``against`` join); the
-    store is an append-only parquet table of (id, h0..h7) signatures,
-    ~40 bytes/doc, NOT the corpus text. Parquet appends here are
-    idempotent only per-epoch via the checkpoint; a production
-    deployment would use a transactional table format for the store.
+    store is a parquet table of (id, h0..h7) signatures partitioned by
+    ``epoch_id``, ~40 bytes/doc, NOT the corpus text.
+
+    Retry-idempotence: ``foreachBatch`` is at-least-once, so a retried
+    micro-batch re-runs the handler. Both the flag table and the
+    signature store are partitioned by ``epoch_id`` and written with
+    DYNAMIC partition overwrite — a retry rewrites exactly its own
+    epoch partition instead of appending duplicates (the same pattern
+    as ``decontaminate_docs_stream`` below and ``streaming/scd.py``).
+    The store read additionally filters ``epoch_id < current`` so a
+    retry bands against exactly the history the first attempt saw, even
+    though the failed attempt may already have written this epoch's
+    partition — the retry is bit-identical, not merely non-duplicating.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
@@ -78,7 +87,11 @@ def near_dedup_docs_stream(
             batch_df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
         ).localCheckpoint()
         try:
-            store = spark.read.parquet(store_path)
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("epoch_id") < int(epoch_id))
+                .drop("epoch_id")
+            )
             all_sigs = store.unionByName(sigs_new)
         except AnalysisException:
             all_sigs = sigs_new
@@ -100,8 +113,20 @@ def near_dedup_docs_stream(
         ).select(
             id_col, F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup")
         )
-        flags.write.mode("append").parquet(out_path)
-        sigs_new.write.mode("append").parquet(store_path)
+        (
+            flags.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
+        (
+            sigs_new.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_path)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

@@ -43,6 +43,34 @@ def value_histogram_stream(
     )
 
 
+def hll_registers_stream(
+    events: DataFrame, group_col: str, value_col: str, m: int = 1024
+) -> DataFrame:
+    """(group, register, max_rho): the HyperLogLog register table from
+    ``operators/sketches.hll_registers`` maintained incrementally over
+    a stream. MAX is associative, commutative, and IDEMPOTENT, so the
+    stream-accumulated registers equal a batch run over the union of
+    all micro-batches — and replayed records cannot even inflate the
+    sketch (idempotence is a stronger merge property than the
+    histogram/CMS addition twins above).
+
+    State is at most |groups| x m registers no matter how many rows
+    stream through. Run in update/complete mode; the estimate reads off
+    the sink with the batch ``hll_distinct`` arithmetic whenever asked.
+    """
+    from ..operators.sampling import hash_bucket
+    from ..operators.sketches import _hll_rho
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col),
+            hash_bucket(F.col(value_col), m).cast("long").alias("register"),
+        )
+        .agg(F.max(_hll_rho(F.col(value_col))).cast("long").alias("max_rho"))
+    )
+
+
 def cms_cells_stream(
     events: DataFrame, value_col: str, d: int = 4, w: int = 256
 ) -> DataFrame:

@@ -120,24 +120,37 @@ def register(
 #: twice (r3 artifact cured + r4); the multimodal Arrow family keeps
 #: its driver history plus local parity at three SFs and the plan
 #: sweep's Arrow-crossing assertions.
+#: Round-6 rotation (VERDICT r05 ask #7 — freshness: §2 headliners
+#: last driver-checked r2-r4 rotate back in so no green history goes
+#: more than ~3 rounds stale, alongside the two NEW round-6 components):
+#: IN — q09_window_dedup (W2 headliner, last green r4),
+#: q10_star_role_playing_dates (J3/J4 star joins, last green r4),
+#: x05_dedup_minhash_lsh (the canonical MinHash+LSH surface, last green
+#: r3), x15_multimodal_metadata (Arrow mapInPandas path — now parsing
+#: REAL PNG/JPEG/GIF headers, last green r3), a85_bpe_encode (new:
+#: the inference half of X-BPE-TRAIN, closing VERDICT ask #3),
+#: a86_hll_distinct (new: register-max distinct sketch, closing VERDICT
+#: ask #5). OUT — six r5-driver-green queries whose families stay
+#: represented in-window: a25_dedup_ngram_filtered (n-gram dedup keeps
+#: a54/a59), a34_pq_train_step (PQ keeps a38/a43/a70), a37_sequence_pack
+#: (packing keeps a52), a57_embedding_dim_stats (embedding QC keeps
+#: a49/a53), a61_source_reputation (quality/curation keeps a40/a68),
+#: a71_temperature_mixture (sampling/mixture keeps a48/a83). All six
+#: remain registered and locally oracle-checked at three SFs.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
     "a78_rolling_daily",
     "a77_snapshot_diff",
-    "a25_dedup_ngram_filtered",
     "a26_dedup_simhash_verified",
     "a84_source_dup_report",
     "a83_weighted_sample",
-    "a71_temperature_mixture",
     "a30_dedup_keep_best",
     "a79_skew_safe_distinct",
     "a81_lang_confusion",
     "a80_dup_cap",
-    "a34_pq_train_step",
     "a35_decontaminate",
     "a72_pagerank_copurchase",
-    "a37_sequence_pack",
     "a38_ivfpq_topk",
     "a39_text_repetition",
     "a40_curation_funnel",
@@ -157,7 +170,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a54_dup_ngram_coverage",
     "a55_scd2_dimension",
     "a56_vocab_oov_rates",
-    "a57_embedding_dim_stats",
     "a58_binned_quantiles",
     "a65_hybrid_rrf",
     "q06_opportunity_rank",
@@ -167,10 +179,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a69_bigram_lm_scores",
     "a59_dup_spans",
     "a60_leakage_safe_split",
-    "a61_source_reputation",
     "a62_linear_count_distinct",
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
+    "q09_window_dedup",
+    "q10_star_role_playing_dates",
+    "x05_dedup_minhash_lsh",
+    "x15_multimodal_metadata",
+    "a85_bpe_encode",
+    "a86_hll_distinct",
 )
 
 

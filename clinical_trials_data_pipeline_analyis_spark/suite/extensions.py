@@ -4506,3 +4506,171 @@ def a84_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_fingerprints"
         ),
     )
+
+
+# =====================================================================
+# a85 — BPE ENCODE (the inference half of tokenizer training, Sennrich
+# et al. ACL 2016): segment every word of a document sample by replaying
+# a TRAINED merge list in order. The merges below are plan literals —
+# the output of `operators.bpe.bpe_train(documents@sf0.01, n_merges=10)`
+# frozen as constants (the a50 centroid-literal pattern), so the oracle
+# can replay the identical list. Encoding is entirely row-local: one
+# array fold per merge, no shuffle, no state — the per-doc cost is
+# independent of corpus size, the defining property that makes corpus
+# tokenization embarrassingly parallel at 100 TB.
+#
+# The DuckDB oracle replays each merge with the SAME greedy
+# left-to-right fold: list_reduce with a separator-delimited VARCHAR
+# accumulator (chr(31) never occurs in text) — `ends_with(acc,
+# SEP || left)` tests "last full symbol == left" exactly like the Spark
+# fold's element_at(acc, -1) == left, and appending `right` to the
+# accumulator merges the tail symbol in place.
+# =====================================================================
+_BPE_MERGES: list[tuple[str, str, int]] = [
+    ("e", "r", 4568),
+    ("i", "n", 2760),
+    ("o", "w", 2747),
+    ("o", "r", 2696),
+    ("s", "t", 2676),
+    ("m", "er", 1852),
+    ("a", "t", 1845),
+    ("l", "u", 1831),
+    ("a", "r", 1758),
+    ("p", "ar", 1758),
+]
+
+#: every 7th document: keeps the driver-compared result ~1/7 corpus
+#: size while the registered operator still runs the full fold chain
+_BPE_ENCODE_FILTER = 7
+
+
+def _a85_oracle() -> str:
+    expr = "regexp_split_to_array(word, '')"
+    for left, right, _ in _BPE_MERGES:
+        l = left.replace("'", "''")
+        r = right.replace("'", "''")
+        fold = (
+            f"list_reduce({expr}, (acc, s) -> "
+            f"CASE WHEN (acc = '{l}' OR ends_with(acc, chr(31) || '{l}'))"
+            f" AND s = '{r}' "
+            f"THEN acc || '{r}' ELSE acc || chr(31) || s END)"
+        )
+        expr = f"string_split({fold}, chr(31))"
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+    FROM documents WHERE doc_id % {_BPE_ENCODE_FILTER} = 0
+),
+tok AS (
+    SELECT doc_id, word, {expr} AS tokens
+    FROM words WHERE word <> ''
+)
+SELECT doc_id, word,
+       array_to_string(tokens, ' ') AS token_str,
+       CAST(len(tokens) AS BIGINT) AS n_tokens
+FROM tok
+"""
+
+
+@register(
+    "a85_bpe_encode",
+    oracle=_a85_oracle(),
+    covers=("X-BPE-ENCODE", "X-BPE-TRAIN", "F17", "F8"),
+)
+def a85_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_with_merges
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BPE_ENCODE_FILTER == 0
+    )
+    enc = encode_with_merges(docs, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        "word",
+        F.array_join("tokens", " ").alias("token_str"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+
+
+# =====================================================================
+# a86 — HyperLogLog distinct-token sketch per source (Flajolet et al.
+# 2007): the register-max estimator next to the exact count, same input
+# as a62 so the two sketches compare directly. Where a62's linear
+# counting SATURATES (occupied buckets -> m gives ln(0) = NULL), the
+# HLL registers keep carrying information — max-rho ranks grow with
+# cardinality — so the estimate holds far past m distinct values
+# (tests/test_round6_ops.py crafts that regime). The register table
+# merges by MAX (associative, commutative, IDEMPOTENT — replay-proof),
+# the shuffle carries <= m registers per group, and sum(2^-max_rho)
+# adds exact dyadic rationals, so the estimate itself is value-oracled
+# bit-for-bit, not just bounded.
+# =====================================================================
+_HLL_M = 1024
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _a86_oracle() -> str:
+    from ..operators.sketches import hll_rho_sql
+
+    rho = hll_rho_sql("token")
+    # CAST ... AS DOUBLE: a bare decimal literal is DECIMAL(18,16) in
+    # DuckDB and overflows when multiplied by m^2
+    raw = (
+        f"(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}) / "
+        f"(occ_sum + ({_HLL_M} - occupied))"
+    )
+    return f"""
+WITH toks AS ({_DOC_TOKENS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}),
+regs AS (
+    SELECT source,
+           CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {_HLL_M}
+               AS register,
+           MAX({rho}) AS max_rho
+    FROM toks
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT source,
+           SUM(pow(2.0, -max_rho)) AS occ_sum,
+           CAST(COUNT(*) AS BIGINT) AS occupied
+    FROM regs GROUP BY source
+),
+ex AS (
+    SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+    FROM toks GROUP BY source
+),
+est AS (
+    SELECT source, occupied,
+           CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND occupied < {_HLL_M}
+                THEN ROUND({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                           / ({_HLL_M} - occupied)), 6)
+                ELSE ROUND({raw}, 6) END AS est_distinct
+    FROM agg
+)
+SELECT est.source,
+       occupied AS occupied_registers,
+       est_distinct,
+       exact_distinct,
+       ROUND(abs(est_distinct - exact_distinct) / exact_distinct, 6)
+           AS rel_err
+FROM est JOIN ex ON est.source = ex.source
+"""
+
+
+@register(
+    "a86_hll_distinct",
+    oracle=_a86_oracle(),
+    covers=("X-SKETCH-DISTINCT", "A5", "A1"),
+)
+def a86_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_tokens
+    from ..operators.sketches import hll_distinct
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            bpe_ish_tokens(normalized_text(F.col("text")))
+        ).alias("token"),
+    )
+    return hll_distinct(toks, "source", "token", m=_HLL_M)

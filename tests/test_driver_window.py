@@ -23,11 +23,9 @@ _REQUIRED_IN_WINDOW = {
     "a30_dedup_keep_best",
     "a45_semantic_dedup",
     # PQ / IVFADC
-    "a34_pq_train_step",
     "a38_ivfpq_topk",
     "a43_ivfpq_residual_topk",
     # packing / curation / sampling
-    "a37_sequence_pack",
     "a40_curation_funnel",
     "a48_corpus_shuffle",
     # ANN quality loop
@@ -43,11 +41,9 @@ _REQUIRED_IN_WINDOW = {
     "a54_dup_ngram_coverage",
     "a55_scd2_dimension",
     "a56_vocab_oov_rates",
-    "a57_embedding_dim_stats",
     "a58_binned_quantiles",
     "a59_dup_spans",
     "a60_leakage_safe_split",
-    "a61_source_reputation",
     "a62_linear_count_distinct",
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
@@ -57,7 +53,6 @@ _REQUIRED_IN_WINDOW = {
     "a68_retention_curve",
     "a69_bigram_lm_scores",
     "a70_ivfadc_rerank",
-    "a71_temperature_mixture",
     "a72_pagerank_copurchase",
     "a73_bloom_decontaminate",
     "a74_event_funnel",
@@ -71,6 +66,16 @@ _REQUIRED_IN_WINDOW = {
     "a82_latest_event_argmax",
     "a83_weighted_sample",
     "a84_source_dup_report",
+    # round-6 additions: every newly-registered component must take its
+    # driver verdict the round it lands
+    "a85_bpe_encode",
+    "a86_hll_distinct",
+    # round-6 freshness rotation (VERDICT r05 ask #7): stale §2
+    # headliners rotated back into the window
+    "q09_window_dedup",
+    "q10_star_role_playing_dates",
+    "x05_dedup_minhash_lsh",
+    "x15_multimodal_metadata",
     # §2 flagship
     "q06_opportunity_rank",
 }

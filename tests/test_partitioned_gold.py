@@ -54,6 +54,58 @@ def test_gold_fact_scan_prunes_partitions(spark, part_wh):
     assert scan.count() > 0
 
 
+def test_fact_dim_join_uses_dynamic_partition_pruning(spark, part_wh):
+    """The classic 100 TB star-schema win (SURVEY §4, VERDICT r05 ask
+    #4): joining the partitioned fact against a dim with a SELECTIVE
+    filter must prune fact partitions AT RUNTIME via dynamic partition
+    pruning — the fact scan carries a dynamicpruningexpression fed by
+    the dim side's broadcast, so only the matching start_year
+    partitions are ever listed/read, without any literal fact filter
+    in the query."""
+    wh, _, _ = part_wh
+    fact = spark.read.parquet(str(wh / "gold" / "fact_trials"))
+    years = sorted(
+        r["start_year"]
+        for r in fact.select("start_year").distinct().collect()
+        if r["start_year"] > 0
+    )
+    target = years[-1]
+
+    # Selective filter on a NON-KEY dim attribute: a literal equality on
+    # the join key itself would let Catalyst propagate it into a STATIC
+    # partition filter (observed — constraint propagation beat DPP), so
+    # the surviving year values must be knowable only at runtime. The
+    # attribute is a STRING compared with equality, not a bare boolean
+    # flag: Spark's PartitionPruning rule gates on isLikelySelective,
+    # which admits binary comparisons but not a lone boolean attribute
+    # (observed: a `flag` filter produced no DPP subquery).
+    year_dim_path = str(wh / "gold" / "dim_year_wave")
+    spark.createDataFrame(
+        [(int(y), "current" if y == target else "past") for y in years],
+        "year INT, wave STRING",
+    ).write.mode("overwrite").parquet(year_dim_path)
+    dim_years = spark.read.parquet(year_dim_path).filter(
+        F.col("wave") == "current"
+    )
+    joined = fact.join(
+        dim_years, fact["start_year"] == dim_years["year"]
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # the pruning expression must sit on the FACT scan's partition filters
+    fact_scan = [
+        seg
+        for seg in plan.split("FileScan")
+        if "fact_trials" in seg.split("\n")[0]
+    ]
+    assert fact_scan and any(
+        "dynamicpruning" in seg.lower() for seg in fact_scan
+    ), plan
+    # and the join result is exactly the target year's rows
+    n_target = fact.filter(F.col("start_year") == target).count()
+    assert joined.count() == n_target > 0
+
+
 def test_partitioned_fact_matches_default_layout(spark, part_wh, data_dir, tmp_path_factory):  # noqa: F811
     """Opt-in partitioning must not change a single value (parity)."""
     wh, _, _ = part_wh

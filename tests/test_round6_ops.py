@@ -1,0 +1,275 @@
+"""Round-6 operator tests: HyperLogLog distinct sketch (a86), BPE
+encode registration (a85), and their scale/merge/streaming properties."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import SF_DIR  # noqa: E402
+
+
+# --------------------------------------------------------------- HLL
+def test_hll_holds_where_linear_counting_saturates(spark):
+    """The round-5 verdict's crafted regime: cardinality well past the
+    sketch size. Linear counting's occupancy hits m (ln(0) -> NULL,
+    documented saturation); the HLL register table keeps carrying
+    information (max-rho ranks grow), so its estimate stays within a
+    few standard errors of truth."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        hll_distinct,
+        linear_counting_distinct,
+    )
+
+    m = 256  # small sketch so 40k distinct values is ~156x past it
+    n = 40_000
+    vals = spark.range(n).select(
+        F.lit("g").alias("grp"),
+        F.concat(F.lit("value-"), F.col("id")).alias("v"),
+    )
+
+    lc = linear_counting_distinct(vals, "grp", "v", m=m).collect()[0]
+    assert lc["d_buckets"] == m, "crafted regime must saturate LC"
+    assert lc["est_distinct"] is None, "saturated LC yields NULL"
+
+    hll = hll_distinct(vals, "grp", "v", m=m).collect()[0]
+    assert hll["est_distinct"] is not None
+    # standard error 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert hll["rel_err"] < 0.26, f"HLL off by {hll['rel_err']}"
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketch mergeability — the property that makes it incremental:
+    registers built over two disjoint halves, merged by MAX per
+    register, must equal the registers built over the full corpus."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    full = spark.range(5_000).select(
+        F.lit("g").alias("grp"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("v"),
+    )
+    a = full.filter(F.col("v") < "doc-3")  # lexicographic split
+    b = full.filter(~(F.col("v") < "doc-3"))
+
+    merged = (
+        hll_registers(a, "grp", "v", m=128)
+        .unionByName(hll_registers(b, "grp", "v", m=128))
+        .groupBy("grp", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    want = {
+        (r["grp"], r["register"]): r["max_rho"]
+        for r in hll_registers(full, "grp", "v", m=128).collect()
+    }
+    got = {
+        (r["grp"], r["register"]): r["max_rho"] for r in merged.collect()
+    }
+    assert got == want
+
+
+def test_hll_registers_stream_matches_batch(spark, tmp_path):
+    """Stream-accumulated HLL registers must equal the batch sketch over
+    the union of micro-batches (merge-by-max; idempotent, so replays
+    cannot even inflate it)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        hll_registers,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.events import (
+        streaming_events_source,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.sketches import (
+        hll_registers_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pdf = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).toPandas()
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for i, chunk in enumerate(
+        [pdf.iloc[:300], pdf.iloc[300:700], pdf.iloc[700:]]
+    ):
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+
+    stream = streaming_events_source(spark, str(src))
+    q = (
+        hll_registers_stream(stream, "event_type", "user_id", m=64)
+        .writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["register"]): r["max_rho"]
+        for r in spark.sql("SELECT * FROM hll_sink").collect()
+    }
+    want = {
+        (r["event_type"], r["register"]): r["max_rho"]
+        for r in hll_registers(ev, "event_type", "user_id", m=64).collect()
+    }
+    assert got == want
+
+
+def test_hll_rho_matches_python_reference(spark):
+    """rho (leading-zero rank of md5 hex chars 9-16) against a direct
+    Python computation, including the hex-digit CASE boundaries."""
+    import hashlib
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        _hll_rho,
+    )
+
+    vals = [f"k{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING")
+    got = {
+        r["v"]: r["rho"]
+        for r in df.select("v", _hll_rho(F.col("v")).alias("rho")).collect()
+    }
+    for v in vals:
+        word = int(hashlib.md5(v.encode()).hexdigest()[8:16], 16)
+        want = 33 if word == 0 else 32 - word.bit_length() + 1
+        assert got[v] == want, v
+
+
+# ------------------------------------------------- real image headers
+def _tiny_png(w: int, h: int) -> bytes:
+    """A fully valid 1-pixel-data PNG of declared size w x h (header
+    metadata is what's under test; IDAT content is a valid zlib stream
+    of one black row — enough for any strict reader to accept)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + b"\x00" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_jpeg(w: int, h: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 header prefix — the marker walk under
+    test (a real camera JPEG has the same prefix structure)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_formats():
+    from clinical_trials_data_pipeline_analyis_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    assert parse_image_header(_tiny_png(640, 480)) == ("image/png", 640, 480)
+    assert parse_image_header(_tiny_jpeg(123, 77)) == ("image/jpeg", 123, 77)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_header(gif) == ("image/gif", 320, 200)
+    # not an image -> no format (caller falls back)
+    assert parse_image_header(b"just some text bytes") == (None, None, None)
+    assert parse_image_header(None) == (None, None, None)
+    # recognized container, truncated dims -> format with NULL dims
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
+        "image/png",
+        None,
+        None,
+    )
+    # JPEG with no SOF (header-only garbage after SOI)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("image/jpeg", None, None)
+
+
+def test_decode_image_metadata_reads_real_headers(spark):
+    """The mapInPandas decode path must return TRUE dimensions for real
+    image payloads and the deterministic fake for text payloads —
+    mixed in one batch, NULL payloads keeping NULL metadata."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.multimodal import (
+        decode_image_metadata,
+    )
+
+    png = _tiny_png(800, 600)
+    jpg = _tiny_jpeg(64, 48)
+    text = b"plain text payload"
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg), (3, text), (4, None)],
+        "doc_id BIGINT, payload BINARY",
+    )
+    got = {r["doc_id"]: r for r in decode_image_metadata(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == (
+        "image/png",
+        800,
+        600,
+    )
+    assert got[1]["n_bytes"] == len(png)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == (
+        "image/jpeg",
+        64,
+        48,
+    )
+    # text payload: unchanged deterministic fake (x15/a27 oracles rely on it)
+    n = len(text)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == (
+        "fake/raw",
+        n % 640 + 1,
+        n % 480 + 1,
+    )
+    assert (
+        got[4]["n_bytes"] is None
+        and got[4]["format"] is None
+        and got[4]["width"] is None
+    )
+
+
+# --------------------------------------------------------------- BPE a85
+def test_bpe_encode_query_matches_python_replay(spark):
+    """The registered a85 query against a pure-Python replay of the
+    literal merge list (greedy left-to-right, non-overlapping)."""
+    from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
+    from clinical_trials_data_pipeline_analyis_spark.suite.extensions import (
+        _BPE_MERGES,
+    )
+
+    out = spark_queries()["a85_bpe_encode"](spark, SF_DIR).collect()
+    assert out, "a85 must produce rows at sf0.001"
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for left, right, _ in _BPE_MERGES:
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(s)
+            syms = acc
+        return syms
+
+    for r in out[:2000]:
+        toks = encode(r["word"])
+        assert r["token_str"] == " ".join(toks), r["word"]
+        assert r["n_tokens"] == len(toks)

@@ -84,6 +84,54 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling (M8, VERDICT r05 ask #6): joining on a
+    key where ONE value carries 30% of the rows must end with the
+    adaptive plan splitting the hot partition — the final sort-merge
+    join is marked ``skew=true`` — instead of funneling it through one
+    reducer. Thresholds are lowered so the default 256 MB
+    skewedPartitionThresholdInBytes triggers at test scale; at
+    production scale the defaults fire on genuinely hot partitions
+    (the mechanism, not the threshold, is what this pins)."""
+    n = 300_000
+    # 30% of rows share key 0; the rest spread over 1000 keys
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(2_000).select(
+        (F.col("id") % 1000).alias("k"),
+        F.col("id").alias("r_payload"),
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # disable coalescing so the skew detection sees raw partitions
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # materialize THIS DataFrame's own QueryExecution (count() would
+        # spawn a separate one and leave this plan un-finalized)
+        n_rows = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # correctness unaffected by the split: hot key 0 matches twice
+        # (right has two rows per k), others twice as well
+        assert n_rows == n * 2
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def _hash_rows(df) -> str:
     rows = sorted(str(tuple(r)) for r in df.collect())
     return hashlib.md5("\n".join(rows).encode()).hexdigest()

@@ -310,6 +310,72 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "sigstore")).count() == n
 
 
+def test_streaming_near_dedup_replay_is_idempotent(spark, tmp_path):
+    """at-least-once safety for the near-dedup store: replaying the
+    stream from a wiped checkpoint (every epoch re-runs) must leave the
+    flag table AND the signature store bit-identical — one row per doc,
+    same flags — because both are epoch-partitioned with dynamic
+    overwrite and the store read bands only against epochs < current."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        near_dedup_docs_stream,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two three four five six seven eight nine ten eleven",
+        2: "spark plans joins shuffles broadcasts windows aggregates",
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        4: "red orange yellow green blue indigo violet crimson amber",
+        5: "one two three four five six seven eight nine ten eleven",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id BIGINT, text STRING"
+    )
+    chunks = str(tmp_path / "chunks")
+    docs.filter(F.col("doc_id") < 3).coalesce(1).write.parquet(f"{chunks}/c1")
+    docs.filter(F.col("doc_id") >= 3).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    out_path = str(tmp_path / "flags")
+    store_path = str(tmp_path / "sigstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/c*")
+        )
+        q = near_dedup_docs_stream(
+            stream, out_path=out_path, store_path=store_path, checkpoint=ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    first = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # exact copies of lower-id docs flag; nothing else does
+    assert first[3] is True and first[5] is True
+    assert not any(first[i] for i in (0, 1, 2, 4))
+
+    # replay EVERY epoch: wipe the checkpoint, same files, same order
+    shutil.rmtree(ckpt)
+    run()
+    flags = spark.read.parquet(out_path)
+    assert flags.count() == len(texts), "replay must not duplicate flags"
+    assert {
+        r["doc_id"]: r["is_near_dup"] for r in flags.collect()
+    } == first
+    store = spark.read.parquet(store_path)
+    assert store.count() == len(texts), "replay must not duplicate store"
+    assert store.select("doc_id").distinct().count() == len(texts)
+
+
 def test_streaming_curation_matches_batch(spark, tmp_path):
     """The streaming filter cascade (per-batch signals + cross-batch
     fingerprint store) must assign every document the same funnel stage

@@ -74,14 +74,27 @@ def seed_codebooks(
     mod: int = 61,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_codes: int = 256,
 ) -> DataFrame:
-    """Deterministic codebooks: subvectors of every ``mod``-th vector.
+    """Deterministic codebooks: subvectors of every ``mod``-th vector,
+    CAPPED at ``max_codes`` codes per subspace (ids below
+    ``mod * max_codes``).
 
     (subspace, code_id, codevec) with code_id = the seed vector's id —
     the same mod-selection seeding a24's k-means uses, so a training
     loop (``pq_train_step``) refines from a reproducible start.
+
+    The cap is the 100 TB contract: without it the codebook grows as
+    n/mod with the corpus, which (a) silently breaks PQ's whole point —
+    a code must fit in one byte, k <= 256 — and (b) makes encode cost
+    n x n/mod, QUADRATIC (the round-6 sf1 run measured exactly that:
+    the whole PQ family scaled ~1.3-1.5x per input row instead of
+    flat). With the cap, the codebook is a fixed-size model: the same
+    seeds at any corpus size past the prefix, encode strictly linear.
     """
-    seeds = df.filter(F.col(id_col) % mod == 0)
+    seeds = df.filter(
+        (F.col(id_col) % mod == 0) & (F.col(id_col) < mod * max_codes)
+    )
     return split_subvectors(seeds, m, id_col, vec_col).select(
         "subspace", F.col(id_col).alias("code_id"), F.col("subvec").alias("codevec")
     )

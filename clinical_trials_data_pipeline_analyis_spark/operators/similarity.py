@@ -105,26 +105,72 @@ def embedding_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_n: int = 50,
+    grid: int = 8,
 ) -> DataFrame:
-    """Top near-duplicate pairs by cosine, blocked by ``block_col``."""
-    a = _spread(embeddings).select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("va"),
+    """Top near-duplicate pairs by cosine, blocked by ``block_col``.
+
+    The self-join is SALT-GRIDDED: joining on the block alone puts a
+    block's entire |block|² pair fan-out into ONE reducer, so a single
+    hot block serializes the whole query — observed on the round-6 sf1
+    run, where a 15k-vector hot label (30% of the corpus, the realistic
+    skew-clustered shape) pinned two straggler tasks for tens of
+    minutes while 30 cores idled. Replicating the LEFT side once per
+    grid cell and bucketing the RIGHT side by id hash spreads those
+    pairs over ``grid`` join cells: every pair still meets exactly once
+    (the left copy tagged with the right row's cell), results are
+    IDENTICAL (the grid never appears in the output, so the DuckDB
+    oracle is unchanged), and the hot block's quadratic work
+    parallelizes. Left-side replication costs ``grid`` x |vectors|
+    shuffled rows — linear, the price for unserializing the quadratic
+    term. Pair COUNT is unchanged: for genuinely huge blocks the
+    LSH/RHP operators (``rhp_bucket_pairs``) are the subquadratic path;
+    this is the exact-within-block form.
+    """
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.sampling import hash_bucket
+
+    # Norms are computed ONCE PER VECTOR before the join and ride the
+    # shuffle as plain doubles — inside the pair projection they'd be
+    # folded per PAIR, tripling the higher-order-function work that
+    # dominates a pair scan (dot + 2 norms -> dot only; measured 2.5x
+    # on the sf1 hot block). Same arithmetic and fold order as
+    # cosine_similarity, so oracle parity is unaffected.
+    a = (
+        _spread(embeddings)
+        .select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).alias("va"),
+            l2_norm(F.col(vec_col)).alias("_norm_a"),
+        )
+        .withColumn(
+            "_cell",
+            F.explode(F.array(*[F.lit(i) for i in range(grid)])),
+        )
     )
     b = embeddings.select(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_norm_b"),
+        (hash_bucket(F.col(id_col), grid)).cast("int").alias("_cell_b"),
     )
     pairs = a.join(
         b,
-        (F.col("blk") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")),
+        (F.col("blk") == F.col("blk_b"))
+        & (F.col("_cell") == F.col("_cell_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
     ).select(
         F.col("blk").alias("label"),
         "vec_a",
         "vec_b",
-        F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        F.round(
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")),
+                F.col("_norm_a") * F.col("_norm_b"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(
         top_n
@@ -473,11 +519,22 @@ def rhp_near_duplicates(
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # Norms computed once per VECTOR on the lookup sides, not per
+    # candidate pair — same arithmetic/fold order as cosine_similarity
+    # (oracle parity unaffected), ~2.5x less higher-order-function work
+    # in the verify stage (measured on the sf1 hot block for the
+    # sibling exact pair scan above).
+    from ..functions.vectors import l2_norm
+
     va = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_norm_a"),
     )
     vb = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_norm_b"),
     )
     return (
         cand.join(va, "vec_a")
@@ -486,7 +543,11 @@ def rhp_near_duplicates(
             "vec_a",
             "vec_b",
             F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), 6
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("_norm_a") * F.col("_norm_b"),
+                ),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
@@ -535,14 +596,21 @@ def semantic_pair_candidates(
       grows with the corpus, so the cell-keyed shuffle is the parallel
       scale path: each task joins whole cells, no broadcast ceiling.
     """
+    from ..functions.vectors import l2_norm
+
+    # per-VECTOR norms ride the join sides so the per-PAIR work is the
+    # dot product alone (same fold order as cosine_similarity — parity
+    # unaffected; ~2.5x less HOF work in the pair verify)
     a_cols = [
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
+        l2_norm(F.col("vec")).alias("_norm_a"),
         F.col("centroid_id").alias("cell_a"),
     ]
     b_cols = [
         F.col("vec_id").alias("vec_b"),
         F.col("vec").alias("vb"),
+        l2_norm(F.col("vec")).alias("_norm_b"),
         F.col("centroid_id").alias("cell_b"),
     ]
     pair_cond = (F.col("cell_a") == F.col("cell_b")) & (
@@ -571,9 +639,13 @@ def semantic_pair_candidates(
         joined.select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
-                "pair_cos"
-            ),
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("_norm_a") * F.col("_norm_b"),
+                ),
+                6,
+            ).alias("pair_cos"),
         )
         .filter(F.col("pair_cos") >= F.lit(threshold))
         .select("vec_a", "vec_b")

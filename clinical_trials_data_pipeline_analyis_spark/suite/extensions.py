@@ -418,7 +418,7 @@ def x09_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x10_ann_ivf_assign",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 scored AS (
     SELECT
         v.vec_id,
@@ -440,7 +440,7 @@ WHERE rn = 1
 def x10_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 97 == 0
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416)
     )
     return ivf_assign(emb, centroids)
 
@@ -684,7 +684,7 @@ _ASSIGN_SQL = f"""
     "x16_ann_ivf_topk",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 assign AS ({_ASSIGN_SQL}),
 q AS (
     SELECT a.vec_id AS query_id, a.centroid_id, e.e AS qe
@@ -715,7 +715,7 @@ def x16_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 97 == 0
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416)
     )
     assign = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
 
@@ -1199,7 +1199,7 @@ def a25_dedup_ngram_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a24_ivf_train_step",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 assign AS ({_ASSIGN_SQL})
 SELECT
     a.centroid_id,
@@ -1217,7 +1217,7 @@ def a24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import train_ivf
 
     emb = read_table(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") % 97 == 0)
+    seeds = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     cents, _assign = train_ivf(emb, centroids=seeds, iters=1)
     return cents.select(
         "centroid_id", F.posexplode("centroid").alias("pos0", "centroid_value")
@@ -1503,7 +1503,7 @@ def a30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a31_ann_ivf_multiprobe",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 scored AS (
     SELECT v.vec_id, cent.centroid_id,
            ROW_NUMBER() OVER (
@@ -1543,7 +1543,7 @@ def a31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_probe_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
 
     home = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
     probes = ivf_probe_assign(emb, centroids, nprobe=2).select(
@@ -1616,7 +1616,7 @@ def _l2sq_sql(a: str, b: str) -> str:
 
 _PQ_ENCODE_SQL = f"""
 subs AS ({_PQ_SUBS_SQL}),
-cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0),
+cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0 AND vec_id < 15616),
 scored AS (
     SELECT v.vec_id, v.subspace, cb.code_id,
            {_l2sq_sql("v.sv", "cb.cv")} AS dist2,
@@ -1837,7 +1837,7 @@ def a37_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_CHAIN_SQL = f"""{_PQ_ENCODE_SQL},
 codes AS (SELECT vec_id, subspace, code_id FROM scored WHERE rn = 1),
 embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 iscored AS (
     SELECT v.vec_id, cent.centroid_id,
            ROW_NUMBER() OVER (
@@ -1891,7 +1891,7 @@ def a38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_topk, pq_encode, seed_codebooks
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
     codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
     assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
@@ -2050,7 +2050,7 @@ def a40_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a41_pq_residual_encode",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 iscored AS (
     SELECT v.vec_id, cent.centroid_id,
            ROW_NUMBER() OVER (
@@ -2072,7 +2072,7 @@ subs AS (
            e[CAST(s * {_PQ_SUB} + 1 AS INT):CAST(s * {_PQ_SUB} + {_PQ_SUB} AS INT)] AS sv
     FROM res, UNNEST(generate_series(0, {_PQ_M} - 1)) AS t(s)
 ),
-cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0),
+cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0 AND vec_id < 15616),
 scored AS (
     SELECT v.vec_id, v.subspace, cb.code_id,
            {_l2sq_sql("v.sv", "cb.cv")} AS dist2,
@@ -2090,7 +2090,7 @@ def a41_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_encode, residual_vectors, seed_codebooks
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
     res = residual_vectors(emb, assignments, centroids)
     cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual")
@@ -2141,7 +2141,7 @@ def a42_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a43_ivfpq_residual_topk",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 iscored AS (
     SELECT v.vec_id, cent.centroid_id,
            ROW_NUMBER() OVER (
@@ -2163,7 +2163,7 @@ subs AS (
            e[CAST(s * {_PQ_SUB} + 1 AS INT):CAST(s * {_PQ_SUB} + {_PQ_SUB} AS INT)] AS sv
     FROM res, UNNEST(generate_series(0, {_PQ_M} - 1)) AS t(s)
 ),
-cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0),
+cb AS (SELECT subspace, vec_id AS code_id, sv AS cv FROM subs WHERE vec_id % 61 = 0 AND vec_id < 15616),
 enc AS (
     SELECT v.vec_id, v.home_cell, v.subspace, cb.code_id,
            ROW_NUMBER() OVER (
@@ -2225,7 +2225,7 @@ def a43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     # A real deployment builds the index ONCE and reads it back; the
     # inline build is materialized (localCheckpoint) so the search plan
     # consumes staged artifacts instead of re-executing the centroid
@@ -2313,7 +2313,7 @@ _SEMDEDUP_THRESHOLD = 0.40
     oracle=f"""
 WITH RECURSIVE
 embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS cid, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS cid, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 sc AS (
     SELECT v.vec_id, cid, {_COS_SQL.format(a="v.e", b="cent.ce")} AS cosc,
            ROW_NUMBER() OVER (
@@ -2354,7 +2354,7 @@ def a45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)
 
 
@@ -2499,7 +2499,7 @@ def a48_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a49_ann_recall_at_k",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 q AS (SELECT vec_id AS query_id, e AS qe FROM embd WHERE vec_id < 5),
 exact_topk AS (
     SELECT query_id, candidate_id FROM (
@@ -2571,7 +2571,7 @@ def a49_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a50_cell_assign_rowlocal",
     oracle=f"""
 WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
 scored AS (
     SELECT
         v.vec_id,
@@ -2601,7 +2601,7 @@ def a50_cell_assign_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_rows = [
         (r["vec_id"], list(r["embedding"]))
         for r in emb.filter(
-            (F.col("vec_id") % 97 == 0) & F.col("embedding").isNotNull()
+            ((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416)) & F.col("embedding").isNotNull()
         )
         .select("vec_id", "embedding")
         .collect()
@@ -3754,7 +3754,7 @@ def a70_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import adc_rerank_topk, ivfpq_topk, pq_encode, seed_codebooks
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
     codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
     assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")

@@ -30,7 +30,7 @@ from clinical_trials_data_pipeline_analyis_spark.session import get_spark
 def run(spark, n_rows: int, skew_on: bool) -> tuple[float, int]:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
     left = spark.range(0, n_rows, 1, 32).select(
-        F.when(F.col("id") % 10 < 3, F.lit(0))
+        F.when(F.col("id") % 10 < 5, F.lit(0))
         .otherwise(F.col("id") % 100_000)
         .alias("k"),
         F.col("id").alias("payload"),
@@ -39,8 +39,20 @@ def run(spark, n_rows: int, skew_on: bool) -> tuple[float, int]:
         (F.col("id") % 100_000).alias("k"),
         F.sha2(F.col("id").cast("string"), 256).alias("attr"),
     )
+    # The aggregate CONSUMES both payloads per joined row (xxhash over
+    # the dim attribute + the fact payload): a bare count() lets
+    # Catalyst prune every column and the join degenerates to a key
+    # probe too cheap to expose the straggler.
     t0 = time.perf_counter()
-    n = left.join(right, "k").select(F.count(F.lit(1))).collect()[0][0]
+    n = (
+        left.join(right, "k")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            # double: ANSI-safe sum of full-range hashes
+            F.sum(F.xxhash64("attr", "payload").cast("double")).alias("chk"),
+        )
+        .collect()[0]["n"]
+    )
     return time.perf_counter() - t0, n
 
 

@@ -140,6 +140,49 @@ def test_hll_rho_matches_python_reference(spark):
         assert got[v] == want, v
 
 
+# --------------------------------------- fixed-size quantizer models
+def test_pq_codebook_size_is_corpus_independent(spark):
+    """The round-6 sf1 finding: mod-only seeding made the PQ codebook
+    grow as n/61 with the corpus — quadratic encode cost and codes that
+    stop fitting in a byte. The cap must hold the codebook at
+    max_codes per subspace no matter how large the corpus, and the
+    SELECTED seeds must be identical across corpus sizes (a fixed
+    model, not a corpus-relative one)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.pq import (
+        seed_codebooks,
+    )
+
+    def emb(n):
+        return spark.range(n).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), i -> cast(id % 7 + i as float))"
+            " AS embedding",
+        )
+
+    small = seed_codebooks(emb(2_000), m=2, mod=61)
+    big = seed_codebooks(emb(60_000), m=2, mod=61)
+    per_sub = big.groupBy("subspace").count().collect()
+    assert all(r["count"] <= 256 for r in per_sub)
+    # codes are byte-addressable: at most 256 per subspace, and the
+    # small corpus's seeds are a PREFIX of the big corpus's seeds
+    small_ids = {r["code_id"] for r in small.select("code_id").collect()}
+    big_ids = {r["code_id"] for r in big.select("code_id").collect()}
+    assert small_ids <= big_ids
+    assert max(big_ids) < 61 * 256
+
+
+def test_ivf_seed_centroids_are_capped(spark):
+    """Same contract for the IVF coarse quantizer seeds used by the
+    registered queries: the centroid count must not scale with the
+    corpus (capped at 128 = ids below 97*128)."""
+    from pyspark.sql import functions as F
+
+    cap_filter = (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416)
+    big = spark.range(80_000).select(F.col("id").alias("vec_id"))
+    n = big.filter(cap_filter).count()
+    assert n == 128
+
+
 # ------------------------------------------------- real image headers
 def _tiny_png(w: int, h: int) -> bytes:
     """A fully valid 1-pixel-data PNG of declared size w x h (header

@@ -482,6 +482,64 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """The REMOVAL half of span-level dedup: cut every duplicate span
+    ``duplicate_spans`` detects out of the text (Lee et al. 2022 §4 —
+    the paper's dedup ships the corpus with repeated substrings
+    REMOVED, not merely flagged; RefinedWeb follows the same recipe).
+
+    Returns ``(id_col, n_tokens, tokens_removed, clean_text)`` —
+    ``clean_text`` is the normalized text with span tokens dropped and
+    survivors re-joined on single spaces (span offsets are token
+    offsets over the normalized text, so token-space surgery is exact).
+    Documents with no duplicate spans pass through with
+    ``tokens_removed = 0``; NULL text stays NULL.
+
+    Scale shape: the span detection is ``duplicate_spans`` (one
+    hash-keyed shuffle + id-partitioned windows, O(token instances));
+    removal adds one id-keyed left join of the per-doc span LIST
+    (collect_list over a few spans per doc, never the corpus) and a
+    row-local indexed filter over the token array — no extra
+    corpus-wide shuffle beyond the span list's own aggregation.
+    """
+    spans = (
+        duplicate_spans(df, id_col, text_col, k=k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("_spans")
+        )
+    )
+    toks = whitespace_tokens(normalized_text(F.col(text_col)))
+    base = df.select(id_col, toks.alias("_toks"))
+    empty_spans = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    sp = F.coalesce(F.col("_spans"), empty_spans)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            sp,
+            lambda s: (i.cast("long") >= s["span_start"])
+            & (i.cast("long") < s["span_end"]),
+        ),
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias(
+                "tokens_removed"
+            ),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str,

@@ -137,6 +137,9 @@ def register(
 #: a49/a53), a61_source_reputation (quality/curation keeps a40/a68),
 #: a71_temperature_mixture (sampling/mixture keeps a48/a83). All six
 #: remain registered and locally oracle-checked at three SFs.
+#: Second round-6 rotation: a87_dedup_span_removal (new: the removal
+#: half of span dedup) replaces a35_decontaminate — r5-green;
+#: decontamination keeps a73 (Bloom form) in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -149,7 +152,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a79_skew_safe_distinct",
     "a81_lang_confusion",
     "a80_dup_cap",
-    "a35_decontaminate",
     "a72_pagerank_copurchase",
     "a38_ivfpq_topk",
     "a39_text_repetition",
@@ -188,6 +190,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x15_multimodal_metadata",
     "a85_bpe_encode",
     "a86_hll_distinct",
+    "a87_dedup_span_removal",
 )
 
 

@@ -4674,3 +4674,89 @@ def a86_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
     return hll_distinct(toks, "source", "token", m=_HLL_M)
+
+
+# =====================================================================
+# a87 — duplicate-span REMOVAL (Lee et al. 2022 §4 / RefinedWeb): the
+# transform half of a59 — the detected spans are CUT from the text and
+# survivors re-joined, shipping a cleaned corpus instead of a flag
+# table. Span surgery is token-space (offsets are exact over the
+# normalized text), row-local via an indexed array filter against the
+# per-doc span list; the only additions over a59's detection are one
+# id-keyed span-list aggregation and its left join back — no new
+# corpus-wide shuffle.
+# =====================================================================
+@register(
+    "a87_dedup_span_removal",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN {_NORM_SQL} IS NULL THEN NULL
+                ELSE list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> x <> '') END AS w
+    FROM documents
+),
+win AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           md5(array_to_string(
+               w[CAST(i AS INT):CAST(i AS INT) + {_SPAN_K - 1}], ' '
+           )) AS gh
+    FROM base, UNNEST(generate_series(1, len(w) - {_SPAN_K - 1})) AS t(i)
+    WHERE len(w) >= {_SPAN_K}
+),
+dup AS (SELECT gh FROM win GROUP BY gh HAVING COUNT(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM win AS w JOIN dup USING (gh)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                  OR pos - LAG(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                     ) > {_SPAN_K}
+                THEN 1 ELSE 0 END AS newf
+    FROM marked
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(newf) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+           ) AS island
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s,
+           CAST(MAX(pos) + {_SPAN_K} AS BIGINT) AS e
+    FROM isl GROUP BY doc_id, island
+),
+toks AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[CAST(i AS INT)] AS tok
+    FROM base, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM toks AS t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans AS s
+        WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e
+    )
+),
+agg AS (
+    SELECT doc_id,
+           COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_tokens,
+       CAST(len(b.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS tokens_removed,
+       CASE WHEN b.w IS NULL THEN NULL
+            ELSE COALESCE(a.clean_text, '') END AS clean_text
+FROM base AS b LEFT JOIN agg AS a ON b.doc_id = a.doc_id
+""",
+    covers=("X-DEDUP-SPANS", "X-DEDUP-REMOVE", "W2", "F17"),
+)
+def a87_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)

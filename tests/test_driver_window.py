@@ -70,6 +70,7 @@ _REQUIRED_IN_WINDOW = {
     # driver verdict the round it lands
     "a85_bpe_encode",
     "a86_hll_distinct",
+    "a87_dedup_span_removal",
     # round-6 freshness rotation (VERDICT r05 ask #7): stale §2
     # headliners rotated back into the window
     "q09_window_dedup",

@@ -183,6 +183,37 @@ def test_ivf_seed_centroids_are_capped(spark):
     assert n == 128
 
 
+# ------------------------------------------------- span removal (a87)
+def test_remove_duplicate_spans_crafted(spark):
+    """Two docs share a 6-token run (every 5-window inside it recurs),
+    so both lose exactly that span; a unique doc passes through intact;
+    a doc that IS entirely a duplicate of another collapses to empty."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon"),
+        (2, f"one two three {shared} four five six"),
+        (3, "entirely unique text with no repeats at all here"),
+        (4, "copy copy copy identical payload words here now"),
+        (5, "copy copy copy identical payload words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, "doc_id", "text", k=5).collect()}
+
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["tokens_removed"] == 6
+    assert out[2]["clean_text"] == "one two three four five six"
+    assert out[2]["tokens_removed"] == 6
+    assert out[3]["tokens_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    # exact whole-doc duplicates: every window recurs -> all tokens cut
+    assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
+    assert out[4]["tokens_removed"] == out[4]["n_tokens"] == 8
+
+
 # ------------------------------------------------- real image headers
 def _tiny_png(w: int, h: int) -> bytes:
     """A fully valid 1-pixel-data PNG of declared size w x h (header
@@ -245,6 +276,43 @@ def test_parse_image_header_formats():
     )
     # JPEG with no SOF (header-only garbage after SOI)
     assert parse_image_header(b"\xff\xd8\xff\xd9") == ("image/jpeg", None, None)
+
+
+def test_parse_image_header_never_crashes_on_arbitrary_bytes():
+    """Corpus payloads are untrusted: truncated shards, bit rot,
+    mislabeled formats. The header parser must be total — any byte
+    string yields a 3-tuple, never an exception (fuzzed, plus adversarial
+    prefixes that stress each branch's bounds checks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    adversarial = [
+        b"\x89PNG\r\n\x1a\n",              # signature only
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 15,  # one byte short of dims
+        b"\xff\xd8",                        # bare SOI
+        b"\xff\xd8\xff",                    # marker byte cut off
+        b"\xff\xd8\xff\xc0\x00",            # SOF length cut off
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00",  # SOF dims truncated
+        b"\xff\xd8\xff\xd0\xff\xd0",        # standalone markers only
+        b"\xff\xd8\xff\xe0\xff\xff",        # absurd segment length
+        b"GIF89a",                          # GIF signature only
+        b"GIF87a\x01",                      # GIF dims truncated
+    ]
+    for b in adversarial:
+        out = parse_image_header(b)
+        assert isinstance(out, tuple) and len(out) == 3
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def fuzz(b):
+        out = parse_image_header(b)
+        assert isinstance(out, tuple) and len(out) == 3
+
+    fuzz()
 
 
 def test_decode_image_metadata_reads_real_headers(spark):

@@ -214,6 +214,51 @@ def test_remove_duplicate_spans_crafted(spark):
     assert out[4]["tokens_removed"] == out[4]["n_tokens"] == 8
 
 
+def test_remove_duplicate_spans_properties(spark):
+    """Structural invariants on a generated corpus: clean tokens are a
+    SUBSEQUENCE of the original tokens (removal never reorders or
+    invents), counts reconcile, and a doc with no detected span is
+    byte-identical to its normalized text."""
+    import random
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(7)
+    vocab = "aa bb cc dd ee ff gg hh ii jj kk ll".split()
+    texts = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        if i % 4 == 0 and texts:  # splice a copied run into some docs
+            donor = texts[rng.randrange(len(texts))].split()
+            if len(donor) >= 7:
+                start = rng.randrange(len(donor) - 6)
+                toks[1:1] = donor[start : start + 7]
+        texts.append(" ".join(toks))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, "doc_id", "text", k=5).collect()}
+    spanned = {r["doc_id"] for r in duplicate_spans(df, "doc_id", "text", k=5).collect()}
+
+    def is_subsequence(small, big):
+        it = iter(big)
+        return all(tok in it for tok in small)
+
+    for i, text in enumerate(texts):
+        orig = text.split()
+        r = out[i]
+        clean = r["clean_text"].split() if r["clean_text"] else []
+        assert r["n_tokens"] == len(orig)
+        assert r["tokens_removed"] == len(orig) - len(clean)
+        assert is_subsequence(clean, orig), i
+        if i not in spanned:
+            assert r["tokens_removed"] == 0
+            assert r["clean_text"] == " ".join(orig)
+
+
 # ------------------------------------------------- real image headers
 def _tiny_png(w: int, h: int) -> bytes:
     """A fully valid 1-pixel-data PNG of declared size w x h (header

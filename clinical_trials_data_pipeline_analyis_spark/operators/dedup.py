@@ -394,38 +394,20 @@ def dup_ngram_coverage(
     )
 
 
-def duplicate_spans(
+def window_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
-    """(id, span_start, span_end, span_tokens): maximal token spans of
-    each document whose every k-token window also occurs elsewhere in
-    the corpus (another document, or another position of the same one).
-    This is the span-level exact-substring dedup signal (Lee et al.
-    2022 "Deduplicating Training Data Makes Language Models Better"
-    operates on suffix arrays; the k-gram rolling form is the
-    MapReduce-friendly equivalent): downstream, the spans are CUT from
-    the training text rather than dropping whole near-dup documents.
-
-    Positions are 0-based token offsets over whitespace tokens of the
-    normalized text; ``span_end`` is exclusive. Documents shorter than
-    k tokens are skipped (they have no full k-window).
-
-    Scale shape: one shuffle on the 128-bit window hash (count >= 2 —
-    map-side combined, raw text never shuffled), an equi-join back on
-    the same hash, then per-document windows (natural-key partitions)
-    to merge overlapping duplicate windows into maximal spans via the
-    classic gap-flag/cumsum island trick. Cost is O(token instances),
-    never O(docs^2).
-    """
-    from pyspark.sql import Window
-
+    """(id, pos, gh): one row per full k-token window of each document —
+    md5 over the window's tokens, 0-based token position. The shared
+    substrate of batch ``duplicate_spans`` and the streaming span store
+    (`streaming/dedup.clean_spans_stream`). Documents shorter than k
+    tokens yield no rows; the length filter runs BEFORE the explode
+    because ``sequence(1, n-k+1)`` on a shorter doc would run DESCENDING
+    (Spark picks step -1 when start > stop)."""
     norm = normalized_text(F.col(text_col))
     toks = whitespace_tokens(norm)
     n = F.size(toks)
-    # one row per full k-token window: (id, pos, md5(window)). Filter
-    # BEFORE the explode: sequence(1, n-k+1) on a doc shorter than k
-    # would run DESCENDING (Spark picks step -1 when start > stop).
-    win = (
+    return (
         _spread(df)
         .filter(n >= k)
         .select(
@@ -439,20 +421,21 @@ def duplicate_spans(
                 )
             ).alias("pos", "gh"),
         )
-        .localCheckpoint()
     )
-    dup_gh = (
-        win.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gh")
-    )
-    marked = win.join(dup_gh, "gh").select(id_col, "pos")
+
+
+def spans_from_marked(
+    marked: DataFrame, id_col: str, k: int = 5
+) -> DataFrame:
+    """Merge duplicate window POSITIONS into maximal spans: the classic
+    gap-flag/cumsum island trick over (id, pos) rows, per-document
+    windows on the natural key. Windows [pos, pos+k) and [prev, prev+k)
+    union contiguously iff pos - prev <= k."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         marked.withColumn("_prev", F.lag("pos").over(w))
-        # windows [pos, pos+k) and [prev, prev+k) union contiguously
-        # iff pos - prev <= k
         .withColumn(
             "_new",
             F.when(
@@ -482,6 +465,40 @@ def duplicate_spans(
     )
 
 
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens): maximal token spans of
+    each document whose every k-token window also occurs elsewhere in
+    the corpus (another document, or another position of the same one).
+    This is the span-level exact-substring dedup signal (Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    operates on suffix arrays; the k-gram rolling form is the
+    MapReduce-friendly equivalent): downstream, the spans are CUT from
+    the training text rather than dropping whole near-dup documents.
+
+    Positions are 0-based token offsets over whitespace tokens of the
+    normalized text; ``span_end`` is exclusive. Documents shorter than
+    k tokens are skipped (they have no full k-window).
+
+    Scale shape: one shuffle on the 128-bit window hash (count >= 2 —
+    map-side combined, raw text never shuffled), an equi-join back on
+    the same hash, then per-document windows (natural-key partitions)
+    to merge overlapping duplicate windows into maximal spans via the
+    classic gap-flag/cumsum island trick. Cost is O(token instances),
+    never O(docs^2).
+    """
+    win = window_hashes(df, id_col, text_col, k).localCheckpoint()
+    dup_gh = (
+        win.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    marked = win.join(dup_gh, "gh").select(id_col, "pos")
+    return spans_from_marked(marked, id_col, k=k)
+
+
 def remove_duplicate_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
@@ -504,14 +521,19 @@ def remove_duplicate_spans(
     row-local indexed filter over the token array — no extra
     corpus-wide shuffle beyond the span list's own aggregation.
     """
-    spans = (
-        duplicate_spans(df, id_col, text_col, k=k)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(
-                F.struct("span_start", "span_end")
-            ).alias("_spans")
-        )
+    spans = duplicate_spans(df, id_col, text_col, k=k)
+    return remove_spans(df, spans, id_col, text_col)
+
+
+def remove_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Apply a (id, span_start, span_end) table to the text: the
+    removal half of ``remove_duplicate_spans``, exposed so the
+    streaming form can feed its asymmetric (history-aware) span table
+    through the identical surgery."""
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toks = whitespace_tokens(normalized_text(F.col(text_col)))
     base = df.select(id_col, toks.alias("_toks"))
@@ -528,7 +550,7 @@ def remove_duplicate_spans(
         ),
     )
     return (
-        base.join(spans, id_col, "left")
+        base.join(span_lists, id_col, "left")
         .select(
             id_col,
             F.size("_toks").cast("long").alias("n_tokens"),

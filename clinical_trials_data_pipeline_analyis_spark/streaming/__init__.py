@@ -1,5 +1,6 @@
 from .curation import curate_docs_stream
 from .dedup import (
+    clean_spans_stream,
     decontaminate_docs_stream,
     dedup_events_stream,
     near_dedup_docs_stream,
@@ -18,6 +19,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "clean_spans_stream",
     "curate_docs_stream",
     "decontaminate_docs_stream",
     "dedup_events_stream",

@@ -135,6 +135,96 @@ def near_dedup_docs_stream(
     )
 
 
+def clean_spans_stream(
+    docs_stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Incremental span-level dedup CLEANING (the streaming form of
+    ``operators.dedup.remove_duplicate_spans``): each arriving
+    document has its duplicate spans cut before it ships downstream.
+
+    Contract — KEEP-FIRST, like the near-dedup stream above: a window
+    counts as duplicate if it recurs WITHIN the micro-batch (symmetric
+    there, exactly the batch operator's rule) or appeared in ANY
+    earlier epoch's store. The first arrival of a run keeps its text;
+    later copies get it cut. This is deliberately asymmetric — batch
+    ``duplicate_spans`` flags BOTH copies, a stream cannot reach back
+    and re-clean already-shipped documents (re-cleaning history would
+    mean unbounded reprocessing).
+
+    Retry-idempotence: cleaned output and the window-hash store are
+    both partitioned by ``epoch_id`` with DYNAMIC overwrite, and the
+    store read filters ``epoch_id < current`` — a retried micro-batch
+    is bit-identical to its first attempt (same pattern as
+    ``near_dedup_docs_stream``).
+
+    Scale shape: per-batch cost is O(batch token instances) for window
+    hashing + one equi-join of the batch's windows against the DISTINCT
+    hash store (16-byte hashes, never text); the store grows with
+    distinct windows seen, the streaming analog of the batch
+    operator's corpus-wide hash aggregate.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        remove_spans,
+        spans_from_marked,
+        window_hashes,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        win = window_hashes(batch_df, id_col, text_col, k).localCheckpoint()
+        in_batch_dup = (
+            win.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("gh")
+        )
+        try:
+            hist = (
+                spark.read.parquet(store_path)
+                .filter(F.col("epoch_id") < int(epoch_id))
+                .select("gh")
+                .distinct()
+            )
+            dup_gh = in_batch_dup.unionByName(hist).distinct()
+        except AnalysisException:
+            dup_gh = in_batch_dup
+        marked = win.join(dup_gh, "gh").select(id_col, "pos")
+        spans = spans_from_marked(marked, id_col, k=k)
+        cleaned = remove_spans(batch_df, spans, id_col, text_col)
+        (
+            cleaned.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
+        (
+            win.select("gh")
+            .distinct()
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def decontaminate_docs_stream(
     docs_stream: DataFrame,
     benchmark: DataFrame,

@@ -376,6 +376,94 @@ def test_streaming_near_dedup_replay_is_idempotent(spark, tmp_path):
     assert store.select("doc_id").distinct().count() == len(texts)
 
 
+def test_streaming_span_cleaning_keep_first_and_idempotent(spark, tmp_path):
+    """Incremental span cleaning (`clean_spans_stream`):
+
+    1. within a micro-batch, duplicate runs clean SYMMETRICALLY (both
+       copies cut — the batch operator's rule);
+    2. across batches, KEEP-FIRST: a later copy of an earlier epoch's
+       run is cut, the first arrival's text is untouched;
+    3. a full replay from a wiped checkpoint leaves cleaned output and
+       the window-hash store bit-identical (epoch-partitioned dynamic
+       overwrite + history read of epochs < current)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming import clean_spans_stream
+
+    run_a = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    b1 = [
+        (0, f"{run_a} one two three"),                     # first arrival
+        (1, "unique opening sentence with fresh tokens"),
+    ]
+    b2 = [
+        (2, f"seven eight {run_a} nine ten"),              # later copy: cut
+        (3, "red orange yellow green blue indigo violet"),  # in-batch pair
+        (4, "red orange yellow green blue indigo violet"),  # in-batch pair
+    ]
+    schema = "doc_id BIGINT, text STRING"
+    chunks = tmp_path / "chunks"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(chunks / "c1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(chunks / "c2")
+    )
+
+    out_path = str(tmp_path / "cleaned")
+    store_path = str(tmp_path / "ghstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks / "c*"))
+        )
+        q = clean_spans_stream(
+            stream, out_path=out_path, store_path=store_path,
+            checkpoint=ckpt, k=5,
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["doc_id"]: r for r in spark.read.parquet(out_path).collect()
+    }
+    # keep-first: doc 0's text intact even though doc 2 repeats its run
+    assert got[0]["tokens_removed"] == 0
+    assert got[0]["clean_text"] == b1[0][1]
+    assert got[1]["tokens_removed"] == 0
+    # later copy: exactly the shared 6-token run cut
+    assert got[2]["tokens_removed"] == 6
+    assert got[2]["clean_text"] == "seven eight nine ten"
+    # in-batch duplicates clean symmetrically (both copies)
+    assert got[3]["clean_text"] == "" and got[4]["clean_text"] == ""
+    assert got[3]["tokens_removed"] == 7
+
+    # replay every epoch from scratch: identical output, no duplicates
+    first = {k: (v["tokens_removed"], v["clean_text"]) for k, v in got.items()}
+    shutil.rmtree(ckpt)
+    run()
+    replayed = spark.read.parquet(out_path)
+    assert replayed.count() == 5
+    assert {
+        r["doc_id"]: (r["tokens_removed"], r["clean_text"])
+        for r in replayed.collect()
+    } == first
+    store = spark.read.parquet(store_path)
+    per_epoch = {
+        r["epoch_id"]: r["n"]
+        for r in store.groupBy("epoch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_epoch) == {0, 1}, "one store partition per epoch"
+    # store rows are DISTINCT hashes per epoch — replay must not inflate
+    assert store.count() == store.select("epoch_id", "gh").distinct().count()
+
+
 def test_streaming_curation_matches_batch(spark, tmp_path):
     """The streaming filter cascade (per-batch signals + cross-batch
     fingerprint store) must assign every document the same funnel stage

@@ -227,21 +227,8 @@ def hll_distinct(
     bit-for-bit in DuckDB — the sketch estimate itself is
     value-oracled, not just bounded.
     """
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     regs = hll_registers(df, group_col, value_col, m=m)
-    agg = regs.groupBy(group_col).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_occ_sum"),
-        F.count(F.lit(1)).cast("long").alias("occupied_registers"),
-    )
-    zeros = (F.lit(m) - F.col("occupied_registers")).cast("double")
-    raw = F.lit(alpha * m * m) / (F.col("_occ_sum") + zeros)
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("occupied_registers") < m),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 6),
-    ).otherwise(F.round(raw, 6))
-    out = agg.select(
-        group_col, "occupied_registers", est.alias("est_distinct")
-    )
+    out = hll_estimate_from_registers(regs, group_col, m=m)
     if not with_exact:
         return out
     exact = (
@@ -263,6 +250,31 @@ def hll_distinct(
             / F.col("exact_distinct"),
             6,
         ).alias("rel_err"),
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, m: int = HLL_M
+) -> DataFrame:
+    """(group, occupied_registers, est_distinct) from a REGISTER TABLE —
+    the read-off for stored/streamed/merged sketches (``hll_distinct``
+    computes its registers inline; a streaming sink or a union of
+    per-day sketches holds only (group, register, max_rho) rows, and
+    this turns them into the estimate with the identical arithmetic:
+    exact dyadic 2^-rho sums, small-range linear-counting fallback)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_occ_sum"),
+        F.count(F.lit(1)).cast("long").alias("occupied_registers"),
+    )
+    zeros = (F.lit(m) - F.col("occupied_registers")).cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("_occ_sum") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("occupied_registers") < m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 6),
+    ).otherwise(F.round(raw, 6))
+    return agg.select(
+        group_col, "occupied_registers", est.alias("est_distinct")
     )
 
 

@@ -118,6 +118,26 @@ def test_hll_registers_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
 
+    # estimate read-off from the STREAMED sink equals the batch
+    # estimator over the same data — the whole point of storing
+    # registers: merge/stream first, estimate later
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+
+    off = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate_from_registers(
+            spark.sql("SELECT * FROM hll_sink"), "event_type", m=64
+        ).collect()
+    }
+    batch = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(ev, "event_type", "user_id", m=64).collect()
+    }
+    assert off == batch
+
 
 def test_hll_rho_matches_python_reference(spark):
     """rho (leading-zero rank of md5 hex chars 9-16) against a direct

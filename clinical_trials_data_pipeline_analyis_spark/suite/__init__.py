@@ -139,7 +139,11 @@ def register(
 #: remain registered and locally oracle-checked at three SFs.
 #: Second round-6 rotation: a87_dedup_span_removal (new: the removal
 #: half of span dedup) replaces a35_decontaminate — r5-green;
-#: decontamination keeps a73 (Bloom form) in-window.
+#: decontamination keeps a73 (Bloom form) in-window. Third round-6
+#: rotation: a88_perceptron_langfilter (new: in-engine integer-exact
+#: classifier training) replaces a30_dedup_keep_best — r5-green; the
+#: keep-best/canonical family keeps a76 (its centrality upgrade) and
+#: a80 in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
@@ -148,7 +152,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a26_dedup_simhash_verified",
     "a84_source_dup_report",
     "a83_weighted_sample",
-    "a30_dedup_keep_best",
     "a79_skew_safe_distinct",
     "a81_lang_confusion",
     "a80_dup_cap",
@@ -191,6 +194,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a85_bpe_encode",
     "a86_hll_distinct",
     "a87_dedup_span_removal",
+    "a88_perceptron_langfilter",
 )
 
 

@@ -4760,3 +4760,79 @@ def a87_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+# =====================================================================
+# a88 — IN-ENGINE classifier training: batch perceptron over hashed
+# bag-of-token features (the fastText-style linear quality/language
+# filter every curation stack trains — Joulin et al. 2017 — but
+# trained INSIDE the engine, so 100 TB of training text never leaves
+# the cluster). Integer-exact by construction: counts x {-1,+1} labels
+# x integer weights, no sigmoid, no learning-rate float, no float
+# accumulation order — the TRAINED WEIGHTS themselves hash-match the
+# DuckDB replay (same discipline as a72's fixed-point PageRank; the
+# oracle unrolls the iterations as chained CTEs). The model is a
+# FIXED 64-bucket table (corpus-independent — the round-6 cap
+# discipline), so each iteration is one broadcast-model join + two
+# bounded aggregates.
+# =====================================================================
+_PCT_BUCKETS = 64
+_PCT_ITERS = 3
+
+
+def _a88_oracle() -> str:
+    head = f"""
+WITH toks AS (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           unnest(regexp_extract_all({_NORM_SQL}, '{_BPE_PATTERN}')) AS token
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, y,
+           CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {_PCT_BUCKETS}
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+),
+w1 AS (
+    SELECT bucket, CAST(SUM(y * cnt) AS BIGINT) AS w FROM feat GROUP BY bucket
+)"""
+    blocks = []
+    for i in range(1, _PCT_ITERS):
+        blocks.append(f""",
+s{i} AS (
+    SELECT f.doc_id, f.y, SUM(f.cnt * COALESCE(w{i}.w, 0)) AS score
+    FROM feat AS f LEFT JOIN w{i} ON f.bucket = w{i}.bucket
+    GROUP BY 1, 2
+),
+d{i} AS (
+    SELECT f.bucket, SUM(f.y * f.cnt) AS d
+    FROM feat AS f JOIN s{i} ON f.doc_id = s{i}.doc_id
+    WHERE s{i}.y * s{i}.score <= 0
+    GROUP BY f.bucket
+),
+w{i + 1} AS (
+    SELECT COALESCE(w{i}.bucket, d{i}.bucket) AS bucket,
+           CAST(COALESCE(w{i}.w, 0) + COALESCE(d{i}.d, 0) AS BIGINT) AS w
+    FROM w{i} FULL OUTER JOIN d{i} ON w{i}.bucket = d{i}.bucket
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"\nSELECT bucket, w AS weight FROM w{_PCT_ITERS}\n"
+    )
+
+
+@register(
+    "a88_perceptron_langfilter",
+    oracle=_a88_oracle(),
+    covers=("X-TRAIN-CLASSIFIER", "A1", "J1", "F17"),
+)
+def a88_perceptron_langfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.perceptron import batch_perceptron, token_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = token_features(
+        docs, F.col("lang") == "en", buckets=_PCT_BUCKETS
+    )
+    return batch_perceptron(feats, iters=_PCT_ITERS)

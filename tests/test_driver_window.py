@@ -20,7 +20,6 @@ from clinical_trials_data_pipeline_analyis_spark.suite import (
 _REQUIRED_IN_WINDOW = {
     # dedup pipeline / clustering
     "a21_dedup_cc_clusters",
-    "a30_dedup_keep_best",
     "a45_semantic_dedup",
     # PQ / IVFADC
     "a38_ivfpq_topk",
@@ -71,6 +70,7 @@ _REQUIRED_IN_WINDOW = {
     "a85_bpe_encode",
     "a86_hll_distinct",
     "a87_dedup_span_removal",
+    "a88_perceptron_langfilter",
     # round-6 freshness rotation (VERDICT r05 ask #7): stale §2
     # headliners rotated back into the window
     "q09_window_dedup",

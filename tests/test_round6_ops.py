@@ -421,6 +421,79 @@ def test_decode_image_metadata_reads_real_headers(spark):
     )
 
 
+# ------------------------------------------------ perceptron (a88)
+def test_batch_perceptron_learns_separable_data(spark):
+    """On linearly separable data the perceptron must converge to a
+    perfect separator (mistake-bound guarantee): positive docs use one
+    vocabulary, negative docs another."""
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.perceptron import (
+        batch_perceptron,
+        perceptron_scores,
+        token_features,
+    )
+
+    pos_vocab = ["alpha", "beta", "gamma", "delta"]
+    neg_vocab = ["one", "two", "three", "four"]
+    rows = []
+    for i in range(40):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        rows.append(
+            (i, "en" if i % 2 == 0 else "fr",
+             " ".join(vocab[(i + j) % 4] for j in range(6)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+    feats = token_features(docs, F.col("lang") == "en", buckets=32)
+    w = batch_perceptron(feats, iters=4)
+    scored = perceptron_scores(feats, w)
+    acc = scored.filter(F.col("predicted") == F.col("y")).count() / 40.0
+    assert acc == 1.0, f"separable data must classify perfectly, got {acc}"
+
+
+def test_batch_perceptron_matches_python_replay(spark):
+    """The trained integer weights equal a direct Python replay of the
+    batch updates — the property that makes the oracle exact."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.perceptron import (
+        batch_perceptron,
+    )
+
+    rows = []
+    for d in range(12):
+        y = 1 if d % 3 == 0 else -1
+        for b in range(5):
+            if (d + b) % 2 == 0:
+                rows.append((d, y, b, (d % 4) + 1))
+    feats = spark.createDataFrame(
+        rows, "doc_id BIGINT, y BIGINT, bucket BIGINT, cnt BIGINT"
+    )
+    got = {
+        r["bucket"]: r["weight"]
+        for r in batch_perceptron(feats, iters=3).collect()
+    }
+
+    w = defaultdict(int)
+    for _ in range(3):
+        # score every doc under current w, then batch-update
+        scores = defaultdict(int)
+        ys = {}
+        for d, y, b, c in rows:
+            scores[d] += c * w[b]
+            ys[d] = y
+        delta = defaultdict(int)
+        for d, y, b, c in rows:
+            if ys[d] * scores[d] <= 0:
+                delta[b] += y * c
+        for b, v in delta.items():
+            w[b] += v
+    want = {b: v for b, v in w.items()}
+    assert got == want
+
+
 # --------------------------------------------------------------- BPE a85
 def test_bpe_encode_query_matches_python_replay(spark):
     """The registered a85 query against a pure-Python replay of the

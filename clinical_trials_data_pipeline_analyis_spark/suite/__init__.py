@@ -143,11 +143,13 @@ def register(
 #: rotation: a88_perceptron_langfilter (new: in-engine integer-exact
 #: classifier training) replaces a30_dedup_keep_best — r5-green; the
 #: keep-best/canonical family keeps a76 (its centrality upgrade) and
-#: a80 in-window.
+#: a80 in-window. Fourth round-6 rotation: a89_perceptron_scores (new:
+#: the inference half of a88 — the a85-for-a64 pattern) replaces
+#: a78_rolling_daily — r5-green; the events family keeps a74/a75/a82
+#: in-window.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "a70_ivfadc_rerank",
-    "a78_rolling_daily",
     "a77_snapshot_diff",
     "a26_dedup_simhash_verified",
     "a84_source_dup_report",
@@ -195,6 +197,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a86_hll_distinct",
     "a87_dedup_span_removal",
     "a88_perceptron_langfilter",
+    "a89_perceptron_scores",
 )
 
 

@@ -4780,7 +4780,9 @@ _PCT_BUCKETS = 64
 _PCT_ITERS = 3
 
 
-def _a88_oracle() -> str:
+def _a88_chain() -> str:
+    """The shared WITH-body: features + unrolled training iterations
+    (a88 selects the final weights; a89 appends the scoring pass)."""
     head = f"""
 WITH toks AS (
     SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
@@ -4816,16 +4818,13 @@ w{i + 1} AS (
            CAST(COALESCE(w{i}.w, 0) + COALESCE(d{i}.d, 0) AS BIGINT) AS w
     FROM w{i} FULL OUTER JOIN d{i} ON w{i}.bucket = d{i}.bucket
 )""")
-    return (
-        head
-        + "".join(blocks)
-        + f"\nSELECT bucket, w AS weight FROM w{_PCT_ITERS}\n"
-    )
+    return head + "".join(blocks)
 
 
 @register(
     "a88_perceptron_langfilter",
-    oracle=_a88_oracle(),
+    oracle=_a88_chain()
+    + f"\nSELECT bucket, w AS weight FROM w{_PCT_ITERS}\n",
     covers=("X-TRAIN-CLASSIFIER", "A1", "J1", "F17"),
 )
 def a88_perceptron_langfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4836,3 +4835,40 @@ def a88_perceptron_langfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("lang") == "en", buckets=_PCT_BUCKETS
     )
     return batch_perceptron(feats, iters=_PCT_ITERS)
+
+
+# =====================================================================
+# a89 — the INFERENCE half of a88 (the a85-for-a64 pattern: every
+# trained artifact gets its apply step driver-verified too): score
+# every document under the trained weights and emit the {-1,+1}
+# prediction — the pass a curation pipeline runs corpus-wide once the
+# filter is trained. One broadcast join of the fixed-size model + one
+# per-doc aggregate; integer-exact end to end, so scores AND
+# predictions hash-match the oracle replay.
+# =====================================================================
+@register(
+    "a89_perceptron_scores",
+    oracle=_a88_chain()
+    + f"""
+SELECT f.doc_id, f.y,
+       CAST(SUM(f.cnt * COALESCE(w.w, 0)) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(f.cnt * COALESCE(w.w, 0)) > 0
+                 THEN 1 ELSE -1 END AS BIGINT) AS predicted
+FROM feat AS f LEFT JOIN w{_PCT_ITERS} AS w ON f.bucket = w.bucket
+GROUP BY 1, 2
+""",
+    covers=("X-TRAIN-CLASSIFIER", "X-SCORE-CLASSIFIER", "A1", "J1"),
+)
+def a89_perceptron_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.perceptron import (
+        batch_perceptron,
+        perceptron_scores,
+        token_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = token_features(
+        docs, F.col("lang") == "en", buckets=_PCT_BUCKETS
+    ).localCheckpoint()
+    weights = batch_perceptron(feats, iters=_PCT_ITERS)
+    return perceptron_scores(feats, weights)

@@ -58,7 +58,6 @@ _REQUIRED_IN_WINDOW = {
     "a75_cohort_retention",
     "a76_canonical_by_centrality",
     "a77_snapshot_diff",
-    "a78_rolling_daily",
     "a79_skew_safe_distinct",
     "a80_dup_cap",
     "a81_lang_confusion",
@@ -71,6 +70,7 @@ _REQUIRED_IN_WINDOW = {
     "a86_hll_distinct",
     "a87_dedup_span_removal",
     "a88_perceptron_langfilter",
+    "a89_perceptron_scores",
     # round-6 freshness rotation (VERDICT r05 ask #7): stale §2
     # headliners rotated back into the window
     "q09_window_dedup",

@@ -494,6 +494,33 @@ def test_batch_perceptron_matches_python_replay(spark):
     assert got == want
 
 
+def test_perceptron_model_joins_broadcast(spark):
+    """The CORPUS-side model join (features x weights, per scoring
+    pass) must be a BROADCAST hash join — the model is a fixed
+    <= buckets-row table, and shuffling the corpus against it would be
+    the classic scale mistake. (The weight-MERGE join w ⟗ delta is
+    model x model — at most ``buckets`` rows on either side — and FULL
+    OUTER, which Spark cannot broadcast; its sort-merge plan is
+    bounded by the model size, not the corpus, so it is allowed.)"""
+    from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
+
+    for name in ("a88_perceptron_langfilter", "a89_perceptron_scores"):
+        df = spark_queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the scoring pass broadcasts the weight table. (Earlier
+        # iterations' joins are invisible here: the per-iteration
+        # localCheckpoint EXECUTES them at construction and truncates
+        # the visible plan to everything after the last checkpoint.)
+        n_bcast = plan.count("BroadcastHashJoin [bucket")
+        assert n_bcast >= 1, f"{name}: no broadcast model join\n{plan}"
+        # the only allowed SortMergeJoins are the FULL OUTER
+        # model-merge joins — never an inner corpus join
+        import re
+
+        for seg in re.findall(r"SortMergeJoin \[[^\n]*", plan):
+            assert "FullOuter" in seg, f"{name}: corpus-side SMJ: {seg}"
+
+
 # --------------------------------------------------------------- BPE a85
 def test_bpe_encode_query_matches_python_replay(spark):
     """The registered a85 query against a pure-Python replay of the

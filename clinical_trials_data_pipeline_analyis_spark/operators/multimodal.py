@@ -110,20 +110,34 @@ def parse_image_header(
         return ("image/png", None, None)
     if b[:2] == b"\xff\xd8":
         i = 2
-        while i + 4 <= len(b) and b[i] == 0xFF:
-            marker = b[i + 1]
+        while i + 2 <= len(b) and b[i] == 0xFF:
+            # ITU T.81 §B.1.1.2: any marker may be preceded by a run of
+            # 0xFF fill bytes — skip the run, then read the marker code
+            # (treating a fill byte as a length-bearing marker would
+            # read a bogus length and jump past the SOF).
+            j = i + 1
+            while j < len(b) and b[j] == 0xFF:
+                j += 1
+            if j >= len(b):
+                break
+            marker = b[j]
             if marker in _JPEG_SOF_MARKERS:
-                if i + 9 <= len(b):
+                if j + 8 <= len(b):
                     return (
                         "image/jpeg",
-                        int.from_bytes(b[i + 7 : i + 9], "big"),
-                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                        int.from_bytes(b[j + 6 : j + 8], "big"),
+                        int.from_bytes(b[j + 4 : j + 6], "big"),
                     )
                 break
-            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone marker: no length field
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9 or marker == 0x00:
+                # Standalone codes carry no length field: TEM (0x01),
+                # RSTn (0xD0-D7), and SOI/EOI (0xD8/0xD9) — plus 0x00,
+                # which is byte-stuffing, not a marker at all.
+                i = j + 1
                 continue
-            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            if j + 3 > len(b):
+                break
+            i = j + 1 + int.from_bytes(b[j + 1 : j + 3], "big")
         return ("image/jpeg", None, None)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         if len(b) >= 10:

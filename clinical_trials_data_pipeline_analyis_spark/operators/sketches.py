@@ -261,7 +261,16 @@ def hll_estimate_from_registers(
     computes its registers inline; a streaming sink or a union of
     per-day sketches holds only (group, register, max_rho) rows, and
     this turns them into the estimate with the identical arithmetic:
-    exact dyadic 2^-rho sums, small-range linear-counting fallback)."""
+    exact dyadic 2^-rho sums, small-range linear-counting fallback).
+
+    The read-off TRUSTS nothing about the caller's ``m``: a register
+    table built with a LARGER m (or a union of mixed-m sketches) has
+    more than ``m`` occupied registers per group, which would silently
+    produce a negative zero-count and a nonsensical estimate. That
+    mismatch is made LOUD instead — ``est_distinct`` comes back NULL
+    whenever ``occupied_registers > m``, so a sketch/parameter drift
+    between writer and reader fails visibly downstream rather than
+    skewing counts."""
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.groupBy(group_col).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_occ_sum"),
@@ -269,10 +278,16 @@ def hll_estimate_from_registers(
     )
     zeros = (F.lit(m) - F.col("occupied_registers")).cast("double")
     raw = F.lit(alpha * m * m) / (F.col("_occ_sum") + zeros)
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("occupied_registers") < m),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 6),
-    ).otherwise(F.round(raw, 6))
+    est = (
+        F.when(
+            F.col("occupied_registers") > m, F.lit(None).cast("double")
+        )
+        .when(
+            (raw <= 2.5 * m) & (F.col("occupied_registers") < m),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 6),
+        )
+        .otherwise(F.round(raw, 6))
+    )
     return agg.select(
         group_col, "occupied_registers", est.alias("est_distinct")
     )

@@ -638,23 +638,55 @@ def x14_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # x15 — multimodal metadata extraction through the Arrow-batched
-# mapInPandas decode path. The decoder is a deterministic FAKE (a pure
-# function of payload byte length — operators/multimodal.py), which
-# makes the whole Arrow round-trip VALUE-checkable: the oracle computes
-# the same metadata directly from the UTF-8 byte length. What this
-# verifies is the Spark-side plumbing — binary payload column, Arrow
-# batch crossing, output StructType — not the (stubbed) codec.
+# mapInPandas decode path. Payloads carrying a real image signature get
+# their TRUE header metadata (operators/multimodal.parse_image_header);
+# everything else falls back to the deterministic byte-length FAKE. The
+# oracle replicates BOTH branches — but only the GIF signature is
+# reachable from a UTF-8 payload ('GIF87a'/'GIF89a' is plain ASCII;
+# the PNG \x89 and JPEG \xff lead bytes cannot occur as the first byte
+# of valid UTF-8), so the oracle mirrors exactly the GIF branch
+# (little-endian u16 dims at bytes 7-10, NULL dims when truncated
+# under 10 bytes) and parity holds on ANY text corpus, not just one
+# with no 'GIF'-prefixed documents (ADVICE r6). hex() over the first
+# 10 CHARS is enough: chars >= bytes/4, and any text of >= 10 bytes
+# has its first 10 bytes inside its first 10 chars.
 # =====================================================================
 @register(
     "x15_multimodal_metadata",
     oracle="""
+WITH p AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n,
+           hex(encode(substr(text, 1, 10))) AS hx,
+           text IS NULL AS is_null
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n, hx, is_null,
+           NOT is_null
+           AND substr(hx, 1, 12) IN ('474946383761', '474946383961')
+               AS is_gif
+    FROM p
+)
 SELECT
     doc_id,
-    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-    CASE WHEN text IS NULL THEN NULL ELSE 'fake/raw' END AS format,
-    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-    CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
-FROM documents
+    CAST(CASE WHEN is_null THEN NULL ELSE n END AS BIGINT) AS n_bytes,
+    CASE WHEN is_null THEN NULL
+         WHEN is_gif THEN 'image/gif'
+         ELSE 'fake/raw' END AS format,
+    CAST(CASE WHEN is_null THEN NULL
+              WHEN is_gif AND n >= 10
+                  THEN CAST('0x' || substr(hx, 15, 2) || substr(hx, 13, 2)
+                            AS INT)
+              WHEN is_gif THEN NULL
+              ELSE n % 640 + 1 END AS INT) AS width,
+    CAST(CASE WHEN is_null THEN NULL
+              WHEN is_gif AND n >= 10
+                  THEN CAST('0x' || substr(hx, 19, 2) || substr(hx, 17, 2)
+                            AS INT)
+              WHEN is_gif THEN NULL
+              ELSE n % 480 + 1 END AS INT) AS height
+FROM b
 """,
     covers=("X-MULTIMODAL",),
 )
@@ -2924,13 +2956,21 @@ def a55_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and oracle so a boundary token cannot flip between engines.
 _VOCAB_COVERAGE_BP = 9950
 
-#: DuckDB mirror of operators.vocab._doc_tokens: BPE-ish instance
-#: tokenization over the shared normalization.
-_DOC_TOKENS_SQL = f"""
-    SELECT doc_id,
+def _doc_tokens_sql(extra_cols: str = "") -> str:
+    """DuckDB mirror of operators.vocab._doc_tokens: BPE-ish instance
+    tokenization over the shared normalization. ``extra_cols`` is an
+    explicit comma-led addition to the select list (e.g. ``", source"``)
+    — an explicit parameter instead of the former post-hoc
+    ``.replace("SELECT doc_id,", ...)`` idiom, which silently no-ops if
+    the base select list is ever reworded (ADVICE r6)."""
+    return f"""
+    SELECT doc_id{extra_cols},
            unnest(regexp_extract_all({_NORM_SQL}, '{_BPE_PATTERN}')) AS token
     FROM documents
 """
+
+
+_DOC_TOKENS_SQL = _doc_tokens_sql()
 
 
 # =====================================================================
@@ -3299,7 +3339,7 @@ _LC_BUCKET_SQL = (
 @register(
     "a62_linear_count_distinct",
     oracle=f"""
-WITH toks AS ({_DOC_TOKENS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}),
+WITH toks AS ({_doc_tokens_sql(", source")}),
 agg AS (
     SELECT source,
            COUNT(DISTINCT {_LC_BUCKET_SQL}) AS d,
@@ -4620,7 +4660,7 @@ def _a86_oracle() -> str:
         f"(occ_sum + ({_HLL_M} - occupied))"
     )
     return f"""
-WITH toks AS ({_DOC_TOKENS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}),
+WITH toks AS ({_doc_tokens_sql(", source")}),
 regs AS (
     SELECT source,
            CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {_HLL_M}

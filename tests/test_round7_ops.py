@@ -1,0 +1,127 @@
+"""Round-7 hardening: ADVICE r6 fixes (JPEG fill bytes / standalone
+SOI-EOI, GIF-signature oracle parity, HLL read-off m-guard) and the
+x08 block-size guard."""
+
+from __future__ import annotations
+
+import struct
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from compare_util import compare_frames
+
+
+# ------------------------------------------------ JPEG marker walk
+def test_parse_image_header_padded_jpeg():
+    """ITU T.81 §B.1.1.2 allows 0xFF fill bytes before any marker, and
+    SOI/EOI are standalone (no length field). A padded JPEG must still
+    yield its real dimensions — before the r7 fix the fill byte was read
+    as a length-bearing marker and the walk jumped past the SOF."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    app0 = (
+        b"\xff\xff\xff\xe0"  # two fill bytes, then APP0
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    )
+    stray_soi = b"\xff\xd8"  # standalone marker mid-stream: no length
+    sof0 = (
+        b"\xff\xff\xc0"  # one fill byte, then SOF0
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 77, 123)  # height, width
+        + b"\x01\x01\x11\x00"
+    )
+    padded = b"\xff\xd8" + app0 + stray_soi + sof0
+    assert parse_image_header(padded) == ("image/jpeg", 123, 77)
+
+    # standalone EOI right after SOI (empty JPEG): no dims, no crash
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == (
+        "image/jpeg",
+        None,
+        None,
+    )
+    # fill-byte run that ends the buffer
+    assert parse_image_header(b"\xff\xd8\xff\xff\xff") == (
+        "image/jpeg",
+        None,
+        None,
+    )
+
+
+# ------------------------------------------------ HLL m-mismatch guard
+def test_hll_estimate_guards_m_mismatch(spark):
+    """Reading a register table built with a LARGER m through a smaller-m
+    estimator must NULL the estimate (occupied > m), not silently emit a
+    nonsensical number (ADVICE r6)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(600)], "g STRING, v STRING"
+    )
+    regs = hll_registers(df, "g", "v", m=256)
+
+    bad = hll_estimate_from_registers(regs, "g", m=64).collect()
+    assert len(bad) == 1
+    assert bad[0]["occupied_registers"] > 64
+    assert bad[0]["est_distinct"] is None
+
+    good = hll_estimate_from_registers(regs, "g", m=256).collect()
+    assert len(good) == 1
+    assert good[0]["est_distinct"] is not None
+
+
+# ------------------------------------------------ GIF oracle parity
+def test_x15_parity_on_gif_prefixed_text(spark, tmp_path):
+    """A document whose TEXT starts with the ASCII GIF signature is
+    parsed as a real GIF by decode_image_metadata; the x15 oracle must
+    replicate that branch so driver parity holds on ANY corpus
+    (ADVICE r6). Crafted corpus: a parseable 'GIF89a' header, a
+    truncated 'GIF87a' one, plain text, multibyte text, NULL text."""
+    import pandas as pd
+
+    from clinical_trials_data_pipeline_analyis_spark.suite import registry
+
+    gif_ok = "GIF89a" + chr(44) + chr(1) + chr(7) + chr(0) + "trailing text"
+    gif_trunc = "GIF87a" + chr(2)  # signature matches, dims cut off
+    multibyte = "GIF89a" + chr(44) + chr(1) + chr(7) + chr(0) + "é" * 5
+    rows = [
+        (1, gif_ok, "en", "web", len(gif_ok)),
+        (2, gif_trunc, "en", "web", len(gif_trunc)),
+        (3, "plain document text", "en", "web", 19),
+        (4, multibyte, "fr", "web", len(multibyte)),
+        (5, None, None, "web", None),
+        (6, "héllo wörld", "de", "web", 11),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    reg = registry()["x15_multimodal_metadata"]
+    got = reg.spark(spark, str(tmp_path)).toPandas()
+
+    # the Spark side really did take the GIF branch
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1, "format"] == "image/gif"
+    assert int(by_id.loc[1, "width"]) == 300  # 44 + 256*1, little-endian
+    assert int(by_id.loc[1, "height"]) == 7
+    assert by_id.loc[2, "format"] == "image/gif"
+    assert pd.isna(by_id.loc[2, "width"])
+    assert by_id.loc[3, "format"] == "fake/raw"
+    assert by_id.loc[4, "format"] == "image/gif"
+    assert int(by_id.loc[4, "width"]) == 300
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(reg.oracle).df()
+    compare_frames("x15_gif_corpus", got, want)

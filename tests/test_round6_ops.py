@@ -504,7 +504,11 @@ def test_perceptron_model_joins_broadcast(spark):
     bounded by the model size, not the corpus, so it is allowed.)"""
     from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
 
-    for name in ("a88_perceptron_langfilter", "a89_perceptron_scores"):
+    for name in (
+        "a88_perceptron_langfilter",
+        "a89_perceptron_scores",
+        "a90_perceptron_wide",
+    ):
         df = spark_queries()[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         # the scoring pass broadcasts the weight table. (Earlier

@@ -210,3 +210,59 @@ def test_embedding_pairs_guard_disabled_under_ceiling(spark):
     got = embedding_duplicate_pairs(df, top_n=100).collect()
     want = embedding_duplicate_pairs(df, top_n=100, max_block=None).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# ------------------------------------------------ wide perceptron (a90)
+def test_token_ngram_features_counts(spark):
+    """fastText feature map: unigrams + adjacent word bigrams. A doc of
+    n tokens contributes exactly 2n-1 feature instances (n unigrams +
+    n-1 bigrams); a one-token doc contributes 1; bigrams land in the
+    wide bucket space alongside unigrams."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.perceptron import (
+        token_ngram_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "solo", "fr"),
+            (3, "", "en"),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    feats = token_ngram_features(docs, F.col("lang") == "en").collect()
+    per_doc = {}
+    for r in feats:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+    assert per_doc == {1: 5, 2: 1}  # 3 unigrams + 2 bigrams; 1 unigram
+    # the bigram features are distinct buckets from the unigrams here
+    assert len([r for r in feats if r["doc_id"] == 1]) == 5
+
+
+def test_wide_perceptron_model_still_broadcasts(spark):
+    """VERDICT r6 ask #4: the fixed-size-model discipline must hold at
+    a width where the broadcast is a real payload. A fully DENSE
+    65,536-row weight table (~1 MB of (bucket, weight) longs — the
+    worst case for the 2^16 space, independent of corpus vocabulary)
+    must still join the corpus side as a BroadcastHashJoin."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.perceptron import (
+        WIDE_BUCKETS,
+        perceptron_scores,
+        token_ngram_features,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    feats = token_ngram_features(docs, F.col("lang") == "en")
+    dense = spark.range(WIDE_BUCKETS).select(
+        F.col("id").alias("bucket"), (F.col("id") % 7 - 3).alias("weight")
+    )
+    scored = perceptron_scores(feats, dense)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    assert scored.count() == 200

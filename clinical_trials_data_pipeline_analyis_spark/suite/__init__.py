@@ -147,21 +147,44 @@ def register(
 #: the inference half of a88 — the a85-for-a64 pattern) replaces
 #: a78_rolling_daily — r5-green; the events family keeps a74/a75/a82
 #: in-window.
+#: Round-7 rotation (VERDICT r6 asks #1 and #5 + the new a90):
+#: IN — the five queries whose CODE changed in round 6 but whose last
+#: driver verdicts predate the change (x08 salt-grid + r7 block guard;
+#: a32/x10/x16/a24 quantizer caps — the repo rule "every changed
+#: component takes a driver verdict the round it lands" extends to
+#: changed, not just new, components), a90_perceptron_wide (new: the
+#: fastText-width trainer, closing VERDICT ask #4), and seven stale §2
+#: headliners last driver-green r2-r4 rotated back in under the
+#: <=3-round freshness policy: q07 (F13-F16 date spine), q12 (A7 scalar
+#: QA), q18 (F6/F8-F10 token truncate), x01 (exact dedup headliner),
+#: x06 (SimHash pair generation), x09 (brute-force ANN baseline), q28
+#: (correlated-subquery shape). x15 and a86 STAY in-window because
+#: their code/oracle changed THIS round (x15 GIF-branch oracle; a86's
+#: read-off m-guard).
+#: OUT — thirteen r6-driver-green queries whose families remain
+#: represented: a70 (ANN/ADC keeps a38/a43 + the four rotating-in IVF/
+#: PQ queries), a77 (versioning keeps a55), a26 (SimHash freshness swap
+#: with x06), a84 (dup reporting keeps a80/a54), a83 (sampling keeps
+#: a48), a81 (quality keeps a39/a40/a51/a68), a82 (events keep a74/
+#: a75), q09/q10 (W2/J3/J4 keep gold-pipeline parity + multi-round
+#: greens), x05 (MinHash keeps a21), a85 (BPE keeps a64), a87 (span
+#: family keeps a59), a88 (perceptron keeps a89 + the wider a90). All
+#: thirteen remain registered and locally oracle-checked at three SFs.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
-    "a70_ivfadc_rerank",
-    "a77_snapshot_diff",
-    "a26_dedup_simhash_verified",
-    "a84_source_dup_report",
-    "a83_weighted_sample",
+    "x08_dedup_embedding_cosine",
+    "a32_pq_encode",
+    "x10_ann_ivf_assign",
+    "x16_ann_ivf_topk",
+    "a24_ivf_train_step",
     "a79_skew_safe_distinct",
-    "a81_lang_confusion",
+    "a90_perceptron_wide",
     "a80_dup_cap",
     "a72_pagerank_copurchase",
     "a38_ivfpq_topk",
     "a39_text_repetition",
     "a40_curation_funnel",
-    "a82_latest_event_argmax",
+    "q07_date_spine",
     "a73_bloom_decontaminate",
     "a43_ivfpq_residual_topk",
     "a74_event_funnel",
@@ -189,14 +212,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a62_linear_count_distinct",
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
-    "q09_window_dedup",
-    "q10_star_role_playing_dates",
-    "x05_dedup_minhash_lsh",
+    "q12_scalar_qa_bounds",
+    "q18_token_truncate",
+    "x01_dedup_exact",
     "x15_multimodal_metadata",
-    "a85_bpe_encode",
+    "x06_dedup_simhash",
     "a86_hll_distinct",
-    "a87_dedup_span_removal",
-    "a88_perceptron_langfilter",
+    "x09_ann_cosine_topk",
+    "q28_correlated_subquery",
     "a89_perceptron_scores",
 )
 

@@ -14,28 +14,45 @@ from clinical_trials_data_pipeline_analyis_spark.suite import (
     registry,
 )
 
-# The families the driver must verify this round: the modern
-# LLM-pipeline surface (never driver-checked in rounds 1-3) and the §2
-# headliners that carry unique SURVEY coverage.
+# The families the driver must verify this round (round 7): every
+# component whose CODE changed since its last driver verdict, every
+# component new this round, the freshness rotation, and the standing
+# LLM-pipeline surface.
 _REQUIRED_IN_WINDOW = {
-    # dedup pipeline / clustering
+    # round-7: changed-code queries taking their driver verdict the
+    # round the change lands (VERDICT r6 ask #1 — x08 salt-grid +
+    # block guard; a32/x10/x16/a24 quantizer caps)
+    "x08_dedup_embedding_cosine",
+    "a32_pq_encode",
+    "x10_ann_ivf_assign",
+    "x16_ann_ivf_topk",
+    "a24_ivf_train_step",
+    # round-7: changed THIS round (x15 GIF-branch oracle; a86's
+    # read-off m-guard) — stay in-window
+    "x15_multimodal_metadata",
+    "a86_hll_distinct",
+    # round-7 addition: new components verify the round they land
+    "a90_perceptron_wide",
+    # round-7 freshness rotation (VERDICT r6 ask #5): stale §2
+    # headliners last driver-green r2-r4
+    "q07_date_spine",
+    "q12_scalar_qa_bounds",
+    "q18_token_truncate",
+    "x01_dedup_exact",
+    "x06_dedup_simhash",
+    "x09_ann_cosine_topk",
+    "q28_correlated_subquery",
+    # standing LLM-pipeline surface
     "a21_dedup_cc_clusters",
     "a45_semantic_dedup",
-    # PQ / IVFADC
     "a38_ivfpq_topk",
     "a43_ivfpq_residual_topk",
-    # packing / curation / sampling
     "a40_curation_funnel",
     "a48_corpus_shuffle",
-    # ANN quality loop
     "a49_ann_recall_at_k",
-    # round-5 rotation: the three queries that had never had a driver
-    # verdict (VERDICT r04 ask #1)
     "a50_cell_assign_rowlocal",
     "a51_pii_redaction",
     "a52_sliding_chunks",
-    # round-5 additions: every newly-registered component must take its
-    # driver verdict the round it lands
     "a53_rhp_embedding_neardup",
     "a54_dup_ngram_coverage",
     "a55_scd2_dimension",
@@ -51,32 +68,14 @@ _REQUIRED_IN_WINDOW = {
     "a67_cms_heavy_hitters",
     "a68_retention_curve",
     "a69_bigram_lm_scores",
-    "a70_ivfadc_rerank",
     "a72_pagerank_copurchase",
     "a73_bloom_decontaminate",
     "a74_event_funnel",
     "a75_cohort_retention",
     "a76_canonical_by_centrality",
-    "a77_snapshot_diff",
     "a79_skew_safe_distinct",
     "a80_dup_cap",
-    "a81_lang_confusion",
-    "a82_latest_event_argmax",
-    "a83_weighted_sample",
-    "a84_source_dup_report",
-    # round-6 additions: every newly-registered component must take its
-    # driver verdict the round it lands
-    "a85_bpe_encode",
-    "a86_hll_distinct",
-    "a87_dedup_span_removal",
-    "a88_perceptron_langfilter",
     "a89_perceptron_scores",
-    # round-6 freshness rotation (VERDICT r05 ask #7): stale §2
-    # headliners rotated back into the window
-    "q09_window_dedup",
-    "q10_star_role_playing_dates",
-    "x05_dedup_minhash_lsh",
-    "x15_multimodal_metadata",
     # §2 flagship
     "q06_opportunity_rank",
 }

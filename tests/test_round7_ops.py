@@ -266,3 +266,38 @@ def test_wide_perceptron_model_still_broadcasts(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [bucket" in plan, plan
     assert scored.count() == 200
+
+
+# ------------------------------------------------ pixel decode fate
+def test_decode_image_real_guarded_without_pil(spark):
+    """Without Pillow, the pixel-decode integration point must fail
+    loudly and immediately — never a silent fake (VERDICT r6 ask #6)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("PIL installed: the real-decode test covers this")
+    df = spark.createDataFrame([(1, b"x")], "doc_id LONG, payload BINARY")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(df)
+
+
+def test_decode_image_real_with_pil(spark):
+    """With Pillow installed (production multimodal cluster), the same
+    integration point rasterizes real pixels: true dims + a pixel-level
+    luminance summary. Skipped in the PIL-less CI container."""
+    pytest.importorskip("PIL")
+    from test_round6_ops import _tiny_png
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.multimodal import (
+        decode_image_real,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _tiny_png(3, 2)), (2, b"not an image")],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r["doc_id"]: r for r in decode_image_real(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[1]["mode"] == "L"
+    assert rows[1]["mean_luma"] == 0  # all-black test image
+    assert rows[2]["width"] is None and rows[2]["mode"] is None

@@ -569,7 +569,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str,
     max_iterations: int = 20,
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected edge list: every vertex
     converges to the smallest vertex id reachable from it. Returns
@@ -578,12 +578,20 @@ def connected_components(
     stops at pair detection, `aact_silver_layer.sql:588-590`; clustering
     is the step a 100 TB dedup pipeline needs on top).
 
-    Two algorithms behind the same interface (identical output):
+    Three modes behind the same interface (identical output):
 
-    - ``"propagation"`` (default): minimum-label propagation — one
-      shuffle join + min-aggregate per round, converging in O(component
-      diameter) rounds. The cheapest per-round plan; right for near-dup
-      graphs, whose clusters are dense and shallow (2-4 rounds).
+    - ``"auto"`` (default): minimum-label propagation first; if it has
+      not converged within ``max_iterations`` rounds, fall back to
+      ``two_phase`` TRANSPARENTLY. Near-dup graphs are usually dense
+      and shallow (2-4 propagation rounds — the cheap per-round plan
+      wins), but dup-of-dup CHAINS grow component diameter with corpus
+      size: the round-7 sf10 sweep (500k docs, preferential-attachment
+      duplication) pushed diameters past 20 and propagation hit its
+      cap — at real scale the high-diameter case is a workload, not an
+      error, so the default must absorb it rather than raise.
+    - ``"propagation"``: min-label propagation only — one shuffle join
+      + min-aggregate per round, O(component diameter) rounds; raises
+      on non-convergence.
     - ``"two_phase"``: alternating large-star/small-star (Kiveris et
       al., "Connected Components in MapReduce and Beyond", SoCC '14) —
       O(log^2 n) rounds regardless of diameter; right for adversarial
@@ -609,7 +617,19 @@ def connected_components(
     e0 = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).localCheckpoint()
-    if algorithm == "propagation":
+    if algorithm == "auto":
+        # Propagation gets a SHORT leash (8 rounds covers every shallow
+        # near-dup graph) — burning the full cap before falling back
+        # would pay ~max_iterations edge-shuffles just to discover a
+        # deep component that two_phase handles in O(log^2 n) anyway.
+        labels, rounds, converged = _cc_propagation(
+            e0, id_col, min(max_iterations, 8)
+        )
+        if not converged:
+            labels, rounds, converged = _cc_two_phase(
+                e0, id_col, max_iterations
+            )
+    elif algorithm == "propagation":
         labels, rounds, converged = _cc_propagation(e0, id_col, max_iterations)
     elif algorithm == "two_phase":
         labels, rounds, converged = _cc_two_phase(e0, id_col, max_iterations)

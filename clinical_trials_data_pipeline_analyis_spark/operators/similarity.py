@@ -257,7 +257,7 @@ def _rhp_block_pairs(
     id_col: str,
     vec_col: str,
     dim: int = 64,
-    n_bits: int = 16,
+    n_bits: int = 48,
     bands: int = 4,
 ) -> DataFrame:
     """Within-block near-duplicate candidates for OVERSIZED blocks:
@@ -265,9 +265,17 @@ def _rhp_block_pairs(
     pairs sharing (block, band, band_sig)), exact-cosine verified —
     the subquadratic route ``embedding_duplicate_pairs`` falls back to
     when a block exceeds its exact-scan ceiling. Same output columns
-    as the exact scan (label, vec_a, vec_b, cosine); recall on the
-    routed blocks is the LSH collision probability (4 bands of 4 bits
-    here — generous, because near-dup pairs have cosine close to 1)."""
+    as the exact scan (label, vec_a, vec_b, cosine).
+
+    Band width matters precisely BECAUSE blocks are big here: 4 bands
+    of 12 bits = 4,096 signatures per band, so a 150k-vector hot block
+    spreads to ~40 vectors per bucket instead of re-serializing into a
+    near-quadratic bucket join (the first cut used 4-bit bands — 16
+    signatures — and a 155k block produced ~10^9 candidate pairs, i.e.
+    the exact scan wearing an LSH hat; caught on the round-7 sf10
+    sweep). Near-dup pairs (cosine ~0.98, theta ~0.2 rad) collide per
+    12-bit band with p ~ 0.45, so 4 bands give ~91% recall per the
+    Charikar bound; EXACT duplicates always collide."""
     from ..functions.vectors import l2_norm
 
     base = embeddings.select(

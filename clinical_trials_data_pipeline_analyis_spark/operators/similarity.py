@@ -101,10 +101,13 @@ def ivf_assign(
 
 #: Above this many vectors in one block, ``embedding_duplicate_pairs``
 #: refuses (or RHP-routes) the exact pair scan: the within-block cost is
-#: |block|²/2 pairs, and a 65k-vector block is ~2.1e9 pairs — around the
-#: point where even the salt-gridded scan stops being a sane default on
-#: a shared cluster. Quadratic growth past it is a bug, not a workload.
-MAX_EXACT_BLOCK = 65536
+#: |block|²/2 pairs — 16k vectors is ~134M pairs, which the salt-gridded
+#: scan clears in seconds, while the round-7 sf10 sweep measured blocks
+#: just under a 65k ceiling (~60k vectors, ~5e9 pairs across the
+#: sub-ceiling blocks) grinding for 15+ minutes on 32 cores: a ceiling
+#: that admits multi-1e9-pair blocks is not a guard. Quadratic growth
+#: past the ceiling is a bug, not a workload — route it.
+MAX_EXACT_BLOCK = 16384
 
 
 def embedding_duplicate_pairs(

@@ -90,6 +90,13 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "bench_corpus_sf10.json")
     )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip queries already recorded in --out and keep its calib_sec "
+        "(a ~2h sweep should survive an external kill; results are also "
+        "flushed to --out after every query for the same reason)",
+    )
     args = ap.parse_args()
 
     ensure_corpus(args.dir, args.docs, args.vecs)
@@ -109,15 +116,49 @@ def main() -> None:
     qs["x01_dedup_exact"](spark, args.dir).count()
     spark.range(0, 1024, 1, 32).mapInPandas(lambda it: it, "id long").count()
 
-    c0 = time.perf_counter()
-    spark.range(0, 200_000_000, 1, 32).selectExpr(
-        "sum(cast(xxhash64(id) as double)) as s"
-    ).collect()
-    calib_sec = round(time.perf_counter() - c0, 4)
-
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    guard_notes: dict[str, str] = {}
+    calib_sec = None
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        timings.update(prior.get("queries", {}))
+        guard_notes.update(prior.get("guard_notes", {}))
+        calib_sec = prior.get("calib_sec")
+        print(f"resume: {len(timings)} queries already recorded")
+
+    if calib_sec is None:
+        c0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(cast(xxhash64(id) as double)) as s"
+        ).collect()
+        calib_sec = round(time.perf_counter() - c0, 4)
+
+    def flush() -> dict:
+        summary = {
+            "metric": "corpus_sf10_wall_clock",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "errors": errors,
+            "guard_notes": guard_notes,
+            "docs": args.docs,
+            "vecs": args.vecs,
+            "calib_sec": calib_sec,
+        }
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        return summary
+
     for name in names:
+        done_name = (
+            "x08_dedup_embedding_cosine(routed)"
+            if name == "x08_dedup_embedding_cosine"
+            else name
+        )
+        if done_name in timings:
+            continue
         t0 = time.perf_counter()
         try:
             if name == "x08_dedup_embedding_cosine":
@@ -136,6 +177,7 @@ def main() -> None:
                     errors[name] = "GUARD DID NOT FIRE (expected refusal)"
                     continue
                 except ValueError as e:
+                    guard_notes[name] = str(e)[:160]
                     print(
                         json.dumps(
                             {"query": name, "guard_refused": str(e)[:160]}
@@ -156,21 +198,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(json.dumps({"query": name, "sec": timings[name], "rows": n}))
         sys.stdout.flush()
+        flush()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    summary = {
-        "metric": "corpus_sf10_wall_clock",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "errors": errors,
-        "docs": args.docs,
-        "vecs": args.vecs,
-        "calib_sec": calib_sec,
-    }
-    with open(args.out, "w") as f:
-        json.dump(summary, f, indent=1, sort_keys=True)
+    summary = flush()
     print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
 
 

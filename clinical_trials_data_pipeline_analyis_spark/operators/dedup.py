@@ -303,6 +303,17 @@ def simhash_near_duplicates(
     )
 
 
+#: Ceiling on the inverted-index pair-join fan-out ``ngram_jaccard_pairs``
+#: will accept: sum over shingles of df^2 (the number of rows the
+#: per-shingle self-join materializes before the (doc_a, doc_b) combine).
+#: The round-7 sf10 sweep ran the unbounded form on 500k docs and the
+#: 8.1e9-row join FILLED THE DISK — quadratic growth past the ceiling is
+#: a bug, not a workload. 1e9 rows is ~tens of GB of shuffle: large but
+#: finishable; anything beyond that wants ``max_df`` (or MinHash-LSH,
+#: which samples the shingle space instead of joining all of it).
+MAX_JACCARD_JOIN_ROWS = 1_000_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -310,6 +321,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     top_n: int = 50,
     max_df: int | None = None,
+    max_join_rows: int | None = MAX_JACCARD_JOIN_ROWS,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets via the inverted-index join,
     ranked; returns the top_n most similar pairs (total tiebreak order).
@@ -320,6 +332,15 @@ def ngram_jaccard_pairs(
     then computed over the FILTERED shingle sets (set sizes included), so
     the result is the exact Jaccard of the reduced sets rather than an
     approximation of the full ones.
+
+    The join is additionally GUARDED (same contract as
+    ``embedding_duplicate_pairs``'s block guard): before building the
+    pair join, one bounded aggregate estimates its fan-out (sum of df^2
+    over the — possibly df-filtered — shingle table); past
+    ``max_join_rows`` the call fails FAST naming the subquadratic
+    routes instead of detonating shuffle/disk at scale. ``None``
+    disables the guard for callers that have already bounded their
+    shingle geometry.
     """
     # The shingle table feeds both self-join sides AND the set sizes —
     # materialize once so the explode pipeline runs once, not four times.
@@ -327,6 +348,23 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         sh = filter_hot_shingles(sh, max_df)
     sh = sh.localCheckpoint()
+    if max_join_rows is not None:
+        est = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.sum(F.col("_df") * F.col("_df")).alias("rows"))
+            .collect()[0]["rows"]
+        )
+        if est is not None and est > max_join_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs: the inverted-index pair join would "
+                f"materialize ~{est:,} rows (> max_join_rows="
+                f"{max_join_rows:,}); the per-shingle self-join is "
+                "quadratic in document frequency by contract. Lower "
+                "max_df to bound hot shingles, or use the subquadratic "
+                "near-dup routes (minhash_signatures + "
+                "lsh_candidate_pairs, simhash_near_duplicates)."
+            )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size")).localCheckpoint()
 
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))

@@ -150,6 +150,24 @@ def parse_image_header(
     return (None, None, None)
 
 
+def _require_int_id(id_col: str, value) -> int:
+    """Convert an id cell from the Arrow batch to int, failing with a
+    NAMED error on NULL/non-integral ids instead of a bare TypeError
+    deep in the worker. The output schemas declare the id non-nullable,
+    so a NULL here is a caller contract violation — the 'undecodable
+    payloads keep their row' promise covers payloads, never ids."""
+    try:
+        if value is None or value != value:  # None or float('nan')
+            raise TypeError("NULL")
+        return int(value)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"multimodal decode: {id_col}={value!r} is not a non-null "
+            f"integer; the output schema declares {id_col} non-nullable "
+            "— filter or repair ids before decoding."
+        ) from None
+
+
 def decode_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Extract typed metadata from the binary payload via Arrow-batched
     ``mapInPandas``.
@@ -168,7 +186,7 @@ def decode_image_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, n_bytes, fmts, widths, heights = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                ids.append(int(doc_id))
+                ids.append(_require_int_id(id_col, doc_id))
                 if payload is None:
                     n_bytes.append(None)
                     fmts.append(None)
@@ -247,7 +265,7 @@ def decode_image_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, widths, heights, modes, lumas = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                ids.append(int(doc_id))
+                ids.append(_require_int_id(id_col, doc_id))
                 try:
                     img = _PILImage.open(io.BytesIO(bytes(payload)))
                     img.load()

@@ -159,32 +159,38 @@ def embedding_duplicate_pairs(
     from ..operators.sampling import hash_bucket
 
     if max_block is not None:
+        # orderBy(desc(n)) BEFORE the limit: the collected rows are the
+        # true worst 1001 blocks (TakeOrderedAndProject — still one
+        # bounded aggregate), so the diagnostics below name the actual
+        # largest blocks rather than an arbitrary 1001-row sample, and
+        # len(big) > 1000 means the same thing on both branches.
         big = (
             embeddings.groupBy(F.col(block_col).alias("blk"))
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_block)
+            .orderBy(F.desc("n"), F.asc("blk"))
             .limit(1001)
             .collect()
         )
+        if len(big) > 1000:
+            raise ValueError(
+                "embedding_duplicate_pairs: more than 1000 blocks "
+                f"exceed max_block={max_block} (top-5: "
+                f"{[(r['blk'], r['n']) for r in big[:5]]}) — the block "
+                "column does not bound this corpus; use "
+                "rhp_near_duplicates or semantic_dedup instead."
+            )
         if big and oversize == "error":
-            worst = sorted(big, key=lambda r: -r["n"])[:5]
             raise ValueError(
                 f"embedding_duplicate_pairs: {len(big)} block(s) exceed "
                 f"max_block={max_block} (largest: "
-                f"{[(r['blk'], r['n']) for r in worst]}); the exact "
+                f"{[(r['blk'], r['n']) for r in big[:5]]}); the exact "
                 "within-block pair scan is quadratic by contract. Use "
                 "oversize='route' to LSH-route the oversized blocks, or "
                 "the subquadratic operators rhp_near_duplicates / "
                 "semantic_dedup."
             )
         if big:
-            if len(big) > 1000:
-                raise ValueError(
-                    "embedding_duplicate_pairs: more than 1000 blocks "
-                    f"exceed max_block={max_block} — the block column "
-                    "does not bound this corpus; use rhp_near_duplicates "
-                    "or semantic_dedup instead."
-                )
             big_keys = [r["blk"] for r in big]
             small = embeddings.filter(~F.col(block_col).isin(big_keys))
             hot = embeddings.filter(F.col(block_col).isin(big_keys))
@@ -597,6 +603,35 @@ def rhp_signatures(
     if n_bits % bands != 0:
         raise ValueError("bands must divide n_bits")
     planes = rhp_plan_vectors(n_bits, dim, seed)
+    # Loud row-local dim guard: a vector shorter/longer than ``dim`` (or
+    # NULL) would zip_with-pad against the hyperplane with NULLs, the dot
+    # would come back NULL, and a coalesce-to-0.0 would turn EVERY bit
+    # into 1 — silently collapsing all mismatched vectors into one LSH
+    # bucket, i.e. the quadratic join this operator exists to avoid. The
+    # guard is a plan expression folded into band_sig (no extra pass over
+    # the corpus) that raises on the first bad row instead.
+    dim_guard = F.when(
+        F.size(F.col(vec_col)) == F.lit(dim), F.lit(0)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"rhp_signatures: {vec_col} has length "),
+                F.coalesce(
+                    F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                ),
+                F.lit(f" but dim={dim} hyperplanes were planned (id="),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(
+                    "); pass the true vector dim — NULL-padded dots "
+                    "would give every mismatched vector the same "
+                    "all-ones signature."
+                ),
+            )
+        ).cast("int")
+    )
+    # The coalesce below handles element-level NULLs only (matching the
+    # oracle's COALESCE(list_dot_product(..), 0)); length mismatches are
+    # excluded by dim_guard before it can mask them.
     bits = [
         F.when(
             F.coalesce(
@@ -621,7 +656,7 @@ def rhp_signatures(
                         bits[band * per_band + i] * F.lit(2**i)
                         for i in range(per_band)
                     ),
-                    start=F.lit(0),
+                    start=dim_guard,
                 )
                 .cast("long")
                 .alias("band_sig"),

@@ -170,35 +170,53 @@ def register(
 #: greens), x05 (MinHash keeps a21), a85 (BPE keeps a64), a87 (span
 #: family keeps a59), a88 (perceptron keeps a89 + the wider a90). All
 #: thirteen remain registered and locally oracle-checked at three SFs.
+#: Round-8 rotation (VERDICT r7 asks #1, #2 and #5):
+#: IN — the two queries whose CODE/parameters changed this round and
+#: therefore owe a fresh driver verdict: x07_dedup_ngram_jaccard
+#: (max_df=100 hot-shingle bound + the new join-fan-out guard — the
+#: sf10 disk-fill fix) — a53_rhp_embedding_neardup (12-bit bands — the
+#: sf10 OOM fix) was already in-window and stays. Plus nine of the
+#: r2–r4-stale names under the <=3-round freshness policy, oldest
+#: first: q01 (A4/P7 pricing summary), q02 (O1 topk), q03 (S5 mapping
+#: ingest), q04 (P1/F3-F4 case chains), q05 (A2 best-priority), q08
+#: (A6/O2 surrogate dims), x02 (doc fingerprinting), x03 (token
+#: count), x04 (text quality).
+#: OUT — ten r7-driver-green queries whose families stay represented:
+#: a32/x10/a24 (quantizer/IVF keep x16, a38, a43, a49, a50), a79
+#: (distinct-safety keeps a62/a86), a80 (dup reporting keeps x01, a54,
+#: a59), a72 (graph keeps a76), a74 (events keep a75, a68), a48
+#: (sampling/packing keeps a52), a51 (quality keeps a39, a40, x04
+#: rotating in), a55 (versioning keeps a56, a60). All ten remain
+#: registered and locally oracle-checked at three SFs.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",
-    "a32_pq_encode",
-    "x10_ann_ivf_assign",
+    "x07_dedup_ngram_jaccard",
+    "q01_pricing_summary",
+    "q02_priority_frequency_topk",
+    "q03_mapping_standardize",
+    "q04_category_case_chain",
+    "q05_best_priority_agg",
+    "q08_surrogate_dim",
+    "x02_doc_fingerprint",
+    "x03_token_count",
+    "x04_text_quality",
     "x16_ann_ivf_topk",
-    "a24_ivf_train_step",
-    "a79_skew_safe_distinct",
     "a90_perceptron_wide",
-    "a80_dup_cap",
-    "a72_pagerank_copurchase",
     "a38_ivfpq_topk",
     "a39_text_repetition",
     "a40_curation_funnel",
     "q07_date_spine",
     "a73_bloom_decontaminate",
     "a43_ivfpq_residual_topk",
-    "a74_event_funnel",
     "a45_semantic_dedup",
     "a76_canonical_by_centrality",
     "a75_cohort_retention",
-    "a48_corpus_shuffle",
     "a49_ann_recall_at_k",
     "a50_cell_assign_rowlocal",
-    "a51_pii_redaction",
     "a52_sliding_chunks",
     "a53_rhp_embedding_neardup",
     "a54_dup_ngram_coverage",
-    "a55_scd2_dimension",
     "a56_vocab_oov_rates",
     "a58_binned_quantiles",
     "a65_hybrid_rrf",

@@ -317,10 +317,34 @@ def x06_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x07 — exact n-gram Jaccard over the inverted-index pair join; top-50
 # most similar pairs under a total (jaccard DESC, doc_a, doc_b) order.
 # =====================================================================
+# Hot-shingle bound for x07 (the broad-ranked variant; a25 is the tight
+# max_df=5 twin). The round-7 sf10 sweep ran this query with max_df=None
+# and the inverted-index self-join filled the disk at 500k docs: a
+# shingle shared by df documents contributes df^2/2 join rows, and a
+# preferential-attachment dup family makes df grow WITH the corpus —
+# unbounded at 100 TB. max_df=100 caps every join bucket at 100 docs
+# (bucket cost <= 5k pairs) while keeping every discriminative shingle:
+# a shingle in >100 documents identifies boilerplate, not a near-dup
+# pair. Jaccard is computed over the FILTERED sets on BOTH engines (the
+# oracle's freq CTE mirrors filter_hot_shingles), so values stay exact.
+# At the driver SFs the cap never binds (max shingle df is 25 at sf0.1 —
+# results are unchanged from the unbounded rounds); the binding regime
+# is parity-tested in tests/test_round8_ops.py. The operator itself now
+# ALSO guards its join fan-out (MAX_JACCARD_JOIN_ROWS), so an unbounded
+# registration can refuse loudly instead of repeating the incident.
+_X07_MAX_DF = 100
+
+
 @register(
     "x07_dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+sh AS (
+    SELECT sh0.doc_id, sh0.shingle
+    FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+    WHERE freq.df <= {_X07_MAX_DF}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -342,7 +366,9 @@ LIMIT 50
 )
 def x07_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, top_n=50)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, top_n=50, max_df=_X07_MAX_DF
+    )
 
 
 # =====================================================================
@@ -2790,14 +2816,24 @@ def a52_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine. The hyperplanes are splitmix64-derived plan literals, so both
 # engines compute bit-identical signatures.
 # =====================================================================
-_RHP_BITS = 16
-_RHP_BANDS = 2
+#: 12-bit bands (48 bits / 4 bands = 4,096 signatures per band) — the
+#: SAME band geometry as ``_rhp_block_pairs``, and for the same reason:
+#: the round-7 sf10 sweep OOM'd this query at 500k Zipf-clustered
+#: vectors with the original 8-bit bands (256 buckets/band put O(10^4+)
+#: vectors in hot buckets — near-quadratic candidate pairs, i.e. the
+#: exact scan wearing an LSH hat). Near-dup pairs (cosine ~0.98) still
+#: collide per 12-bit band with p ~ 0.45, so 4 bands keep ~91% recall
+#: (Charikar bound); exact duplicates always collide. The oracle below
+#: regenerates from these constants, so parity holds by construction.
+_RHP_BITS = 48
+_RHP_BANDS = 4
 #: Verify threshold calibrated to the driver fixture: its embeddings are
 #: near-orthogonal with NO true near-dups (max pair cosine ~0.51 at
 #: sf0.01), so a production 0.95 would verify zero pairs and the driver
-#: row would prove nothing. 0.30 keeps the verify stage live (35/51/557
-#: surviving pairs at sf0.001/0.01/0.1 out of ~1.1k/1.1k/18.6k LSH
-#: candidates); real corpora pass their own threshold to the operator.
+#: row would prove nothing. 0.30 keeps the verify stage live even at the
+#: narrower 12-bit bands (measured on the fixture after the band-width
+#: change; counts recorded in tests/test_oracle_parity.py's run); real
+#: corpora pass their own threshold to the operator.
 _RHP_THRESHOLD = 0.30
 
 

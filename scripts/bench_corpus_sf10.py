@@ -15,10 +15,11 @@ factors can be computed against ``bench_sf1.json``'s calibrated times:
     per-input growth = (t10/calib10) / (t1/calib1) / 10
 
 Queries are run in REGISTRY order. x08's exact-within-block pair scan
-is EXPECTED to refuse here: the sf10 hot label exceeds the round-7
-block guard (MAX_EXACT_BLOCK = 65,536), which is the guard doing its
-job; the routed form (oversize="route") is benched in its place and
-the refusal is recorded explicitly.
+is EXPECTED to refuse here: the sf10 hot label exceeds the block guard
+(``operators.similarity.MAX_EXACT_BLOCK``, 16,384 since commit
+fc9c4a9), which is the guard doing its job; the routed form
+(oversize="route") is benched in its place and the refusal is
+recorded explicitly.
 
 Usage: python scripts/bench_corpus_sf10.py [--dir testdata_sf10]
            [--docs 500000] [--vecs 500000] [--names substr ...]
@@ -125,8 +126,16 @@ def main() -> None:
             prior = json.load(f)
         timings.update(prior.get("queries", {}))
         guard_notes.update(prior.get("guard_notes", {}))
+        # Seed prior ERRORS too — otherwise a failure recorded before an
+        # external kill silently vanishes from the final summary when its
+        # query is skipped on the resumed run. A query that is re-run and
+        # succeeds clears its stale error entry below.
+        errors.update(prior.get("errors", {}))
         calib_sec = prior.get("calib_sec")
-        print(f"resume: {len(timings)} queries already recorded")
+        print(
+            f"resume: {len(timings)} queries already recorded, "
+            f"{len(errors)} prior errors carried"
+        )
 
     if calib_sec is None:
         c0 = time.perf_counter()
@@ -196,6 +205,7 @@ def main() -> None:
             print(json.dumps({"query": name, "error": errors[name]}))
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        errors.pop(name, None)  # a success supersedes a carried error
         print(json.dumps({"query": name, "sec": timings[name], "rows": n}))
         sys.stdout.flush()
         flush()

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, whitespace_tokens, word_shingles
@@ -212,7 +212,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_candidates(
-    simhash_df: DataFrame, id_col: str, materialize: bool = True
+    simhash_df: DataFrame,
+    id_col: str,
+    materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing either 16-bit half of the 32-bit simhash.
 
@@ -222,6 +225,19 @@ def simhash_candidates(
     plan a BroadcastNestedLoopJoin (O(n^2) compares); as two hash
     equi-joins the cost scales with the 16-bit bucket sizes instead
     (tests/test_plan_shapes.py asserts no nested-loop join survives).
+
+    ``max_bucket`` (off by default) is the hot-bucket cap: a band
+    bucket holding more than ``max_bucket`` documents is SKIPPED on
+    both join sides — the ``filter_hot_shingles`` discipline applied to
+    simhash bands. The 16-bit space gives 65,536 buckets per band, but
+    nothing bounds one bucket's share: on the template-heavy sf10
+    corpus the round-8 audit measured a 35,692-doc half-bucket
+    (Σn² ≈ 4.9e9 candidate rows — the x07 disk-fill shape wearing a
+    simhash hat). A bucket that large is a fingerprint-bit-skew
+    artifact, not 6×10⁸ near-dup pairs: at the Hamming-verify stage
+    nearly all of it dies anyway, so capping trades recall only on
+    pairs whose OTHER half also stays hot. Set it so the cap never
+    binds at your verify budget (cost ≤ max_bucket × corpus rows).
 
     ``materialize`` checkpoints the fingerprint table first — the four
     join sides below would otherwise each re-execute the SimHash
@@ -233,9 +249,19 @@ def simhash_candidates(
     hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias("half")
 
     def pairs_on(half: Column) -> DataFrame:
-        a = simhash_df.select(F.col(id_col).alias("doc_a"), half)
-        b = simhash_df.select(
-            F.col(id_col).alias("doc_b"), half.alias("half_b")
+        base = simhash_df.select(F.col(id_col).alias("doc_a"), half)
+        if max_bucket is not None:
+            # one window count over the band key — the same shuffle the
+            # pair join needs anyway, no second aggregate-and-join pass
+            w = Window.partitionBy("half")
+            base = (
+                base.withColumn("_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("_n") <= max_bucket)
+                .drop("_n")
+            )
+        a = base
+        b = base.select(
+            F.col("doc_a").alias("doc_b"), F.col("half").alias("half_b")
         )
         return a.join(
             b,
@@ -267,7 +293,10 @@ def filter_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    simhash_df: DataFrame, id_col: str, max_hamming: int = 6
+    simhash_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Verified SimHash near-duplicates: banded candidates filtered by
     Hamming distance (Manku et al., WWW 2007 — the verify step that
@@ -277,12 +306,15 @@ def simhash_near_duplicates(
     fingerprints differ in at most ``max_hamming`` bits. The distance is
     ``bit_count(xor(a, b))`` — O(1) per candidate, so the verify cost is
     the candidate count, which banding already bounded; no full-table
-    work is added.
+    work is added. ``max_bucket`` forwards to the candidate stage's
+    hot-bucket cap (see ``simhash_candidates``).
     """
     # One materialization serves the banding (2 sides) and the verify
     # join (2 sides) — five consumers, one SimHash computation.
     simhash_df = simhash_df.localCheckpoint()
-    cands = simhash_candidates(simhash_df, id_col, materialize=False)
+    cands = simhash_candidates(
+        simhash_df, id_col, materialize=False, max_bucket=max_bucket
+    )
     a = simhash_df.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sim_a")
     )

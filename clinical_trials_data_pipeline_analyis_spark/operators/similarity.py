@@ -765,10 +765,25 @@ def semantic_pair_candidates(
     threshold: float,
     broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
     row_count_hint: int | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """The SemDeDup pair scan: same-cell pairs with cosine >=
     ``threshold``, from a (vec_id, vec, centroid_id, cos_centroid)
     table. Exposed so plan tests can pin both physical shapes.
+
+    COST MODEL (the round-7/8 sweep's a45 watch item): the within-cell
+    scan is quadratic in cell size, so with a FIXED centroid count k the
+    whole operator is O(n²/k) — the 500k-vector sweep measured a45 at
+    1.34x per input at 250x growth, the n²/k curve showing through.
+    SemDeDup stays subquadratic only if k GROWS with the corpus
+    (k ≈ n / target_cell_size, the paper's own deployment shape); the
+    registered a45 keeps 128 fixed centroids because its oracle needs
+    deterministic centroid literals, and absorbs the superlinear term at
+    driver scales. ``max_cell`` makes the contract enforceable: when
+    set, one bounded per-cell count refuses (naming the largest cells)
+    if any cell exceeds it — an under-provisioned quantizer then fails
+    fast instead of quietly going quadratic at 100 TB. ``None`` (the
+    default) keeps the historical unguarded behavior.
 
     NOTE — eager action: choosing the join strategy runs
     ``blocked.count()`` at CONSTRUCTION time (not at the first action),
@@ -796,6 +811,25 @@ def semantic_pair_candidates(
       scale path: each task joins whole cells, no broadcast ceiling.
     """
     from ..functions.vectors import l2_norm
+
+    if max_cell is not None:
+        big = (
+            blocked.groupBy(F.col("centroid_id").alias("_cell"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cell)
+            .orderBy(F.desc("n"), F.asc("_cell"))
+            .limit(5)
+            .collect()
+        )
+        if big:
+            raise ValueError(
+                f"semantic_pair_candidates: cell(s) exceed max_cell="
+                f"{max_cell} (largest: "
+                f"{[(r['_cell'], r['n']) for r in big]}); the within-cell "
+                "pair scan is quadratic in cell size by contract. Train "
+                "more centroids (k ~ corpus_rows / target_cell_size) so "
+                "cells stay bounded, or raise max_cell deliberately."
+            )
 
     # per-VECTOR norms ride the join sides so the per-PAIR work is the
     # dot product alone (same fold order as cosine_similarity — parity
@@ -858,6 +892,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by embedding similarity. Cluster the corpus with a coarse quantizer,
@@ -878,7 +913,11 @@ def semantic_dedup(
     component sizes, never the corpus. The pair join itself is
     size-gated (``semantic_pair_candidates``): broadcast below
     ``broadcast_limit`` rows, cell-keyed repartition join above it —
-    both paths produce identical pairs (equality-tested).
+    both paths produce identical pairs (equality-tested). ``max_cell``
+    (off by default) forwards to the pair scan's cell-size guard: set
+    it when the quantizer's k is not provisioned to the corpus, so an
+    oversized cell refuses fast instead of going quadratic (the O(n²/k)
+    cost model is documented on ``semantic_pair_candidates``).
     """
     from .dedup import connected_components
 
@@ -896,7 +935,8 @@ def semantic_dedup(
         .localCheckpoint()
     )
     pairs = semantic_pair_candidates(
-        blocked, threshold, broadcast_limit=broadcast_limit
+        blocked, threshold, broadcast_limit=broadcast_limit,
+        max_cell=max_cell,
     )
     comp = connected_components(
         pairs, "vec_a", "vec_b", blocked.select("vec_id"), "vec_id"

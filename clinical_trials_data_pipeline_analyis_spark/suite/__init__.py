@@ -188,6 +188,12 @@ def register(
 #: (sampling/packing keeps a52), a51 (quality keeps a39, a40, x04
 #: rotating in), a55 (versioning keeps a56, a60). All ten remain
 #: registered and locally oracle-checked at three SFs.
+#: Round-8 addendum: a23/a26 (simhash candidates/verified) rotate IN —
+#: their generator gained the hot-bucket cap (max_bucket=2000, oracle
+#: mirrored) after the round-8 audit measured a 35,692-doc half-bucket
+#: at sf10 (the x07 disk-fill shape); changed queries owe a driver
+#: verdict. OUT: a50 (ANN family keeps x16/a38/a43/a49), a62 (sketch
+#: family keeps a67/a86/a58).
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",
@@ -201,6 +207,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x02_doc_fingerprint",
     "x03_token_count",
     "x04_text_quality",
+    "a23_dedup_simhash_pairs",
+    "a26_dedup_simhash_verified",
     "x16_ann_ivf_topk",
     "a90_perceptron_wide",
     "a38_ivfpq_topk",
@@ -213,7 +221,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a76_canonical_by_centrality",
     "a75_cohort_retention",
     "a49_ann_recall_at_k",
-    "a50_cell_assign_rowlocal",
     "a52_sliding_chunks",
     "a53_rhp_embedding_neardup",
     "a54_dup_ngram_coverage",
@@ -227,7 +234,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a69_bigram_lm_scores",
     "a59_dup_spans",
     "a60_leakage_safe_split",
-    "a62_linear_count_distinct",
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
     "q12_scalar_qa_bounds",

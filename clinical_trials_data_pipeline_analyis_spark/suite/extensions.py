@@ -1164,7 +1164,36 @@ def a22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never an OR-join, which would plan a BroadcastNestedLoopJoin
 # (reference analog: duplicate-pair detection,
 # aact_silver_layer.sql:588-590).
+# Hot-bucket cap (round 8, same discipline as x07's max_df): the 16-bit
+# space gives 65,536 buckets per band, but fingerprint-bit skew can
+# concentrate one bucket — the round-8 audit measured a 35,692-doc
+# half-bucket on the template-heavy sf10 corpus (Σn² ≈ 4.9e9 candidate
+# rows, the x07 disk-fill shape). Buckets over 2,000 docs are skipped
+# on BOTH engines; the cap never binds at the driver SFs (max bucket
+# 291 at sf0.1, 28 at sf0.01 — results unchanged), and caps sf10 cost
+# at Σn² ≈ 2.9e8.
 # =====================================================================
+_SIMHASH_MAX_BUCKET = 2000
+
+_SIMHASH_HALVES_CAPPED_SQL = f"""
+halves AS (
+    SELECT doc_id,
+           simhash % 65536 AS lo,
+           CAST((simhash >> 16) & 65535 AS BIGINT) AS hi
+    FROM sims
+),
+lo_ok AS (
+    SELECT doc_id, lo FROM (
+        SELECT doc_id, lo, COUNT(*) OVER (PARTITION BY lo) AS n FROM halves
+    ) WHERE n <= {_SIMHASH_MAX_BUCKET}
+),
+hi_ok AS (
+    SELECT doc_id, hi FROM (
+        SELECT doc_id, hi, COUNT(*) OVER (PARTITION BY hi) AS n FROM halves
+    ) WHERE n <= {_SIMHASH_MAX_BUCKET}
+)"""
+
+
 @register(
     "a23_dedup_simhash_pairs",
     oracle=f"""
@@ -1177,17 +1206,12 @@ th AS (
 ),
 sums AS ({_SIMHASH_SUMS_SQL}),
 sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
-halves AS (
-    SELECT doc_id,
-           simhash % 65536 AS lo,
-           CAST((simhash >> 16) & 65535 AS BIGINT) AS hi
-    FROM sims
-)
+{_SIMHASH_HALVES_CAPPED_SQL}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM halves AS a JOIN halves AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+FROM lo_ok AS a JOIN lo_ok AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
 UNION
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM halves AS a JOIN halves AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+FROM hi_ok AS a JOIN hi_ok AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
 """,
     covers=("X-DEDUP-SIMHASH", "J7"),
 )
@@ -1196,7 +1220,7 @@ def a23_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
-    return simhash_candidates(sims, "doc_id")
+    return simhash_candidates(sims, "doc_id", max_bucket=_SIMHASH_MAX_BUCKET)
 
 
 # =====================================================================
@@ -1308,18 +1332,13 @@ th AS (
 ),
 sums AS ({_SIMHASH_SUMS_SQL}),
 sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
-halves AS (
-    SELECT doc_id,
-           simhash % 65536 AS lo,
-           CAST((simhash >> 16) & 65535 AS BIGINT) AS hi
-    FROM sims
-),
+{_SIMHASH_HALVES_CAPPED_SQL},
 cands AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM halves AS a JOIN halves AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    FROM lo_ok AS a JOIN lo_ok AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
     UNION
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM halves AS a JOIN halves AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    FROM hi_ok AS a JOIN hi_ok AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
 )
 SELECT
     c.doc_a,
@@ -1337,8 +1356,11 @@ def a26_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
-    # the operator materializes the fingerprints once for its five joins
-    return simhash_near_duplicates(sims, "doc_id", _SIMHASH_MAX_HAMMING)
+    # the operator materializes the fingerprints once for its five joins;
+    # hot half-buckets are capped like a23 (oracle mirrors the cap)
+    return simhash_near_duplicates(
+        sims, "doc_id", _SIMHASH_MAX_HAMMING, max_bucket=_SIMHASH_MAX_BUCKET
+    )
 
 
 # =====================================================================

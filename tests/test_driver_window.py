@@ -14,27 +14,35 @@ from clinical_trials_data_pipeline_analyis_spark.suite import (
     registry,
 )
 
-# The families the driver must verify this round (round 7): every
-# component whose CODE changed since its last driver verdict, every
-# component new this round, the freshness rotation, and the standing
-# LLM-pipeline surface.
+# The families the driver must verify this round (round 8): every
+# component whose CODE/parameters changed since its last driver verdict,
+# the freshness rotation, and the standing LLM-pipeline surface.
 _REQUIRED_IN_WINDOW = {
-    # round-7: changed-code queries taking their driver verdict the
-    # round the change lands (VERDICT r6 ask #1 — x08 salt-grid +
-    # block guard; a32/x10/x16/a24 quantizer caps)
+    # round-8: changed-parameter queries taking their driver verdict
+    # the round the change lands (VERDICT r7 asks #1/#2 — a53 12-bit
+    # bands, x07 max_df bound; x08's operator gained the dim guard +
+    # ordered diagnostics, so it stays for a fresh verdict too)
+    "a53_rhp_embedding_neardup",
+    "x07_dedup_ngram_jaccard",
     "x08_dedup_embedding_cosine",
-    "a32_pq_encode",
-    "x10_ann_ivf_assign",
-    "x16_ann_ivf_topk",
-    "a24_ivf_train_step",
-    # round-7: changed THIS round (x15 GIF-branch oracle; a86's
-    # read-off m-guard) — stay in-window
+    # round-8 freshness rotation (VERDICT r7 ask #5): stale names last
+    # driver-green r2-r4
+    "q01_pricing_summary",
+    "q02_priority_frequency_topk",
+    "q03_mapping_standardize",
+    "q04_category_case_chain",
+    "q05_best_priority_agg",
+    "q08_surrogate_dim",
+    "x02_doc_fingerprint",
+    "x03_token_count",
+    "x04_text_quality",
+    # round-8: simhash hot-bucket cap (generator + oracle changed)
+    "a23_dedup_simhash_pairs",
+    "a26_dedup_simhash_verified",
+    # round-7 entrants with a single green verdict — keep one more round
+    "a90_perceptron_wide",
     "x15_multimodal_metadata",
     "a86_hll_distinct",
-    # round-7 addition: new components verify the round they land
-    "a90_perceptron_wide",
-    # round-7 freshness rotation (VERDICT r6 ask #5): stale §2
-    # headliners last driver-green r2-r4
     "q07_date_spine",
     "q12_scalar_qa_bounds",
     "q18_token_truncate",
@@ -42,25 +50,22 @@ _REQUIRED_IN_WINDOW = {
     "x06_dedup_simhash",
     "x09_ann_cosine_topk",
     "q28_correlated_subquery",
-    # standing LLM-pipeline surface
+    # standing LLM-pipeline surface (a45's operator gained the optional
+    # max_cell guard this round — default off, plan unchanged, but it
+    # stays in-window for a fresh verdict anyway)
     "a21_dedup_cc_clusters",
     "a45_semantic_dedup",
     "a38_ivfpq_topk",
     "a43_ivfpq_residual_topk",
     "a40_curation_funnel",
-    "a48_corpus_shuffle",
+    "x16_ann_ivf_topk",
     "a49_ann_recall_at_k",
-    "a50_cell_assign_rowlocal",
-    "a51_pii_redaction",
     "a52_sliding_chunks",
-    "a53_rhp_embedding_neardup",
     "a54_dup_ngram_coverage",
-    "a55_scd2_dimension",
     "a56_vocab_oov_rates",
     "a58_binned_quantiles",
     "a59_dup_spans",
     "a60_leakage_safe_split",
-    "a62_linear_count_distinct",
     "a63_bm25_topk",
     "a64_bpe_pair_counts",
     "a65_hybrid_rrf",
@@ -68,13 +73,9 @@ _REQUIRED_IN_WINDOW = {
     "a67_cms_heavy_hitters",
     "a68_retention_curve",
     "a69_bigram_lm_scores",
-    "a72_pagerank_copurchase",
     "a73_bloom_decontaminate",
-    "a74_event_funnel",
     "a75_cohort_retention",
     "a76_canonical_by_centrality",
-    "a79_skew_safe_distinct",
-    "a80_dup_cap",
     "a89_perceptron_scores",
     # §2 flagship
     "q06_opportunity_rank",

@@ -259,3 +259,72 @@ def test_decode_metadata_null_id_raises_named_error(spark):
         df.filter(F.col("doc_id").isNotNull())
     ).collect()
     assert len(ok) == 1 and ok[0]["format"] == "image/gif"
+
+
+# --------------------------------------- SemDeDup cell-size guard (a45)
+def test_semdedup_max_cell_guard(spark):
+    """VERDICT r7 ask #7 (a45 watch item): with a FIXED centroid count
+    the within-cell scan is O(n^2/k); max_cell makes that contract
+    enforceable — an under-provisioned quantizer refuses fast, naming
+    the largest cells, instead of quietly going quadratic."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_pair_candidates,
+    )
+
+    rows = [(i, [1.0, float(i % 3)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = emb.filter(F.col("vec_id") < 1)  # ONE centroid: one 12-row cell
+    with pytest.raises(ValueError) as exc:
+        semantic_dedup(emb, cents, threshold=0.9, max_cell=5)
+    msg = str(exc.value)
+    assert "max_cell=5" in msg and "centroids" in msg
+
+    # default (None) keeps the historical behavior: same input runs
+    out = semantic_dedup(emb, cents, threshold=0.9)
+    assert out.count() == 12
+
+    # and a guarded run whose cells are all under the ceiling matches
+    # the unguarded result exactly
+    blocked = (
+        emb.selectExpr("vec_id", "embedding AS vec")
+        .selectExpr("vec_id", "vec", "vec_id % 4 AS centroid_id")
+        .localCheckpoint()
+    )
+    got = semantic_pair_candidates(blocked, 0.9, max_cell=5).collect()
+    want = semantic_pair_candidates(blocked, 0.9).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# --------------------------------------- simhash hot-bucket cap (a23/a26)
+def test_simhash_candidates_max_bucket_binding(spark):
+    """Parity-style check in the regime where the cap BINDS: buckets
+    over max_bucket are skipped on both join sides, smaller buckets are
+    untouched. (At the driver SFs the registered cap of 2,000 never
+    binds — max half-bucket is 291 at sf0.1; the sf10 audit measured a
+    35,692-doc bucket, which is why the cap exists.)"""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    # lo half = simhash % 65536, hi half = simhash >> 16.
+    # docs 0-2 share lo=5 (a 3-doc bucket); docs 3-4 share hi=9.
+    rows = [
+        (0, (1 << 16) + 5),
+        (1, (2 << 16) + 5),
+        (2, (3 << 16) + 5),
+        (3, (9 << 16) + 7),
+        (4, (9 << 16) + 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+    unbounded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates(df, "doc_id").collect()
+    }
+    assert unbounded == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates(df, "doc_id", max_bucket=2).collect()
+    }
+    # the 3-doc lo-bucket is skipped; the 2-doc hi-bucket survives
+    assert capped == {(3, 4)}

@@ -193,7 +193,14 @@ def register(
 #: mirrored) after the round-8 audit measured a 35,692-doc half-bucket
 #: at sf10 (the x07 disk-fill shape); changed queries owe a driver
 #: verdict. OUT: a50 (ANN family keeps x16/a38/a43/a49), a62 (sketch
-#: family keeps a67/a86/a58).
+#: family keeps a67/a86/a58). Second addendum: a33 rotates IN — the
+#: round-8 sweep OOM'd its full-corpus ADC because the mod-sampled
+#: query set grew with the corpus; all four %200 query sets (a33, a38,
+#: a43, a70) now cap at vec_id < 2000 (exactly the sf0.1 fixture's
+#: set — value-identical at every driver SF, hash-MATCH re-verified
+#: locally). a38/a43 already sit in-window; a70's diff is the same
+#: shared predicate, so a33 represents the change. OUT: a49 (ANN
+#: family keeps x16/a38/a43 + a33).
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",
@@ -209,6 +216,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x04_text_quality",
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
+    "a33_pq_adc_topk",
     "x16_ann_ivf_topk",
     "a90_perceptron_wide",
     "a38_ivfpq_topk",
@@ -220,7 +228,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a45_semantic_dedup",
     "a76_canonical_by_centrality",
     "a75_cohort_retention",
-    "a49_ann_recall_at_k",
     "a52_sliding_chunks",
     "a53_rhp_embedding_neardup",
     "a54_dup_ngram_coverage",

@@ -1677,6 +1677,17 @@ def a31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus at query time). Composes with IVF (x10/x16/a31) as IVFADC.
 # =====================================================================
 _PQ_M = 4
+
+#: Cap on the mod-sampled ANN QUERY sets (vec_id % 200 = 0 AND
+#: vec_id < 2000 → exactly the 10 queries the sf0.1 fixture yields).
+#: Same scale rule as the round-7 quantizer-model caps, found the same
+#: way: "every Nth row" grows WITH the corpus, so the round-8 sf10
+#: sweep ran a33's full-corpus ADC with 2,500 queries x 500k candidates
+#: (n²/200) and the JVM heap died. The driver SFs all have vec_id <
+#: 2000, so the cap changes NOTHING at sf0.001/0.01/0.1 (no re-baseline);
+#: at sf10+ the query set is a fixed benchmark workload, as a real ANN
+#: evaluation would be. Mirrored verbatim in every oracle.
+_PQ_QUERY_CAP = 2000
 _PQ_SUB = 16  # 64 dims / 4 subspaces
 
 _PQ_SUBS_SQL = f"""
@@ -1736,7 +1747,7 @@ lut AS (
     SELECT q.vec_id AS query_id, q.subspace, cb.code_id,
            CAST({_l2sq_sql("q.sv", "cb.cv")} AS DECIMAL(18,6)) AS d2
     FROM subs AS q JOIN cb ON q.subspace = cb.subspace
-    WHERE q.vec_id % 200 = 0
+    WHERE q.vec_id % 200 = 0 AND q.vec_id < 2000
 ),
 summed AS (
     SELECT l.query_id, c.vec_id AS candidate_id, CAST(SUM(l.d2) AS DOUBLE) AS adc
@@ -1762,7 +1773,7 @@ def a33_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
     codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
-    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=5)
 
 
@@ -1929,7 +1940,7 @@ iscored AS (
 home AS (SELECT vec_id, centroid_id FROM iscored WHERE crank = 1),
 probes AS (
     SELECT vec_id AS query_id, centroid_id
-    FROM iscored WHERE crank <= 2 AND vec_id % 200 = 0
+    FROM iscored WHERE crank <= 2 AND vec_id % 200 = 0 AND vec_id < 2000
 ),
 cands AS (
     SELECT DISTINCT p.query_id, h.vec_id AS candidate_id
@@ -1940,7 +1951,7 @@ lut AS (
     SELECT q.vec_id AS query_id, q.subspace, cb.code_id,
            CAST({_l2sq_sql("q.sv", "cb.cv")} AS DECIMAL(18,6)) AS d2
     FROM subs AS q JOIN cb ON q.subspace = cb.subspace
-    WHERE q.vec_id % 200 = 0
+    WHERE q.vec_id % 200 = 0 AND q.vec_id < 2000
 ),
 summed AS (
     SELECT cd.query_id, cd.candidate_id, CAST(SUM(l.d2) AS DOUBLE) AS adc
@@ -1975,7 +1986,7 @@ def a38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
     codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
     assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
-    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     return ivfpq_topk(
         queries, codes, assignments, cb, centroids, m=_PQ_M, k=5, nprobe=2
     )
@@ -2255,7 +2266,7 @@ enc AS (
 codes AS (SELECT vec_id, home_cell, subspace, code_id FROM enc WHERE rn = 1),
 probes AS (
     SELECT vec_id AS query_id, centroid_id AS cell
-    FROM iscored WHERE crank <= 2 AND vec_id % 200 = 0
+    FROM iscored WHERE crank <= 2 AND vec_id % 200 = 0 AND vec_id < 2000
 ),
 qres AS (
     SELECT p.query_id, p.cell,
@@ -2320,7 +2331,7 @@ def a43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "subspace", "code_id")
         .localCheckpoint()
     )
-    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     return ivfpq_topk_residual(
         queries, codes, assignments, cb, centroids, m=_PQ_M, k=5, nprobe=2
     )
@@ -3856,7 +3867,7 @@ def a70_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
     codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
     assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
-    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     shortlist = ivfpq_topk(
         queries, codes, assignments, cb, centroids, m=_PQ_M, k=10, nprobe=2
     )

@@ -39,6 +39,8 @@ _REQUIRED_IN_WINDOW = {
     # round-8: simhash hot-bucket cap (generator + oracle changed)
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
+    # round-8: ANN query-set cap (a38/a43 in-window carry it too)
+    "a33_pq_adc_topk",
     # round-7 entrants with a single green verdict — keep one more round
     "a90_perceptron_wide",
     "x15_multimodal_metadata",
@@ -59,7 +61,6 @@ _REQUIRED_IN_WINDOW = {
     "a43_ivfpq_residual_topk",
     "a40_curation_funnel",
     "x16_ann_ivf_topk",
-    "a49_ann_recall_at_k",
     "a52_sliding_chunks",
     "a54_dup_ngram_coverage",
     "a56_vocab_oov_rates",

@@ -594,7 +594,11 @@ def rhp_signatures(
     1 - angle/pi), banded into ``bands`` integer keys for bucketing.
 
     Returns (id_col, band 0.., band_sig long) — one row per band.
-    Row-local projection (the hyperplanes are plan literals; at
+    NULL vectors are excluded (no geometry, no signature — they can
+    never near-duplicate anything); a NON-null vector whose length
+    differs from ``dim`` raises a named error at execution (see the
+    guard below). Row-local projection (the hyperplanes are plan
+    literals; at
     production bit-widths they stay far below the centroid-literal
     ceiling since n_bits x dim floats is KBs), so signing a 100 TB
     corpus is an embarrassingly parallel map with NO shuffle; the only
@@ -603,22 +607,27 @@ def rhp_signatures(
     if n_bits % bands != 0:
         raise ValueError("bands must divide n_bits")
     planes = rhp_plan_vectors(n_bits, dim, seed)
-    # Loud row-local dim guard: a vector shorter/longer than ``dim`` (or
-    # NULL) would zip_with-pad against the hyperplane with NULLs, the dot
-    # would come back NULL, and a coalesce-to-0.0 would turn EVERY bit
-    # into 1 — silently collapsing all mismatched vectors into one LSH
-    # bucket, i.e. the quadratic join this operator exists to avoid. The
-    # guard is a plan expression folded into band_sig (no extra pass over
-    # the corpus) that raises on the first bad row instead.
+    # NULL vectors carry no geometry: they VANISH from the signature
+    # table (the same way NULL text vanishes from token aggregates), so
+    # they can never bucket-collide; the verify stage's NULL cosine
+    # keeps the DuckDB oracle (where they sign as all-ones) value-equal
+    # on the FINAL verified output.
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    # Loud row-local dim guard for the rows that remain: a vector
+    # shorter/longer than ``dim`` would zip_with-pad against the
+    # hyperplane with NULLs, the dot would come back NULL, and a
+    # coalesce-to-0.0 would turn EVERY bit into 1 — silently collapsing
+    # all mismatched vectors into one LSH bucket, i.e. the quadratic
+    # join this operator exists to avoid. The guard is a plan expression
+    # folded into band_sig (no extra pass over the corpus) that raises
+    # on the first bad row instead.
     dim_guard = F.when(
         F.size(F.col(vec_col)) == F.lit(dim), F.lit(0)
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"rhp_signatures: {vec_col} has length "),
-                F.coalesce(
-                    F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
-                ),
+                F.size(F.col(vec_col)).cast("string"),
                 F.lit(f" but dim={dim} hyperplanes were planned (id="),
                 F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
                 F.lit(

@@ -328,3 +328,23 @@ def test_simhash_candidates_max_bucket_binding(spark):
     }
     # the 3-doc lo-bucket is skipped; the 2-doc hi-bucket survives
     assert capped == {(3, 4)}
+
+
+def test_rhp_null_vectors_vanish_non_null_mismatch_raises(spark):
+    """NULL embeddings are normal on a real ingest (missing media /
+    failed encoder): they must VANISH from the signature table, not
+    crash the job — only a NON-null length mismatch is a caller error."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        rhp_near_duplicates,
+        rhp_signatures,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]), (2, None)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    sigs = rhp_signatures(df, n_bits=8, bands=2, dim=4).collect()
+    assert {r["vec_id"] for r in sigs} == {0, 1}
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in rhp_near_duplicates(df, 0.99, n_bits=8, bands=2, dim=4).collect()
+    }
+    assert got == {(0, 1)}

@@ -200,7 +200,12 @@ def register(
 #: set — value-identical at every driver SF, hash-MATCH re-verified
 #: locally). a38/a43 already sit in-window; a70's diff is the same
 #: shared predicate, so a33 represents the change. OUT: a49 (ANN
-#: family keeps x16/a38/a43 + a33).
+#: family keeps x16/a38/a43 + a33). Third addendum: a32 rotates back
+#: IN — pq_encode's plan changed (norms-per-side + MIN(struct) argmin
+#: replacing the row_number window; bit-identical output, 3x less HOF
+#: work and no full sort-shuffle on the |corpus| x k scored rows) after
+#: the sweep measured the old form at 1.12x/input. OUT: a89
+#: (perceptron family keeps the wider a90).
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",
@@ -217,6 +222,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
     "a33_pq_adc_topk",
+    "a32_pq_encode",
     "x16_ann_ivf_topk",
     "a90_perceptron_wide",
     "a38_ivfpq_topk",
@@ -251,7 +257,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a86_hll_distinct",
     "x09_ann_cosine_topk",
     "q28_correlated_subquery",
-    "a89_perceptron_scores",
 )
 
 

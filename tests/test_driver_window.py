@@ -41,6 +41,7 @@ _REQUIRED_IN_WINDOW = {
     "a26_dedup_simhash_verified",
     # round-8: ANN query-set cap (a38/a43 in-window carry it too)
     "a33_pq_adc_topk",
+    "a32_pq_encode",
     # round-7 entrants with a single green verdict — keep one more round
     "a90_perceptron_wide",
     "x15_multimodal_metadata",
@@ -77,7 +78,6 @@ _REQUIRED_IN_WINDOW = {
     "a73_bloom_decontaminate",
     "a75_cohort_retention",
     "a76_canonical_by_centrality",
-    "a89_perceptron_scores",
     # §2 flagship
     "q06_opportunity_rank",
 }

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 from .dedup import _spread
 
 
@@ -75,27 +75,61 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine.
 
-    Centroids are broadcast; the argmax is a row_number over the per-vector
-    centroid scores with a deterministic tiebreak.
+    Centroids are broadcast; the argmax is a lexicographic MIN over the
+    orderable (null-flag, -cosine, centroid_id) struct — the same total
+    order as the previous row_number window (cosine DESC NULLS LAST,
+    centroid_id ASC tiebreak), but a hash aggregate with map-side
+    partial combine, so the |corpus| x k scored rows never cross a full
+    sort-shuffle; one pre-combined row per vector does. Norms are
+    computed once per SIDE before the join (the cross-term dot is the
+    only per-pair fold) — the same scalar sequence on the same doubles
+    as ``cosine_similarity``, so results are bit-identical and oracle
+    parity is unaffected. The round-8 sf10 sweep measured the old form
+    (3 folds per pair + window sort over 6.4e7 rows) at 62s for the
+    bare assignment; this is the pq_encode rewrite applied to its
+    coarse-quantizer sibling.
     """
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     v = _spread(embeddings).select(
-        F.col(id_col).alias("vec"), F.col(vec_col).alias("vvec")
+        F.col(id_col).alias("vec"),
+        F.col(vec_col).alias("vvec"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col("vec").alias("vec_id"),
         "centroid_id",
-        F.round(cosine_similarity(F.col("vvec"), F.col("cvec")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            F.try_divide(
+                dot(F.col("vvec"), F.col("cvec")),
+                F.col("_vn") * F.col("_cn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    # The null flag keeps NULL cosines (zero-norm or NULL vectors) LAST
+    # exactly as the window's DESC NULLS LAST did; within the non-null
+    # group, min(-cosine) = max(cosine) and ties fall to min centroid_id.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "cosine")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("cosine").isNull().cast("int").alias("_nl"),
+                    (-F.col("cosine")).alias("_nc"),
+                    F.col("centroid_id").alias("centroid_id"),
+                    F.col("cosine").alias("cosine"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "vec_id",
+            F.col("_best.centroid_id").alias("centroid_id"),
+            F.col("_best.cosine").alias("cosine"),
+        )
     )
 
 
@@ -484,20 +518,31 @@ def ivf_probe_assign(
     only p/|centroids| of the corpus.
 
     Same plan shape as ``ivf_assign``: broadcast centroids, per-vector
-    rank — one extra output row per probe, no extra shuffle.
+    rank — one extra output row per probe, no extra shuffle. Norms ride
+    each side once (bit-identical to cosine_similarity — see
+    ivf_assign); the top-nprobe rank keeps the window form since it
+    needs more than the argmin.
     """
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     v = _spread(embeddings).select(
-        F.col(id_col).alias("vec"), F.col(vec_col).alias("vvec")
+        F.col(id_col).alias("vec"),
+        F.col(vec_col).alias("vvec"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col("vec").alias("vec_id"),
         "centroid_id",
-        F.round(cosine_similarity(F.col("vvec"), F.col("cvec")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            F.try_divide(
+                dot(F.col("vvec"), F.col("cvec")),
+                F.col("_vn") * F.col("_cn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
     return (

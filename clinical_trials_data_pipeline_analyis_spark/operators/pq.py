@@ -39,9 +39,15 @@ from ..functions.vectors import dot
 from .dedup import _spread
 
 
-def _l2sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance with a fixed scalar op order (oracle-exact)."""
-    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+def _l2sq(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Squared L2 distance with a fixed scalar op order (oracle-exact).
+    ``dim`` is the flat-codegen performance hint from
+    ``functions.vectors.dot`` — bit-identical, per-row fallback."""
+    return (
+        dot(a, a, dim=dim)
+        - F.lit(2.0) * dot(a, b, dim=dim)
+        + dot(b, b, dim=dim)
+    )
 
 
 def split_subvectors(
@@ -106,6 +112,7 @@ def pq_encode(
     m: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """Quantize: nearest code per (vector, subspace) by squared L2.
 
@@ -134,13 +141,13 @@ def pq_encode(
         F.col(id_col).alias("vec_id"),
         "subspace",
         "subvec",
-        dot(F.col("subvec"), F.col("subvec")).alias("_na"),
+        dot(F.col("subvec"), F.col("subvec"), dim=sub_dim).alias("_na"),
     )
     cb = codebooks.select(
         F.col("subspace").alias("cb_subspace"),
         "code_id",
         "codevec",
-        dot(F.col("codevec"), F.col("codevec")).alias("_nb"),
+        dot(F.col("codevec"), F.col("codevec"), dim=sub_dim).alias("_nb"),
     )
     scored = (
         subs.join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
@@ -150,7 +157,8 @@ def pq_encode(
             "code_id",
             F.round(
                 F.col("_na")
-                - F.lit(2.0) * dot(F.col("subvec"), F.col("codevec"))
+                - F.lit(2.0)
+                * dot(F.col("subvec"), F.col("codevec"), dim=sub_dim)
                 + F.col("_nb"),
                 6,
             ).alias("dist2"),

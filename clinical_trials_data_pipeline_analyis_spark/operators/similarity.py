@@ -34,17 +34,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Ranking key is (rounded cosine DESC, candidate id ASC): rounding makes
     the order reproducible across engines; the id breaks remaining ties.
+
+    Norms ride each side once (the cross-term dot is the only per-pair
+    work — same scalar sequence as ``cosine_similarity``, bit-identical);
+    ``dim`` additionally selects the flat codegen'd dot (see
+    ``functions.vectors``) for the |queries| x |corpus| scan.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_qn"),
     )
     c = _spread(embeddings).select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
     )
     scored = (
         F.broadcast(q)
@@ -54,7 +64,11 @@ def brute_force_topk(
             "query_id",
             "candidate_id",
             F.round(
-                cosine_similarity(F.col("qvec"), F.col("cvec")), 6
+                F.try_divide(
+                    dot(F.col("qvec"), F.col("cvec"), dim=dim),
+                    F.col("_qn") * F.col("_cn"),
+                ),
+                6,
             ).alias("cosine"),
         )
     )
@@ -72,6 +86,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine.
 
@@ -92,19 +107,19 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
     )
     v = _spread(embeddings).select(
         F.col(id_col).alias("vec"),
         F.col(vec_col).alias("vvec"),
-        l2_norm(F.col(vec_col)).alias("_vn"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_vn"),
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col("vec").alias("vec_id"),
         "centroid_id",
         F.round(
             F.try_divide(
-                dot(F.col("vvec"), F.col("cvec")),
+                dot(F.col("vvec"), F.col("cvec"), dim=dim),
                 F.col("_vn") * F.col("_cn"),
             ),
             6,
@@ -236,6 +251,7 @@ def embedding_duplicate_pairs(
                 top_n=top_n,
                 grid=grid,
                 max_block=None,
+                dim=dim,
             )
             routed = _rhp_block_pairs(
                 hot, block_col, id_col, vec_col, dim=dim
@@ -258,7 +274,7 @@ def embedding_duplicate_pairs(
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("vec_a"),
             F.col(vec_col).alias("va"),
-            l2_norm(F.col(vec_col)).alias("_norm_a"),
+            l2_norm(F.col(vec_col), dim=dim).alias("_norm_a"),
         )
         .withColumn(
             "_cell",
@@ -269,7 +285,7 @@ def embedding_duplicate_pairs(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
-        l2_norm(F.col(vec_col)).alias("_norm_b"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_norm_b"),
         (hash_bucket(F.col(id_col), grid)).cast("int").alias("_cell_b"),
     )
     pairs = a.join(
@@ -283,7 +299,7 @@ def embedding_duplicate_pairs(
         "vec_b",
         F.round(
             F.try_divide(
-                dot(F.col("va"), F.col("vb")),
+                dot(F.col("va"), F.col("vb"), dim=dim),
                 F.col("_norm_a") * F.col("_norm_b"),
             ),
             6,
@@ -325,7 +341,7 @@ def _rhp_block_pairs(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        l2_norm(F.col(vec_col)).alias("_norm"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_norm"),
     )
     sigs = rhp_signatures(
         base, n_bits=n_bits, bands=bands, dim=dim, id_col="_id", vec_col="_vec"
@@ -372,7 +388,7 @@ def _rhp_block_pairs(
             "vec_b",
             F.round(
                 F.try_divide(
-                    dot(F.col("va"), F.col("vb")),
+                    dot(F.col("va"), F.col("vb"), dim=dim),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,
@@ -388,6 +404,7 @@ def train_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means training for the IVF coarse quantizer
     (Lloyd's algorithm; the training loop over the assign/update steps
@@ -438,6 +455,7 @@ def train_ivf(
             ),
             id_col=id_col,
             vec_col=vec_col,
+            dim=dim,
         )
         members = assign.select(
             F.col("vec_id").alias(id_col), "centroid_id"
@@ -508,6 +526,7 @@ def ivf_probe_assign(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe IVF assignment: each vector keeps its ``nprobe``
     nearest centroids (rank 1 = the home cell used for indexing; ranks
@@ -526,19 +545,19 @@ def ivf_probe_assign(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
     )
     v = _spread(embeddings).select(
         F.col(id_col).alias("vec"),
         F.col(vec_col).alias("vvec"),
-        l2_norm(F.col(vec_col)).alias("_vn"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_vn"),
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col("vec").alias("vec_id"),
         "centroid_id",
         F.round(
             F.try_divide(
-                dot(F.col("vvec"), F.col("cvec")),
+                dot(F.col("vvec"), F.col("cvec"), dim=dim),
                 F.col("_vn") * F.col("_cn"),
             ),
             6,
@@ -692,6 +711,7 @@ def rhp_signatures(
                 dot(
                     F.col(vec_col),
                     F.array(*[F.lit(x) for x in planes[b]]),
+                    dim=dim,
                 ),
                 F.lit(0.0),
             )
@@ -782,12 +802,12 @@ def rhp_near_duplicates(
     va = embeddings.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
-        l2_norm(F.col(vec_col)).alias("_norm_a"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_norm_a"),
     )
     vb = embeddings.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
-        l2_norm(F.col(vec_col)).alias("_norm_b"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_norm_b"),
     )
     return (
         cand.join(va, "vec_a")
@@ -797,7 +817,7 @@ def rhp_near_duplicates(
             "vec_b",
             F.round(
                 F.try_divide(
-                    dot(F.col("va"), F.col("vb")),
+                    dot(F.col("va"), F.col("vb"), dim=dim),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,
@@ -820,6 +840,7 @@ def semantic_pair_candidates(
     broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
     row_count_hint: int | None = None,
     max_cell: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """The SemDeDup pair scan: same-cell pairs with cosine >=
     ``threshold``, from a (vec_id, vec, centroid_id, cos_centroid)
@@ -891,13 +912,13 @@ def semantic_pair_candidates(
     a_cols = [
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
-        l2_norm(F.col("vec")).alias("_norm_a"),
+        l2_norm(F.col("vec"), dim=dim).alias("_norm_a"),
         F.col("centroid_id").alias("cell_a"),
     ]
     b_cols = [
         F.col("vec_id").alias("vec_b"),
         F.col("vec").alias("vb"),
-        l2_norm(F.col("vec")).alias("_norm_b"),
+        l2_norm(F.col("vec"), dim=dim).alias("_norm_b"),
         F.col("centroid_id").alias("cell_b"),
     ]
     pair_cond = (F.col("cell_a") == F.col("cell_b")) & (
@@ -928,7 +949,7 @@ def semantic_pair_candidates(
             "vec_b",
             F.round(
                 F.try_divide(
-                    dot(F.col("va"), F.col("vb")),
+                    dot(F.col("va"), F.col("vb"), dim=dim),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,
@@ -947,6 +968,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
     max_cell: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by embedding similarity. Cluster the corpus with a coarse quantizer,
@@ -975,7 +997,9 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
-    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     blocked = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
@@ -990,7 +1014,7 @@ def semantic_dedup(
     )
     pairs = semantic_pair_candidates(
         blocked, threshold, broadcast_limit=broadcast_limit,
-        max_cell=max_cell,
+        max_cell=max_cell, dim=dim,
     )
     comp = connected_components(
         pairs, "vec_a", "vec_b", blocked.select("vec_id"), "vec_id"

@@ -205,7 +205,17 @@ def register(
 #: replacing the row_number window; bit-identical output, 3x less HOF
 #: work and no full sort-shuffle on the |corpus| x k scored rows) after
 #: the sweep measured the old form at 1.12x/input. OUT: a89
-#: (perceptron family keeps the wider a90).
+#: (perceptron family keeps the wider a90). Fourth addendum: the
+#: flat-codegen dot/norm hint (functions/vectors.py dim=) changes the
+#: physical plan of every embedding-family query; the change is ONE
+#: shared helper, bit-identical by construction (per-row fold fallback,
+#: tests/test_vectors_dim.py) and value-verified across all 120 queries
+#: in this round's full driver-sim. Every affected family already has
+#: an in-window representative taking a fresh r8 verdict on the changed
+#: plan: x08 (exact pair scan), x09 (brute force), a32/a33/a38/a43
+#: (PQ/ADC), x16 (IVF), a45 (SemDeDup), a53 (RHP) — the out-of-window
+#: siblings (x10, a24, a31, a41, a49, a50, a70) share exactly those
+#: helpers, the same representation argument as the second addendum.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",

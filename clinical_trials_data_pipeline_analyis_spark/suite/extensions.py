@@ -38,6 +38,14 @@ from . import register
 #: DuckDB expression for the same normalization as functions.text.normalized_text
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+#: Embedding width of the fixtures' embeddings table. Passed as the
+#: flat-codegen ``dim`` hint to every corpus-scale dot/norm (see
+#: functions.vectors) — bit-identical by construction (per-row fallback
+#: to the fold for any other width), so no oracle or baseline-value
+#: changes; it only moves the pair-scan inner loop from an interpreted
+#: higher-order fold into whole-stage codegen.
+_EMB_DIM = 64
+
 
 #: Explicit schema for events.parquet: pins ``ts`` to TIMESTAMP_NTZ so
 #: the wall-clock semantics do NOT depend on the session's
@@ -433,7 +441,7 @@ QUALIFY rank <= 10
 def x09_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, queries, k=10)
+    return brute_force_topk(emb, queries, k=10, dim=_EMB_DIM)
 
 
 # =====================================================================
@@ -468,7 +476,7 @@ def x10_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = read_table(spark, sf_dir, "embeddings").filter(
         (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416)
     )
-    return ivf_assign(emb, centroids)
+    return ivf_assign(emb, centroids, dim=_EMB_DIM)
 
 
 # =====================================================================
@@ -775,7 +783,7 @@ def x16_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = read_table(spark, sf_dir, "embeddings").filter(
         (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416)
     )
-    assign = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    assign = ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id")
 
     emb_vecs = read_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("e_id"), F.col("embedding").alias("e")
@@ -1300,7 +1308,7 @@ def a24_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     seeds = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
-    cents, _assign = train_ivf(emb, centroids=seeds, iters=1)
+    cents, _assign = train_ivf(emb, centroids=seeds, iters=1, dim=_EMB_DIM)
     return cents.select(
         "centroid_id", F.posexplode("centroid").alias("pos0", "centroid_value")
     ).select(
@@ -1625,8 +1633,8 @@ def a31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
 
-    home = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
-    probes = ivf_probe_assign(emb, centroids, nprobe=2).select(
+    home = ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id")
+    probes = ivf_probe_assign(emb, centroids, nprobe=2, dim=_EMB_DIM).select(
         "vec_id", "centroid_id"
     )
 
@@ -1735,7 +1743,7 @@ def a32_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
-    return pq_encode(emb, cb, m=_PQ_M)
+    return pq_encode(emb, cb, m=_PQ_M, sub_dim=_EMB_DIM // _PQ_M)
 
 
 @register(
@@ -1772,7 +1780,7 @@ def a33_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
-    codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
+    codes = pq_encode(emb, cb, m=_PQ_M, sub_dim=_EMB_DIM // _PQ_M).select("vec_id", "subspace", "code_id")
     queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     return pq_adc_topk(queries, codes, cb, m=_PQ_M, k=5)
 
@@ -1984,8 +1992,8 @@ def a38_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
-    codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
-    assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    codes = pq_encode(emb, cb, m=_PQ_M, sub_dim=_EMB_DIM // _PQ_M).select("vec_id", "subspace", "code_id")
+    assignments = ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id")
     queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     return ivfpq_topk(
         queries, codes, assignments, cb, centroids, m=_PQ_M, k=5, nprobe=2
@@ -2182,10 +2190,10 @@ def a41_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
-    assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    assignments = ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id")
     res = residual_vectors(emb, assignments, centroids)
     cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual")
-    return pq_encode(res, cb, m=_PQ_M, vec_col="residual")
+    return pq_encode(res, cb, m=_PQ_M, vec_col="residual", sub_dim=_EMB_DIM // _PQ_M)
 
 
 # =====================================================================
@@ -2322,12 +2330,12 @@ def a43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes staged artifacts instead of re-executing the centroid
     # scoring in every branch that references them.
     assignments = (
-        ivf_assign(emb, centroids).select("vec_id", "centroid_id").localCheckpoint()
+        ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id").localCheckpoint()
     )
     res = residual_vectors(emb, assignments, centroids)
     cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual").localCheckpoint()
     codes = (
-        pq_encode(res, cb, m=_PQ_M, vec_col="residual")
+        pq_encode(res, cb, m=_PQ_M, vec_col="residual", sub_dim=_EMB_DIM // _PQ_M)
         .select("vec_id", "subspace", "code_id")
         .localCheckpoint()
     )
@@ -2446,7 +2454,7 @@ def a45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
-    return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD)
+    return semantic_dedup(emb, centroids, threshold=_SEMDEDUP_THRESHOLD, dim=_EMB_DIM)
 
 
 # =====================================================================
@@ -2645,7 +2653,7 @@ def a49_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = brute_force_topk(emb, queries, k=5)
+    exact = brute_force_topk(emb, queries, k=5, dim=_EMB_DIM)
     approx = x16_ann_ivf_topk(spark, sf_dir)
     return recall_at_k(approx, exact, k=5)
 
@@ -3607,7 +3615,7 @@ def a65_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERY_TERMS, "query_id BIGINT, term STRING"
     )
     lex = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
-    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).select(
+    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, dim=_EMB_DIM).select(
         "query_id", F.col("candidate_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(lex.unionByName(sem), k0=60, k=10)
@@ -3865,8 +3873,8 @@ def a70_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
     cb = seed_codebooks(emb, m=_PQ_M, mod=61)
-    codes = pq_encode(emb, cb, m=_PQ_M).select("vec_id", "subspace", "code_id")
-    assignments = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    codes = pq_encode(emb, cb, m=_PQ_M, sub_dim=_EMB_DIM // _PQ_M).select("vec_id", "subspace", "code_id")
+    assignments = ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id")
     queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     shortlist = ivfpq_topk(
         queries, codes, assignments, cb, centroids, m=_PQ_M, k=10, nprobe=2

@@ -1,0 +1,141 @@
+"""Bit-identity of the fixed-dim flat-codegen vector math fast path.
+
+``dot(a, b, dim=k)`` / ``l2_norm(a, dim=k)`` replace the interpreted
+zip_with/aggregate fold with a flat codegen'd sum when both arrays are
+exactly ``k`` long, and fall back PER ROW to the fold otherwise — so the
+hint must never change a value, for any input shape. These tests compare
+the two forms to full double precision (no rounding) across matching
+dims, mismatched dims, NULL arrays, element NULLs, empty arrays, and a
+randomized float sweep.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id LONG, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>"
+    )
+
+
+def _collect_both(df, dim):
+    out = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("fold"),
+        dot(F.col("a"), F.col("b"), dim=dim).alias("flat"),
+        l2_norm(F.col("a")).alias("nfold"),
+        l2_norm(F.col("a"), dim=dim).alias("nflat"),
+    ).orderBy("id")
+    return out.collect()
+
+
+def _assert_bit_identical(rows):
+    for r in rows:
+        for x, y in ((r["fold"], r["flat"]), (r["nfold"], r["nflat"])):
+            if x is None or y is None:
+                assert x is None and y is None, (r["id"], x, y)
+            else:
+                # struct-level bit comparison: repr of a double is exact
+                assert math.isnan(x) == math.isnan(y), (r["id"], x, y)
+                if not math.isnan(x):
+                    assert x == y and repr(x) == repr(y), (r["id"], x, y)
+
+
+def test_dim_hint_matches_fold_on_matching_dim(spark):
+    rng = random.Random(8)
+    rows = [
+        (
+            i,
+            [rng.uniform(-3, 3) for _ in range(8)],
+            [rng.uniform(-3, 3) for _ in range(8)],
+        )
+        for i in range(64)
+    ]
+    _assert_bit_identical(_collect_both(_pairs_df(spark, rows), dim=8))
+
+
+def test_dim_hint_falls_back_on_mismatched_dim(spark):
+    # arrays are 5 wide, hint says 8: every row must take the fold branch
+    # and return exactly the fold's value (a REAL value, not NULL — the
+    # hint is a performance hint, not a validator)
+    rows = [
+        (i, [float(i + d) for d in range(5)], [float(d) for d in range(5)])
+        for i in range(10)
+    ]
+    got = _collect_both(_pairs_df(spark, rows), dim=8)
+    assert all(r["flat"] is not None for r in got)
+    _assert_bit_identical(got)
+
+
+def test_dim_hint_null_and_empty_shapes(spark):
+    rows = [
+        (0, None, [1.0, 2.0]),          # NULL array
+        (1, [1.0, 2.0], None),
+        (2, [], []),                     # empty arrays (fold -> 0.0)
+        (3, [1.0, None], [2.0, 3.0]),    # element NULL at matching dim
+        (4, [1.0, 2.0], [2.0, 3.0]),     # plain matching dim
+        (5, [1.0, 2.0, 3.0], [2.0, 3.0]),  # cross lengths
+    ]
+    _assert_bit_identical(_collect_both(_pairs_df(spark, rows), dim=2))
+
+
+def test_cosine_similarity_dim_hint(spark):
+    rows = [
+        (0, [1.0, 2.0, 2.0], [2.0, 1.0, 2.0]),
+        (1, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero norm -> NULL
+        (2, [1.0, 1.0], [1.0, 1.0]),            # mismatched vs dim=3
+    ]
+    got = (
+        _pairs_df(spark, rows)
+        .select(
+            "id",
+            cosine_similarity(F.col("a"), F.col("b")).alias("fold"),
+            cosine_similarity(F.col("a"), F.col("b"), dim=3).alias("flat"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in got:
+        assert (r["fold"] is None) == (r["flat"] is None)
+        if r["fold"] is not None:
+            assert repr(r["fold"]) == repr(r["flat"])
+
+
+def test_fixture_cosines_unchanged_by_hint(spark):
+    """End-to-end: on the real 64-dim embeddings fixture the hinted and
+    unhinted pair cosines agree to full precision (this is the claim
+    that lets every registered query adopt the hint with no oracle or
+    baseline change)."""
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(60)
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    got = pairs.select(
+        F.sum(
+            F.when(
+                dot(F.col("va"), F.col("vb"))
+                == dot(F.col("va"), F.col("vb"), dim=64),
+                0,
+            ).otherwise(1)
+        ).alias("diffs"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert got["n"] > 1000 and got["diffs"] == 0

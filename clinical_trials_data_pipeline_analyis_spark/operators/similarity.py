@@ -997,9 +997,24 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
+    from pyspark import StorageLevel
+
     assigned = ivf_assign(
         embeddings, centroids, id_col=id_col, vec_col=vec_col, dim=dim
     )
+    # The checkpointed frame carries the full embedding arrays, so HOW it
+    # is stored matters at corpus scale: (a) repartition by id hash with
+    # an explicit count — the upstream aggregate's AQE-coalesced output
+    # can concentrate the corpus into a handful of oversized partitions,
+    # and the block store must re-materialize a partition as ONE
+    # contiguous in-memory vector when it is read back; (b) store the
+    # blocks SERIALIZED (MEMORY_AND_DISK in PySpark is the serialized
+    # level; the Dataset default is DESER) — deserialized row objects
+    # inflate a 64-float array row ~5-10x, and the round-8 sf10 re-run
+    # OOM'd an 8 GB heap exactly there (maybeCacheDiskValuesInMemory
+    # re-inflating disk blocks on read-back). Values are unaffected;
+    # this is storage layout only.
+    nparts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 2)
     blocked = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
@@ -1010,7 +1025,8 @@ def semantic_dedup(
             ),
             "vec_id",
         )
-        .localCheckpoint()
+        .repartition(nparts, F.col("vec_id"))
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     pairs = semantic_pair_candidates(
         blocked, threshold, broadcast_limit=broadcast_limit,

@@ -1003,18 +1003,15 @@ def semantic_dedup(
         embeddings, centroids, id_col=id_col, vec_col=vec_col, dim=dim
     )
     # The checkpointed frame carries the full embedding arrays, so HOW it
-    # is stored matters at corpus scale: (a) repartition by id hash with
-    # an explicit count — the upstream aggregate's AQE-coalesced output
-    # can concentrate the corpus into a handful of oversized partitions,
-    # and the block store must re-materialize a partition as ONE
-    # contiguous in-memory vector when it is read back; (b) store the
-    # blocks SERIALIZED (MEMORY_AND_DISK in PySpark is the serialized
-    # level; the Dataset default is DESER) — deserialized row objects
-    # inflate a 64-float array row ~5-10x, and the round-8 sf10 re-run
-    # OOM'd an 8 GB heap exactly there (maybeCacheDiskValuesInMemory
-    # re-inflating disk blocks on read-back). Values are unaffected;
-    # this is storage layout only.
-    nparts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 2)
+    # is stored matters at corpus scale: the blocks are stored SERIALIZED
+    # (MEMORY_AND_DISK in PySpark is the serialized level; the Dataset
+    # default is DESER) — deserialized row objects inflate a 64-float
+    # array row ~5-10x, and the round-8 sf10 re-run OOM'd an 8 GB heap
+    # exactly there (maybeCacheDiskValuesInMemory re-inflating disk
+    # blocks into one contiguous in-memory vector on read-back).
+    # Serialized blocks also stream to/from disk in chunks instead of
+    # re-materializing whole partitions. Values are unaffected; this is
+    # storage layout only.
     blocked = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
@@ -1025,7 +1022,6 @@ def semantic_dedup(
             ),
             "vec_id",
         )
-        .repartition(nparts, F.col("vec_id"))
         .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     pairs = semantic_pair_candidates(

@@ -158,6 +158,7 @@ def assign_cells_foreach_batch(
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ):
     """Streaming cell assignment for LARGE centroid sets: each
     micro-batch broadcast-joins the centroid TABLE (re-read from
@@ -188,7 +189,7 @@ def assign_cells_foreach_batch(
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(centroids_path)
         assigned = ivf_assign(
-            batch_df, centroids, id_col=id_col, vec_col=vec_col
+            batch_df, centroids, id_col=id_col, vec_col=vec_col, dim=dim
         )
         (
             assigned.withColumn("epoch_id", F.lit(int(epoch_id)))

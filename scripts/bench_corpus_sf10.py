@@ -102,6 +102,14 @@ def main() -> None:
 
     ensure_corpus(args.dir, args.docs, args.vecs)
 
+    # Size the single local[] JVM for the corpus rung, same as
+    # bench_ann_scale.py: 32 task threads over 500k x 64-float frames
+    # need more than get_spark's 8g default (the round-8 a45 leg OOM'd
+    # there even with serialized checkpoint blocks). On a real cluster
+    # this is per-executor memory — ~0.5g per core is the equivalent
+    # knob, and 8g/32 threads was a quarter of that.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     from clinical_trials_data_pipeline_analyis_spark.session import get_spark
     from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
 

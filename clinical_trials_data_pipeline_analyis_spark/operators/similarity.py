@@ -707,11 +707,18 @@ def rhp_signatures(
     # excluded by dim_guard before it can mask them.
     bits = [
         F.when(
+            # Deliberately the FOLD form, not the dim-flat one: this
+            # projection evaluates n_bits (=48) dots per row, and 48
+            # flat 64-term sums in one generated method blow past the
+            # JIT's huge-method ceiling — the whole stage then runs
+            # interpreted BYTECODE, measured 9x slower at sf0.1 and
+            # +15% at sf10. The flat form pays off only where a
+            # projection carries O(1) dots (pair verifies, broadcast
+            # scans); see functions/vectors.py.
             F.coalesce(
                 dot(
                     F.col(vec_col),
                     F.array(*[F.lit(x) for x in planes[b]]),
-                    dim=dim,
                 ),
                 F.lit(0.0),
             )

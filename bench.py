@@ -79,27 +79,17 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    # Steady-state warm pass (round 8): run every query once against the
-    # tiny sf0.001 fixture, OUTSIDE every timed window. The flat-codegen
-    # vector path (functions/vectors.py dim=) costs ~1s of Janino+JIT
-    # compilation per distinct expression shape, once per session —
-    # measured +0.3-3s landing inside whichever TIMED query first used a
-    # shape at sf0.1, exceeding some queries' entire runtime, while
-    # being noise at corpus scale and absent on a long-lived cluster
-    # where code compiles once per executor lifetime. Warming at
-    # sf0.001 populates the codegen cache and JIT profile so each
-    # per-query row below measures steady-state execution (the quantity
-    # BASELINE.md rows model). Disclosed in BASELINE.md's preamble.
-    warm_dir = os.environ.get(
-        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
-    )
-    if os.path.isdir(warm_dir):
-        for name in names:
-            try:
-                qs[name](spark, warm_dir).count()
-            except Exception:  # noqa: BLE001 — a warm miss must not kill the bench
-                pass
-        spark.catalog.clearCache()
+    # NO full-suite warm pass. Round 8 briefly ran every query once at
+    # sf0.001 before the timed pass (to absorb the then-flat-codegen
+    # path's per-shape compile cost); measured A/B on a quiet host, that
+    # pass INFLATED the timed rows it was meant to clean — 120 queries'
+    # worth of generated classes, metaspace, and broadcast state front-
+    # loaded into the JVM made mid-suite CPU-bound queries 2-5x slower
+    # (a31 22.5s with the warm pass vs 5.2s without; a32 10.0 vs 1.8;
+    # even the scan-light a42 0.80 vs 0.36), swamping the ~1s compile
+    # constant it saved. The flat path is gone (functions/vectors.py)
+    # and with it the motivation; the two targeted warms above are
+    # sufficient and measurably neutral.
 
     # Host-speed calibration: a fixed, deterministic, JVM-side workload
     # (xxhash64 over spark.range, whole-stage codegen, no I/O) timed on

@@ -41,8 +41,8 @@ from .dedup import _spread
 
 def _l2sq(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared L2 distance with a fixed scalar op order (oracle-exact).
-    ``dim`` is the flat-codegen performance hint from
-    ``functions.vectors.dot`` — bit-identical, per-row fallback."""
+    ``dim`` is the (default-inert) width hint from
+    ``functions.vectors.dot`` — bit-identical either way."""
     return (
         dot(a, a, dim=dim)
         - F.lit(2.0) * dot(a, b, dim=dim)

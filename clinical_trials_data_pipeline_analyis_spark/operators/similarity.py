@@ -43,8 +43,7 @@ def brute_force_topk(
 
     Norms ride each side once (the cross-term dot is the only per-pair
     work — same scalar sequence as ``cosine_similarity``, bit-identical);
-    ``dim`` additionally selects the flat codegen'd dot (see
-    ``functions.vectors``) for the |queries| x |corpus| scan.
+    ``dim`` is the (default-inert) width hint from ``functions.vectors``.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -707,14 +706,14 @@ def rhp_signatures(
     # excluded by dim_guard before it can mask them.
     bits = [
         F.when(
-            # Deliberately the FOLD form, not the dim-flat one: this
+            # Deliberately the FOLD form with no dim hint: this
             # projection evaluates n_bits (=48) dots per row, and 48
             # flat 64-term sums in one generated method blow past the
             # JIT's huge-method ceiling — the whole stage then runs
             # interpreted BYTECODE, measured 9x slower at sf0.1 and
-            # +15% at sf10. The flat form pays off only where a
-            # projection carries O(1) dots (pair verifies, broadcast
-            # scans); see functions/vectors.py.
+            # +15% at sf10. That finding led to re-measuring the O(1)-
+            # dot sites too, where flat ALSO lost (2-5x both scales) —
+            # the hint is now inert by default; see functions/vectors.py.
             F.coalesce(
                 dot(
                     F.col(vec_col),

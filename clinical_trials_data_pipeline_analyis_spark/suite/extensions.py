@@ -39,11 +39,12 @@ from . import register
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 #: Embedding width of the fixtures' embeddings table. Passed as the
-#: flat-codegen ``dim`` hint to every corpus-scale dot/norm (see
-#: functions.vectors) — bit-identical by construction (per-row fallback
-#: to the fold for any other width), so no oracle or baseline-value
-#: changes; it only moves the pair-scan inner loop from an interpreted
-#: higher-order fold into whole-stage codegen.
+#: ``dim`` hint to every corpus-scale dot/norm — since round 8's
+#: re-measure the hint is INERT by default (the flat-codegen form it
+#: used to select measured 2-5x slower than the fold at both sf0.1 and
+#: sf10; see functions/vectors.py for the numbers and mechanism). It is
+#: still threaded through so the documented width stays declared at
+#: each call site and the experiment stays one flag away.
 _EMB_DIM = 64
 
 

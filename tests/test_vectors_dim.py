@@ -1,12 +1,15 @@
-"""Bit-identity of the fixed-dim flat-codegen vector math fast path.
+"""Bit-identity of the fixed-dim flat vector-math construction.
 
-``dot(a, b, dim=k)`` / ``l2_norm(a, dim=k)`` replace the interpreted
-zip_with/aggregate fold with a flat codegen'd sum when both arrays are
-exactly ``k`` long, and fall back PER ROW to the fold otherwise — so the
-hint must never change a value, for any input shape. These tests compare
-the two forms to full double precision (no rounding) across matching
+The ``dim`` flat form (``a[0]*b[0] + ... + a[k-1]*b[k-1]`` with a
+per-row size-guard falling back to the fold) is DISABLED by default —
+it measured 2-5x slower than the fold at both sf0.1 and sf10 (see the
+``functions/vectors.py`` module docstring for the numbers and the
+codegen-limit mechanism). These tests force ``_FLAT_DIM_ENABLED`` on so
+the bit-identity property that made the experiment safe stays proven:
+the flat sum must never change a value, for any input shape — matching
 dims, mismatched dims, NULL arrays, element NULLs, empty arrays, and a
-randomized float sweep.
+randomized float sweep, compared to full double precision (no
+rounding).
 """
 
 from __future__ import annotations
@@ -15,6 +18,8 @@ import math
 import random
 
 import pytest
+
+import clinical_trials_data_pipeline_analyis_spark.functions.vectors as _vectors
 from pyspark.sql import functions as F
 
 from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
@@ -22,6 +27,38 @@ from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
     dot,
     l2_norm,
 )
+
+
+@pytest.fixture(autouse=True)
+def _force_flat_dim():
+    """Every test in this module exercises the flat construction."""
+    old = _vectors._FLAT_DIM_ENABLED
+    _vectors._FLAT_DIM_ENABLED = True
+    try:
+        yield
+    finally:
+        _vectors._FLAT_DIM_ENABLED = old
+
+
+def test_flat_dim_disabled_by_default():
+    # The default must stay OFF: the flat form measured slower at every
+    # scale (module docstring) — a flipped default is a perf regression.
+    assert _vectors.__dict__["_FLAT_DIM_ENABLED"] is True  # fixture on
+    # read the source-level default, not the fixture-patched value
+    import ast, inspect
+
+    tree = ast.parse(inspect.getsource(_vectors))
+    defaults = [
+        node.value.value
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        and any(
+            isinstance(t, ast.Name) and t.id == "_FLAT_DIM_ENABLED"
+            for t in node.targets
+        )
+        and isinstance(node.value, ast.Constant)
+    ]
+    assert defaults == [False]
 
 
 def _pairs_df(spark, rows):

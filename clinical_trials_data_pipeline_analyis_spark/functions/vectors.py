@@ -5,44 +5,38 @@ ordered and evaluated JVM-side, so results are deterministic (no
 partition-order float-sum nondeterminism) and identical to a row-local SQL
 computation — which keeps the DuckDB oracles exact after rounding.
 
-``dim`` hint — a measured NEGATIVE result, kept off. Round 8 tried a
-fixed-dimension "fast path": with ``dim=64``, ``dot`` emitted a flat
-codegen'd ``a[0]*b[0] + ... + a[63]*b[63]`` (bit-identical to the fold:
-same left-assoc IEEE order, per-row size-guard falling back to the fold),
-on the theory that higher-order functions are interpreted per element
-while flat arithmetic rides whole-stage codegen. Measured on the real
-queries, the flat form LOST at every scale:
+Flat fixed-dimension form — a MEASURED, per-call-site choice. With
+``use_flat=True`` (and ``dim`` known), ``dot`` emits a flat codegen'd
+``a[0]*b[0] + ... + a[dim-1]*b[dim-1]`` instead of the fold. It is
+bit-identical (same left-assoc IEEE order; a per-row size-guard falls
+back to the fold for any other width) but NOT uniformly faster — round-8
+A/B measurements per registered query:
 
-- sf0.1 (2k vectors): a31 5.3s flat vs 1.7s fold; a49 4.0 vs 1.2;
-  x16 2.9 vs 1.2; x10 2.2 vs 0.7; x09 2.2 vs 0.6; a24 2.6 vs 1.2
-  (steady-state, repeated fresh plans, quiet host).
-- sf10 (500k vectors): x10 10.7s flat vs 2.0s fold; x09 7.4 vs 3.3.
+- Flat LOSES on single-dot-per-row scans at both scales (the stage's
+  generated method tips past JIT/codegen limits and the whole stage —
+  scan included — degrades to interpreted per-row tree-walking, plus
+  ~1s Janino compile per fresh plan): sf0.1 a31 5.3s flat vs 1.7s fold,
+  a49 4.0 vs 1.2, x16 2.9 vs 1.2, x10 2.2 vs 0.7, x09 2.2 vs 0.6;
+  sf10 x10/x09 fold matched or beat flat once compile amortized. A
+  48-dot-per-row projection (rhp_signatures) measured 9x slower flat.
+- Flat WINS where many short dots ride each output row at corpus scale
+  (the generated method stays small enough to JIT and the fold's
+  per-element lambda + array alloc dominate): sf10 a33 ADC top-k 36.6s
+  flat vs 226.6s fold; a32 pq_encode 5.8 vs 17.9; x08's exact pair
+  verify 121.8 vs 280.1 (all on 500k vectors / 2M subvectors).
 
-Mechanism: one 64-term dot inlines to a ~500-node CASE WHEN projection.
-The generated stage blows past JIT/codegen method limits, so the whole
-stage — scan included — degrades to interpreted per-row expression
-evaluation (a ~500-virtual-call tree walk per row), while every fresh
-plan also re-pays ~1s of Janino compilation on the megabyte-scale
-source. The fold, by contrast, is one specialized evaluator loop the JIT
-compiles once. A 48-dot-per-row variant (rhp_signatures) measured 9x
-slower flat — the first symptom that led to re-measuring the family.
-
-The flat construction is retained below behind ``_FLAT_DIM_ENABLED``
-(default False) so the bit-identity property stays under test
-(tests/test_vectors_dim.py) and the negative result stays reproducible;
-``dim`` is accepted everywhere as an inert hint so call sites did not
-churn. Do not flip the default without re-measuring BOTH scales.
+So the rule encoded here: callers opt in EXPLICITLY per call site with
+``use_flat=True``, justified by a measurement at the corpus rung —
+pq subvector distances (dim=16, 3-6x) and the exact-pair cosine verifies
+(2.3x) carry it; everything else stays on the fold. ``dim`` alone is an
+inert width annotation. tests/test_vectors_dim.py keeps the bit-identity
+property proven for the flat form across shapes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-#: Default False — see module docstring: the flat form measured 2-5x
-#: SLOWER than the fold at sf0.1 AND sf10. Tests flip this to keep the
-#: bit-identity proof live.
-_FLAT_DIM_ENABLED = False
 
 
 def _dot_fold(a: Column, b: Column) -> Column:
@@ -62,11 +56,14 @@ def _dot_flat(a: Column, b: Column, dim: int) -> Column:
     ).otherwise(_dot_fold(a, b))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Ordered float dot product. ``dim`` is an inert hint unless
-    ``_FLAT_DIM_ENABLED`` (see module docstring — measured slower when
-    on, bit-identical either way)."""
-    if dim is not None and _FLAT_DIM_ENABLED:
+def dot(
+    a: Column, b: Column, dim: int | None = None, use_flat: bool = False
+) -> Column:
+    """Ordered float dot product. ``use_flat=True`` (requires ``dim``)
+    selects the flat fixed-width form — opt in only with a corpus-rung
+    measurement behind you (module docstring); bit-identical either
+    way."""
+    if use_flat and dim is not None:
         return _dot_flat(a, b, dim)
     return _dot_fold(a, b)
 
@@ -87,17 +84,23 @@ def _norm_sq_flat(a: Column, dim: int) -> Column:
     return F.when(F.size(a) == F.lit(dim), flat).otherwise(_norm_sq_fold(a))
 
 
-def l2_norm(a: Column, dim: int | None = None) -> Column:
-    """Ordered L2 norm; same ``dim`` contract as ``dot``."""
-    if dim is not None and _FLAT_DIM_ENABLED:
+def l2_norm(
+    a: Column, dim: int | None = None, use_flat: bool = False
+) -> Column:
+    """Ordered L2 norm; same ``dim``/``use_flat`` contract as ``dot``."""
+    if use_flat and dim is not None:
         return F.sqrt(_norm_sq_flat(a, dim))
     return F.sqrt(_norm_sq_fold(a))
 
 
-def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine_similarity(
+    a: Column, b: Column, dim: int | None = None, use_flat: bool = False
+) -> Column:
     # try_divide: a zero-norm vector yields NULL cosine (instead of an
     # ANSI-mode DIVIDE_BY_ZERO error) — downstream rankings order NULL
     # last with a deterministic id tiebreak.
     return F.try_divide(
-        dot(a, b, dim=dim), l2_norm(a, dim=dim) * l2_norm(b, dim=dim)
+        dot(a, b, dim=dim, use_flat=use_flat),
+        l2_norm(a, dim=dim, use_flat=use_flat)
+        * l2_norm(b, dim=dim, use_flat=use_flat),
     )

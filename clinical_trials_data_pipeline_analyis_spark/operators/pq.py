@@ -141,13 +141,13 @@ def pq_encode(
         F.col(id_col).alias("vec_id"),
         "subspace",
         "subvec",
-        dot(F.col("subvec"), F.col("subvec"), dim=sub_dim).alias("_na"),
+        dot(F.col("subvec"), F.col("subvec"), dim=sub_dim, use_flat=True).alias("_na"),
     )
     cb = codebooks.select(
         F.col("subspace").alias("cb_subspace"),
         "code_id",
         "codevec",
-        dot(F.col("codevec"), F.col("codevec"), dim=sub_dim).alias("_nb"),
+        dot(F.col("codevec"), F.col("codevec"), dim=sub_dim, use_flat=True).alias("_nb"),
     )
     scored = (
         subs.join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
@@ -158,7 +158,7 @@ def pq_encode(
             F.round(
                 F.col("_na")
                 - F.lit(2.0)
-                * dot(F.col("subvec"), F.col("codevec"), dim=sub_dim)
+                * dot(F.col("subvec"), F.col("codevec"), dim=sub_dim, use_flat=True)
                 + F.col("_nb"),
                 6,
             ).alias("dist2"),

@@ -298,7 +298,12 @@ def embedding_duplicate_pairs(
         "vec_b",
         F.round(
             F.try_divide(
-                dot(F.col("va"), F.col("vb"), dim=dim),
+                # use_flat: the one dot rides |block|^2/2 pair rows —
+                # the round-8 sf10 A/B measured the flat form at 121.8s
+                # vs 280.1s on the fold for the routed x08 (500k
+                # vectors); at sf0.1 the compile constant keeps the
+                # query within its baseline row. See functions/vectors.
+                dot(F.col("va"), F.col("vb"), dim=dim, use_flat=True),
                 F.col("_norm_a") * F.col("_norm_b"),
             ),
             6,
@@ -955,7 +960,12 @@ def semantic_pair_candidates(
             "vec_b",
             F.round(
                 F.try_divide(
-                    dot(F.col("va"), F.col("vb"), dim=dim),
+                    # use_flat: the SemDeDup pair scan is the corpus
+                    # family's heaviest dot site (Σcell² pair rows) —
+                    # the round-8 sf10 A/B measured a45 at 390.2s flat
+                    # vs 932.4s fold on 500k vectors. See
+                    # functions/vectors.py for the tradeoff rule.
+                    dot(F.col("va"), F.col("vb"), dim=dim, use_flat=True),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,

@@ -216,6 +216,16 @@ def register(
 #: (PQ/ADC), x16 (IVF), a45 (SemDeDup), a53 (RHP) — the out-of-window
 #: siblings (x10, a24, a31, a41, a49, a50, a70) share exactly those
 #: helpers, the same representation argument as the second addendum.
+#: Fifth addendum (final round-8 state): the blanket flat hint was
+#: re-measured per site and resolved to three explicit opt-ins —
+#: pq_encode's sub_dim dots, the exact-pair verify in
+#: embedding_duplicate_pairs, and semantic_pair_candidates' pair dot
+#: (use_flat=True with the measurements in comments); every other dot
+#: returned to the fold. Still ONE shared helper, still bit-identical
+#: by construction (tests/test_vectors_dim.py) and value-verified by
+#: two full driver-sims this round; the in-window representatives
+#: above cover every opted-in site (a32/a33 pq, x08 verify, a45
+#: SemDeDup).
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",

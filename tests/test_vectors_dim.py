@@ -1,25 +1,26 @@
-"""Bit-identity of the fixed-dim flat vector-math construction.
+"""Bit-identity of the fixed-dim flat vector-math form.
 
-The ``dim`` flat form (``a[0]*b[0] + ... + a[k-1]*b[k-1]`` with a
-per-row size-guard falling back to the fold) is DISABLED by default —
-it measured 2-5x slower than the fold at both sf0.1 and sf10 (see the
-``functions/vectors.py`` module docstring for the numbers and the
-codegen-limit mechanism). These tests force ``_FLAT_DIM_ENABLED`` on so
-the bit-identity property that made the experiment safe stays proven:
+The flat form (``a[0]*b[0] + ... + a[k-1]*b[k-1]`` with a per-row
+size-guard falling back to the fold) is a per-call-site OPT-IN
+(``use_flat=True``): it measured 3-6x FASTER at the sf10 corpus rung
+where many short dots ride each output row (pq subvector distances,
+exact-pair verifies) and 2-5x SLOWER on single-dot-per-row scans (see
+the ``functions/vectors.py`` module docstring for the numbers and the
+codegen-limit mechanism). What makes the opt-in safe is bit-identity:
 the flat sum must never change a value, for any input shape — matching
 dims, mismatched dims, NULL arrays, element NULLs, empty arrays, and a
 randomized float sweep, compared to full double precision (no
-rounding).
+rounding). These tests prove exactly that, plus that the flat form
+stays opt-in.
 """
 
 from __future__ import annotations
 
+import inspect
 import math
 import random
 
 import pytest
-
-import clinical_trials_data_pipeline_analyis_spark.functions.vectors as _vectors
 from pyspark.sql import functions as F
 
 from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
@@ -29,36 +30,12 @@ from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
 )
 
 
-@pytest.fixture(autouse=True)
-def _force_flat_dim():
-    """Every test in this module exercises the flat construction."""
-    old = _vectors._FLAT_DIM_ENABLED
-    _vectors._FLAT_DIM_ENABLED = True
-    try:
-        yield
-    finally:
-        _vectors._FLAT_DIM_ENABLED = old
-
-
-def test_flat_dim_disabled_by_default():
-    # The default must stay OFF: the flat form measured slower at every
-    # scale (module docstring) — a flipped default is a perf regression.
-    assert _vectors.__dict__["_FLAT_DIM_ENABLED"] is True  # fixture on
-    # read the source-level default, not the fixture-patched value
-    import ast, inspect
-
-    tree = ast.parse(inspect.getsource(_vectors))
-    defaults = [
-        node.value.value
-        for node in ast.walk(tree)
-        if isinstance(node, ast.Assign)
-        and any(
-            isinstance(t, ast.Name) and t.id == "_FLAT_DIM_ENABLED"
-            for t in node.targets
-        )
-        and isinstance(node.value, ast.Constant)
-    ]
-    assert defaults == [False]
+def test_flat_form_is_opt_in():
+    # use_flat must default False at every entry point: the flat form is
+    # only justified where a corpus-rung measurement backs it (module
+    # docstring) — a flipped default is an unmeasured perf change.
+    for fn in (dot, l2_norm, cosine_similarity):
+        assert inspect.signature(fn).parameters["use_flat"].default is False
 
 
 def _pairs_df(spark, rows):
@@ -71,9 +48,9 @@ def _collect_both(df, dim):
     out = df.select(
         "id",
         dot(F.col("a"), F.col("b")).alias("fold"),
-        dot(F.col("a"), F.col("b"), dim=dim).alias("flat"),
+        dot(F.col("a"), F.col("b"), dim=dim, use_flat=True).alias("flat"),
         l2_norm(F.col("a")).alias("nfold"),
-        l2_norm(F.col("a"), dim=dim).alias("nflat"),
+        l2_norm(F.col("a"), dim=dim, use_flat=True).alias("nflat"),
     ).orderBy("id")
     return out.collect()
 
@@ -139,7 +116,7 @@ def test_cosine_similarity_dim_hint(spark):
         .select(
             "id",
             cosine_similarity(F.col("a"), F.col("b")).alias("fold"),
-            cosine_similarity(F.col("a"), F.col("b"), dim=3).alias("flat"),
+            cosine_similarity(F.col("a"), F.col("b"), dim=3, use_flat=True).alias("flat"),
         )
         .orderBy("id")
         .collect()
@@ -169,7 +146,7 @@ def test_fixture_cosines_unchanged_by_hint(spark):
         F.sum(
             F.when(
                 dot(F.col("va"), F.col("vb"))
-                == dot(F.col("va"), F.col("vb"), dim=64),
+                == dot(F.col("va"), F.col("vb"), dim=64, use_flat=True),
                 0,
             ).otherwise(1)
         ).alias("diffs"),

@@ -756,6 +756,18 @@ def rhp_signatures(
     )
 
 
+#: Candidate-row budget for ``rhp_near_duplicates``: Σ n(n-1)/2 over
+#: (band, band_sig) buckets — the exact row count the bucket equi-join
+#: materializes, and therefore the shuffle-spill driver. LSH candidates
+#: grow as ~n²/2^bits per band, so a band width sized for one rung is a
+#: corpus-sized model exactly like SemDeDup's k: the round-8 1M rung ran
+#: the 500k-sized 12-bit bands into ~4e9 candidate rows and filled the
+#: container's disk mid-sort (SPILL_OUT_OF_MEMORY/ENOSPC). 2e9 rows
+#: (~the 500k rung's 1e9 with headroom) is a deliberate single-node
+#: budget; cluster callers with real spill volumes can raise it.
+MAX_RHP_CANDIDATE_ROWS = 2_000_000_000
+
+
 def rhp_near_duplicates(
     embeddings: DataFrame,
     threshold: float,
@@ -765,6 +777,7 @@ def rhp_near_duplicates(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates: int | None = MAX_RHP_CANDIDATE_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
     bucketing — the label-free SCALE path for embedding near-dup (the
@@ -779,10 +792,45 @@ def rhp_near_duplicates(
     a bucketed EQUI-join on (band, band_sig) — never all-pairs; the
     cosine verify touches only colliding pairs. Recall is tunable with
     n_bits/bands exactly like MinHash-LSH banding.
+
+    Fan-out guard (round 8, by incident — see MAX_RHP_CANDIDATE_ROWS):
+    the signatures are checkpointed once (they fed BOTH join sides
+    before, so this also halves the signature compute), and one bounded
+    aggregate over bucket sizes estimates the join's exact candidate
+    row count; past ``max_candidates`` the operator refuses, naming the
+    bits-growth prescription, instead of spilling the disk away. The
+    guard is values-neutral; ``max_candidates=None`` disables it (and
+    the checkpoint stays, it is a pure reuse win).
     """
+    from pyspark import StorageLevel
+
     sigs = rhp_signatures(
         embeddings, n_bits, bands, dim, seed, id_col, vec_col
-    )
+    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    if max_candidates is not None:
+        est = (
+            sigs.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(
+                    (F.col("n") * (F.col("n") - F.lit(1))) / F.lit(2)
+                ).alias("cand")
+            )
+            .collect()[0]["cand"]
+        )
+        if est is not None and est > max_candidates:
+            band_bits = n_bits // bands
+            raise ValueError(
+                f"rhp_near_duplicates: the (band, band_sig) equi-join "
+                f"would materialize ~{int(est):,} candidate rows "
+                f"(budget max_candidates={max_candidates:,}). LSH "
+                f"candidates grow ~n²/2^bits per band; the current "
+                f"{band_bits}-bit bands are under-sized for this corpus. "
+                f"Raise n_bits so bits-per-band ≈ "
+                f"log2(corpus_rows / target_bucket_size) (re-derive "
+                f"recall from the Charikar bound when changing it), or "
+                f"raise max_candidates if the spill volume can take it."
+            )
     a = sigs.select(
         F.col("band").alias("band_a"),
         F.col("band_sig").alias("sig_a"),

@@ -348,3 +348,36 @@ def test_rhp_null_vectors_vanish_non_null_mismatch_raises(spark):
         for r in rhp_near_duplicates(df, 0.99, n_bits=8, bands=2, dim=4).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_rhp_candidate_fanout_guard(spark):
+    """The (band, band_sig) equi-join's candidate count is a corpus-
+    sized quantity (~n^2/2^bits per band): the round-8 1M rung ran
+    500k-sized 12-bit bands into ~4e9 candidate rows and filled the
+    disk. The guard estimates the exact join fan-out with one bounded
+    aggregate and refuses past max_candidates, naming the bits-growth
+    prescription; the default budget admits the fixture corpus."""
+    import pytest
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        rhp_near_duplicates,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]  # one bucket
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    # 40 identical vectors -> 780 within-bucket pairs PER BAND
+    with pytest.raises(ValueError) as exc:
+        rhp_near_duplicates(
+            df, 0.5, n_bits=8, bands=2, dim=4, max_candidates=100
+        )
+    assert "candidate rows" in str(exc.value)
+    assert "log2" in str(exc.value)
+    # budget that admits it: identical output as unguarded
+    guarded = rhp_near_duplicates(
+        df, 0.5, n_bits=8, bands=2, dim=4, max_candidates=10_000
+    ).collect()
+    unguarded = rhp_near_duplicates(
+        df, 0.5, n_bits=8, bands=2, dim=4, max_candidates=None
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
+    assert len(guarded) == 780

@@ -804,9 +804,19 @@ def rhp_near_duplicates(
     """
     from pyspark import StorageLevel
 
-    sigs = rhp_signatures(
-        embeddings, n_bits, bands, dim, seed, id_col, vec_col
-    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # Repartition on the bucket key BEFORE the checkpoint: a
+    # localCheckpoint is a stats-less LogicalRDD, and feeding the
+    # self-join from one unbalanced low-partition source concentrated a
+    # hot bucket's sort/distinct into single tasks (heap OOM at the
+    # 500k rung in a 16g JVM, where the pre-checkpoint lineage ran
+    # fine). Explicit partitioning keeps the checkpointed blocks
+    # balanced and the join's input spread; values are unaffected.
+    nparts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 2)
+    sigs = (
+        rhp_signatures(embeddings, n_bits, bands, dim, seed, id_col, vec_col)
+        .repartition(nparts, F.col("band"), F.col("band_sig"))
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     if max_candidates is not None:
         est = (
             sigs.groupBy("band", "band_sig")

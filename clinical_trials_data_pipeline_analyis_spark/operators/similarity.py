@@ -758,14 +758,17 @@ def rhp_signatures(
 
 #: Candidate-row budget for ``rhp_near_duplicates``: Σ n(n-1)/2 over
 #: (band, band_sig) buckets — the exact row count the bucket equi-join
-#: materializes, and therefore the shuffle-spill driver. LSH candidates
-#: grow as ~n²/2^bits per band, so a band width sized for one rung is a
-#: corpus-sized model exactly like SemDeDup's k: the round-8 1M rung ran
-#: the 500k-sized 12-bit bands into ~4e9 candidate rows and filled the
-#: container's disk mid-sort (SPILL_OUT_OF_MEMORY/ENOSPC). 2e9 rows
-#: (~the 500k rung's 1e9 with headroom) is a deliberate single-node
-#: budget; cluster callers with real spill volumes can raise it.
-MAX_RHP_CANDIDATE_ROWS = 2_000_000_000
+#: materializes, and therefore the driver of the distinct/verify
+#: shuffle spill. LSH candidates grow as ~n²/2^bits per band, so a band
+#: width sized for one rung is a corpus-sized model exactly like
+#: SemDeDup's k. Measured on the 12-bit-band registered geometry:
+#: 500k vectors → 228,241,904 candidates (completes, ~10-20 GB spill);
+#: 1M vectors → 911,630,744 candidates (filled this container's ~78 GB
+#: free disk mid-sort: SPILL_OUT_OF_MEMORY/ENOSPC). 500M sits between
+#: the two measured rungs — ~2.2x the passing rung's load, refusing the
+#: one that died. A single-node budget; cluster callers with real
+#: per-node spill volumes can raise it.
+MAX_RHP_CANDIDATE_ROWS = 500_000_000
 
 
 def rhp_near_duplicates(

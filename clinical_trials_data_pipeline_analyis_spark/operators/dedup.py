@@ -336,13 +336,17 @@ def simhash_near_duplicates(
 
 
 #: Ceiling on the inverted-index pair-join fan-out ``ngram_jaccard_pairs``
-#: will accept: sum over shingles of df^2 (the number of rows the
-#: per-shingle self-join materializes before the (doc_a, doc_b) combine).
-#: The round-7 sf10 sweep ran the unbounded form on 500k docs and the
-#: 8.1e9-row join FILLED THE DISK — quadratic growth past the ceiling is
-#: a bug, not a workload. 1e9 rows is ~tens of GB of shuffle: large but
-#: finishable; anything beyond that wants ``max_df`` (or MinHash-LSH,
-#: which samples the shingle space instead of joining all of it).
+#: will accept: sum over shingles of df*(df-1)/2 — the EXACT number of
+#: rows the per-shingle ``doc_a < doc_b`` self-join materializes before
+#: the (doc_a, doc_b) combine (same accounting as the RHP guard's
+#: n(n-1)/2; the first cut summed df² and so fired at half the stated
+#: budget). The round-7 sf10 sweep ran the unbounded form on 500k docs
+#: and the 8.1e9-row join FILLED THE DISK (8.1e9 is this formula over
+#: that corpus's ~39k shingles at df 534-752) — quadratic growth past
+#: the ceiling is a bug, not a workload. 1e9 rows is ~tens of GB of
+#: shuffle: large but finishable; anything beyond that wants ``max_df``
+#: (or MinHash-LSH, which samples the shingle space instead of joining
+#: all of it).
 MAX_JACCARD_JOIN_ROWS = 1_000_000_000
 
 
@@ -367,8 +371,9 @@ def ngram_jaccard_pairs(
 
     The join is additionally GUARDED (same contract as
     ``embedding_duplicate_pairs``'s block guard): before building the
-    pair join, one bounded aggregate estimates its fan-out (sum of df^2
-    over the — possibly df-filtered — shingle table); past
+    pair join, one bounded aggregate computes its exact fan-out (sum of
+    df*(df-1)/2 over the — possibly df-filtered — shingle table, the
+    row count the ``doc_a < doc_b`` self-join materializes); past
     ``max_join_rows`` the call fails FAST naming the subquadratic
     routes instead of detonating shuffle/disk at scale. ``None``
     disables the guard for callers that have already bounded their
@@ -384,13 +389,17 @@ def ngram_jaccard_pairs(
         est = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .agg(F.sum(F.col("_df") * F.col("_df")).alias("rows"))
+            .agg(
+                F.sum(
+                    (F.col("_df") * (F.col("_df") - F.lit(1))) / F.lit(2)
+                ).alias("rows")
+            )
             .collect()[0]["rows"]
         )
         if est is not None and est > max_join_rows:
             raise ValueError(
                 f"ngram_jaccard_pairs: the inverted-index pair join would "
-                f"materialize ~{est:,} rows (> max_join_rows="
+                f"materialize {int(est):,} rows (> max_join_rows="
                 f"{max_join_rows:,}); the per-shingle self-join is "
                 "quadratic in document frequency by contract. Lower "
                 "max_df to bound hot shingles, or use the subquadratic "

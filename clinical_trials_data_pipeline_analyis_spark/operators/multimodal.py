@@ -155,11 +155,18 @@ def _require_int_id(id_col: str, value) -> int:
     NAMED error on NULL/non-integral ids instead of a bare TypeError
     deep in the worker. The output schemas declare the id non-nullable,
     so a NULL here is a caller contract violation — the 'undecodable
-    payloads keep their row' promise covers payloads, never ids."""
+    payloads keep their row' promise covers payloads, never ids.
+    Integrality is enforced, not just assumed: a LONG id column that
+    pandas widened to float64 (NULL-in-batch) stays integral, but a
+    genuinely fractional value (5.5) would otherwise TRUNCATE silently
+    — reject it instead of inventing an id."""
     try:
         if value is None or value != value:  # None or float('nan')
             raise TypeError("NULL")
-        return int(value)
+        as_int = int(value)
+        if as_int != value:  # fractional float: int() would truncate
+            raise TypeError("non-integral")
+        return as_int
     except (TypeError, ValueError):
         raise ValueError(
             f"multimodal decode: {id_col}={value!r} is not a non-null "
@@ -377,9 +384,12 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 if payload is None:
                     continue  # missing media: no frames to sample
+                # Same id contract as the decode paths: a NULL id with a
+                # non-null payload dies NAMED, not as a worker TypeError.
+                doc_id = _require_int_id(id_col, doc_id)
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, every_n):
-                    ids.append(int(doc_id))
+                    ids.append(doc_id)
                     idxs.append(i)
             yield pd.DataFrame(
                 {

@@ -771,16 +771,49 @@ def rhp_signatures(
 MAX_RHP_CANDIDATE_ROWS = 500_000_000
 
 
+def rhp_auto_bits(
+    n_rows: int,
+    bands: int = 4,
+    target_bucket: int = 64,
+    min_band_bits: int = 8,
+) -> int:
+    """Corpus-sized band width for ``rhp_near_duplicates``: bits per
+    band = max(min_band_bits, ceil(log2(n_rows / target_bucket))), so
+    the EXPECTED random-collision bucket (n / 2^bits) stays ≈
+    ``target_bucket`` at any corpus size; returns n_bits = bands × that.
+
+    This is the bits-growth law the 1M rung measured (BASELINE "a53 at
+    1M"): 12-bit bands sized for 500k produced 9.1e8 candidates at 1M
+    and filled the disk; this rule gives 14-bit bands there (56 bits /
+    4 bands — the prescription BASELINE recorded), ~2.3e8 candidates,
+    the load the 500k rung completes comfortably. Recall moves with
+    band width per the Charikar bound — P[pair with cosine c collides]
+    = 1 − (1 − (1 − arccos(c)/π)^bits)^bands: for true near-dups
+    (c ≈ 0.99) that is ~96.7% at 12-bit × 4 bands and ~94.9% at
+    14-bit × 4 — re-derive it when changing target_bucket.
+    """
+    import math
+
+    if n_rows <= 0:
+        return bands * min_band_bits
+    per_band = max(
+        min_band_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket)))
+    )
+    return bands * per_band
+
+
 def rhp_near_duplicates(
     embeddings: DataFrame,
     threshold: float,
-    n_bits: int = 16,
+    n_bits: int | str = 16,
     bands: int = 2,
     dim: int = 64,
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_candidates: int | None = MAX_RHP_CANDIDATE_ROWS,
+    row_count_hint: int | None = None,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
     bucketing — the label-free SCALE path for embedding near-dup (the
@@ -804,8 +837,24 @@ def rhp_near_duplicates(
     bits-growth prescription, instead of spilling the disk away. The
     guard is values-neutral; ``max_candidates=None`` disables it (and
     the checkpoint stays, it is a pure reuse win).
+
+    Completion mode (round 9): ``n_bits="auto"`` sizes the band width
+    to the corpus via ``rhp_auto_bits`` — bits per band ≈
+    log2(n / target_bucket), the growth law the 1M rung measured —
+    using ``row_count_hint`` when given (else one ``count()`` over the
+    input). Registered queries keep pinned integer geometry for oracle
+    parity; auto is for corpora where any pinned width eventually
+    either refuses (under-sized) or wastes recall (over-sized). An auto
+    call and a pinned call are IDENTICAL whenever auto resolves to the
+    pinned width (equality-tested at the 48-bit resolution point).
     """
     from pyspark import StorageLevel
+
+    if n_bits == "auto":
+        n = row_count_hint if row_count_hint is not None else embeddings.count()
+        n_bits = rhp_auto_bits(n, bands=bands, target_bucket=target_bucket)
+    elif not isinstance(n_bits, int):
+        raise ValueError(f"n_bits must be an int or 'auto', got {n_bits!r}")
 
     # Repartition on the bucket key BEFORE the checkpoint: a
     # localCheckpoint is a stats-less LogicalRDD, and feeding the
@@ -905,6 +954,21 @@ def rhp_near_duplicates(
 #: a comfortable executor broadcast; real deployments tune it per cluster.
 SEMANTIC_DEDUP_BROADCAST_LIMIT = 2_000_000
 
+#: Candidate-row budget for the SemDeDup pair scan: Σ n(n−1)/2 over IVF
+#: cells — the exact row count the within-cell ``vec_a < vec_b`` join
+#: materializes, and with a FIXED centroid count k it grows as n²/k (the
+#: corpus-sized-model law; k must grow ≈ n / target_cell_size to stay
+#: subquadratic). Calibrated like ``MAX_RHP_CANDIDATE_ROWS``, from
+#: measured rungs on the sweep geometry (Zipf cells, 64-float vectors,
+#: 32 cores / 32 GB): 500k vectors at k=128 → Σ = 1,225,876,669
+#: (completes, 413.7 s); 1M at k=512 → Σ = 1,221,765,599 (completes,
+#: near-linear); 1M at k=128 → Σ = 4,642,830,936 (~25 min in the pair
+#: scan, then AGGREGATE_OUT_OF_MEMORY in the CC stage — the round-8
+#: measured DNF). 2.5e9 is ~2× the passing rungs' load and refuses the
+#: one that died. A single-node budget; cluster callers with real
+#: aggregate memory can raise it.
+MAX_SEMDEDUP_CANDIDATE_ROWS = 2_500_000_000
+
 
 def semantic_pair_candidates(
     blocked: DataFrame,
@@ -913,6 +977,7 @@ def semantic_pair_candidates(
     row_count_hint: int | None = None,
     max_cell: int | None = None,
     dim: int | None = None,
+    max_candidates: int | None = MAX_SEMDEDUP_CANDIDATE_ROWS,
 ) -> DataFrame:
     """The SemDeDup pair scan: same-cell pairs with cosine >=
     ``threshold``, from a (vec_id, vec, centroid_id, cos_centroid)
@@ -926,11 +991,17 @@ def semantic_pair_candidates(
     (k ≈ n / target_cell_size, the paper's own deployment shape); the
     registered a45 keeps 128 fixed centroids because its oracle needs
     deterministic centroid literals, and absorbs the superlinear term at
-    driver scales. ``max_cell`` makes the contract enforceable: when
-    set, one bounded per-cell count refuses (naming the largest cells)
-    if any cell exceeds it — an under-provisioned quantizer then fails
-    fast instead of quietly going quadratic at 100 TB. ``None`` (the
-    default) keeps the historical unguarded behavior.
+    driver scales. Two guards enforce the contract (round 9 — the RHP
+    sibling's shape, after the 1M rung measured k=128 grinding 25 min
+    into an OOM):
+
+    - ``max_candidates`` (ON by default, ``MAX_SEMDEDUP_CANDIDATE_ROWS``)
+      — one bounded Σ n(n−1)/2 aggregate over cell sizes, the exact
+      pair-scan row count; past the budget the call refuses, naming the
+      largest cells and the k-growth law, instead of grinding into
+      ``AGGREGATE_OUT_OF_MEMORY``. Values-neutral; ``None`` disables.
+    - ``max_cell`` (off by default) — a per-cell ceiling for callers
+      that want the paper's bounded-cell contract enforced directly.
 
     NOTE — eager action: choosing the join strategy runs
     ``blocked.count()`` at CONSTRUCTION time (not at the first action),
@@ -959,24 +1030,55 @@ def semantic_pair_candidates(
     """
     from ..functions.vectors import l2_norm
 
-    if max_cell is not None:
-        big = (
-            blocked.groupBy(F.col("centroid_id").alias("_cell"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_cell)
-            .orderBy(F.desc("n"), F.asc("_cell"))
-            .limit(5)
-            .collect()
+    if max_cell is not None or max_candidates is not None:
+        # One cell-size aggregate serves both guards; ``blocked`` is
+        # checkpointed by semantic_dedup, so this costs one cheap job
+        # over materialized blocks, not a lineage re-execution.
+        cells = blocked.groupBy(F.col("centroid_id").alias("_cell")).agg(
+            F.count(F.lit(1)).alias("n")
         )
-        if big:
-            raise ValueError(
-                f"semantic_pair_candidates: cell(s) exceed max_cell="
-                f"{max_cell} (largest: "
-                f"{[(r['_cell'], r['n']) for r in big]}); the within-cell "
-                "pair scan is quadratic in cell size by contract. Train "
-                "more centroids (k ~ corpus_rows / target_cell_size) so "
-                "cells stay bounded, or raise max_cell deliberately."
+        if max_candidates is not None:
+            est = (
+                cells.agg(
+                    F.sum(
+                        (F.col("n") * (F.col("n") - F.lit(1))) / F.lit(2)
+                    ).alias("cand")
+                ).collect()[0]["cand"]
             )
+            if est is not None and est > max_candidates:
+                top = (
+                    cells.orderBy(F.desc("n"), F.asc("_cell"))
+                    .limit(3)
+                    .collect()
+                )
+                raise ValueError(
+                    f"semantic_pair_candidates: the within-cell pair scan "
+                    f"would materialize {int(est):,} candidate rows "
+                    f"(budget max_candidates={max_candidates:,}; largest "
+                    f"cells: {[(r['_cell'], r['n']) for r in top]}). With "
+                    "a FIXED centroid count k the scan is O(n²/k) — a "
+                    "corpus-sized model: train more centroids so k ≈ "
+                    "corpus_rows / target_cell_size (the SemDeDup paper's "
+                    "own deployment shape; semdedup_auto_k gives the "
+                    "recipe), or raise max_candidates if the aggregate "
+                    "memory can take it."
+                )
+        if max_cell is not None:
+            big = (
+                cells.filter(F.col("n") > max_cell)
+                .orderBy(F.desc("n"), F.asc("_cell"))
+                .limit(5)
+                .collect()
+            )
+            if big:
+                raise ValueError(
+                    f"semantic_pair_candidates: cell(s) exceed max_cell="
+                    f"{max_cell} (largest: "
+                    f"{[(r['_cell'], r['n']) for r in big]}); the within-cell "
+                    "pair scan is quadratic in cell size by contract. Train "
+                    "more centroids (k ~ corpus_rows / target_cell_size) so "
+                    "cells stay bounded, or raise max_cell deliberately."
+                )
 
     # per-VECTOR norms ride the join sides so the per-PAIR work is the
     # dot product alone (same fold order as cosine_similarity — parity
@@ -1037,6 +1139,30 @@ def semantic_pair_candidates(
     )
 
 
+def semdedup_auto_k(
+    n_rows: int, target_cell: int = 2000, min_k: int = 16
+) -> int:
+    """The k∝n provisioning recipe for SemDeDup, as code: centroid count
+    k = next power of two ≥ n_rows / target_cell (floored at ``min_k``).
+    Powers of two keep the quantizer size a round model artifact and the
+    recipe deterministic.
+
+    This is the rule the measured rungs validated: at 1M vectors it
+    gives k=512 — the geometry the 1M rung COMPLETES with (near-linear,
+    Σpairs ≈ 1.2e9 = the 500k/k=128 load), where the fixed k=128 the
+    oracle pins measured a 25-min grind into AGGREGATE_OUT_OF_MEMORY.
+    Callers with a real corpus train k centroids (k-means or any coarse
+    quantizer); the bench harness seeds them deterministically with
+    ``vec_id % 97 == 0 AND vec_id < 97*k``.
+    """
+    import math
+
+    if n_rows <= 0:
+        return min_k
+    need = max(min_k, -(-n_rows // target_cell))  # ceil div
+    return 2 ** math.ceil(math.log2(need))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -1046,6 +1172,7 @@ def semantic_dedup(
     broadcast_limit: int = SEMANTIC_DEDUP_BROADCAST_LIMIT,
     max_cell: int | None = None,
     dim: int | None = None,
+    max_candidates: int | None = MAX_SEMDEDUP_CANDIDATE_ROWS,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by embedding similarity. Cluster the corpus with a coarse quantizer,
@@ -1066,11 +1193,16 @@ def semantic_dedup(
     component sizes, never the corpus. The pair join itself is
     size-gated (``semantic_pair_candidates``): broadcast below
     ``broadcast_limit`` rows, cell-keyed repartition join above it —
-    both paths produce identical pairs (equality-tested). ``max_cell``
-    (off by default) forwards to the pair scan's cell-size guard: set
-    it when the quantizer's k is not provisioned to the corpus, so an
-    oversized cell refuses fast instead of going quadratic (the O(n²/k)
-    cost model is documented on ``semantic_pair_candidates``).
+    both paths produce identical pairs (equality-tested).
+
+    Guard rails (both forward to ``semantic_pair_candidates``; the
+    O(n²/k) cost model is documented there): ``max_candidates`` — ON by
+    default — refuses past a Σ n(n−1)/2 candidate budget calibrated to
+    the measured 500k/1M rungs, so an under-provisioned quantizer fails
+    in seconds naming the k-growth law instead of grinding to OOM;
+    ``max_cell`` (off by default) additionally enforces a per-cell
+    ceiling. Provision k with ``semdedup_auto_k`` (k ≈ corpus /
+    target_cell_size) to stay under both at any corpus size.
     """
     from .dedup import connected_components
 
@@ -1103,7 +1235,7 @@ def semantic_dedup(
     )
     pairs = semantic_pair_candidates(
         blocked, threshold, broadcast_limit=broadcast_limit,
-        max_cell=max_cell, dim=dim,
+        max_cell=max_cell, dim=dim, max_candidates=max_candidates,
     )
     comp = connected_components(
         pairs, "vec_a", "vec_b", blocked.select("vec_id"), "vec_id"

@@ -54,8 +54,26 @@ def main() -> None:
         base = name.split("(")[0]
         t01 = full["queries"].get(base)
         if t01 is None:
-            # a90 landed after the last full sf0.1 sweep; BASELINE row
+            # Stale-prone fallback: a90 landed after the last full sf0.1
+            # sweep, so its sf0.1 time is a hand-carried BASELINE row.
+            # Warn LOUDLY whenever it is used — if bench_full.json has
+            # been regenerated and still lacks the query, the right fix
+            # is re-running the sf0.1 sweep, not trusting this constant.
             t01 = {"a90_perceptron_wide": 3.40}.get(base)
+            if t01 is not None:
+                print(
+                    f"WARNING: {base} missing from bench_full.json; using "
+                    f"hard-coded sf0.1 fallback {t01}s (re-run the sf0.1 "
+                    "sweep to refresh)",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"WARNING: {base} missing from bench_full.json and has "
+                    "no fallback; skipping (table is INCOMPLETE — re-run "
+                    "the sf0.1 sweep)",
+                    file=sys.stderr,
+                )
         if not t01:
             continue
         g = growth_for(name)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.text import normalized_text, whitespace_tokens
 
@@ -133,7 +134,7 @@ def bpe_train(
         F.expr(
             "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
         ).alias("symbols"),
-    ).localCheckpoint()
+    ).transform(cut_lineage())
 
     merges: list[tuple[str, str, int]] = []
     for it in range(n_merges):
@@ -155,7 +156,7 @@ def bpe_train(
             "word", "freq", merge_pair_expr("symbols", left, right).alias("symbols")
         )
         if (it + 1) % checkpoint_every == 0:
-            current = current.localCheckpoint()
+            current = current.transform(cut_lineage())
     return merges, current
 
 

@@ -28,6 +28,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.text import normalized_text, whitespace_tokens, word_shingles
 
@@ -143,7 +144,7 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     assert rows * bands == num_hashes
     if materialize:
-        signatures = signatures.localCheckpoint()
+        signatures = signatures.transform(cut_lineage())
 
     def band_table(src: DataFrame, id_alias: str, sig_alias: str) -> DataFrame:
         parts = [
@@ -244,7 +245,7 @@ def simhash_candidates(
     aggregation pipeline.
     """
     if materialize:
-        simhash_df = simhash_df.localCheckpoint()
+        simhash_df = simhash_df.transform(cut_lineage())
     lo = (F.col("simhash") % 65536).alias("half")
     hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias("half")
 
@@ -311,7 +312,7 @@ def simhash_near_duplicates(
     """
     # One materialization serves the banding (2 sides) and the verify
     # join (2 sides) — five consumers, one SimHash computation.
-    simhash_df = simhash_df.localCheckpoint()
+    simhash_df = simhash_df.transform(cut_lineage())
     cands = simhash_candidates(
         simhash_df, id_col, materialize=False, max_bucket=max_bucket
     )
@@ -384,7 +385,7 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(df, id_col, text_col, k)
     if max_df is not None:
         sh = filter_hot_shingles(sh, max_df)
-    sh = sh.localCheckpoint()
+    sh = sh.transform(cut_lineage())
     if max_join_rows is not None:
         est = (
             sh.groupBy("shingle")
@@ -406,7 +407,7 @@ def ngram_jaccard_pairs(
                 "near-dup routes (minhash_signatures + "
                 "lsh_candidate_pairs, simhash_near_duplicates)."
             )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size")).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size")).transform(cut_lineage())
 
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))
@@ -453,7 +454,7 @@ def dup_ngram_coverage(
     one on the id for the final per-document rollup. Nothing is ever
     pairwise — cost is O(shingle instances), not O(docs^2).
     """
-    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint()
+    sh = shingle_sets(df, id_col, text_col, k).transform(cut_lineage())
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(dfreq, "shingle")
@@ -567,7 +568,7 @@ def duplicate_spans(
     classic gap-flag/cumsum island trick. Cost is O(token instances),
     never O(docs^2).
     """
-    win = window_hashes(df, id_col, text_col, k).localCheckpoint()
+    win = window_hashes(df, id_col, text_col, k).transform(cut_lineage())
     dup_gh = (
         win.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -695,7 +696,7 @@ def connected_components(
     # (and execute) the upstream pipeline twice.
     e0 = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint()
+    ).transform(cut_lineage())
     if algorithm == "auto":
         # Propagation gets a SHORT leash (8 rounds covers every shallow
         # near-dup graph) — burning the full cap before falling back
@@ -747,7 +748,7 @@ def _cc_propagation(
             e0.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .repartition(F.col("_src"))
-        .localCheckpoint()
+        .transform(cut_lineage())
     )
     # Active subgraph only: vertices that touch at least one edge
     # (already co-partitioned by _src, so this distinct adds no shuffle).
@@ -755,7 +756,7 @@ def _cc_propagation(
         sym.select(F.col("_src").alias(id_col))
         .distinct()
         .select(F.col(id_col), F.col(id_col).alias("component"))
-        .localCheckpoint()
+        .transform(cut_lineage())
     )
     rounds = 0
     converged = False
@@ -780,7 +781,7 @@ def _cc_propagation(
                 F.min("component").alias("component"),
                 F.min("prev").alias("prev"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage())
         )
         changed = merged.filter(F.col("component") < F.col("prev")).count()
         labels = merged.select(id_col, "component")
@@ -813,7 +814,7 @@ def _cc_two_phase(
             .distinct()
         )
 
-    E = canon(e0).localCheckpoint()
+    E = canon(e0).transform(cut_lineage())
     rounds = 0
     while True:
         stats = (
@@ -822,7 +823,7 @@ def _cc_two_phase(
                 F.min("v").alias("p"),
                 F.countDistinct("v").alias("nd"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage())
         )
         multi = stats.filter(F.col("nd") > 1).count()
         bad = (
@@ -848,7 +849,7 @@ def _cc_two_phase(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("_src"), F.col("m").alias("_dst"))
         )
-        E1 = canon(large).localCheckpoint()
+        E1 = canon(large).transform(cut_lineage())
         # small-star: every smaller neighbor (and u itself) connects to
         # m(u) = min of u's smaller neighbors; canonical E1 IS the
         # child>parent directed form small-star operates on.
@@ -862,7 +863,7 @@ def _cc_two_phase(
                 )
             )
         )
-        E = canon(small).localCheckpoint()
+        E = canon(small).transform(cut_lineage())
     # At convergence every child points at its component min (a root).
     children = stats.select(F.col("u").alias(id_col), F.col("p").alias("component"))
     roots = (
@@ -900,14 +901,14 @@ def dedup_pipeline(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
     if materialize:
-        sigs = sigs.localCheckpoint()
+        sigs = sigs.transform(cut_lineage())
     # sigs are already materialized (or the caller asked for fully-lazy),
     # so the pair step must not add its own checkpoint.
     pairs = lsh_candidate_pairs(
         sigs, id_col, num_hashes=num_hashes, bands=bands, materialize=False
     )
     if materialize:
-        pairs = pairs.localCheckpoint()
+        pairs = pairs.transform(cut_lineage())
     clusters = connected_components(
         pairs, "doc_a", "doc_b", vertices=df.select(id_col), id_col=id_col
     )

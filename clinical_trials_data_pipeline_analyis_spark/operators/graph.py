@@ -35,6 +35,7 @@ conditioned version where a row's weight comes from its neighbors.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..checkpoint import cut_lineage
 
 #: Fixed-point scale: ranks are parts-per-billion of total mass.
 PAGERANK_SCALE = 1_000_000_000
@@ -68,7 +69,7 @@ def pagerank_fixed_point(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage(eager=False))
     )
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -84,7 +85,7 @@ def pagerank_fixed_point(
             ),
             F.col("_n"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage(eager=False))
     )
     for _ in range(iterations):
         contrib = ranks.select(
@@ -111,7 +112,7 @@ def pagerank_fixed_point(
                 ).alias("rank_ppb"),
                 "_n",
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage(eager=False))
         )
     return ranks.select("node", "degree", "rank_ppb")
 

@@ -33,6 +33,7 @@ for downstream attention; DSIR is its corpus-conditioned form.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.text import normalized_text, whitespace_tokens
 from .sampling import hash_bucket
@@ -89,7 +90,7 @@ def dsir_scores(
         )
     )
     if materialize:
-        tok_counts = tok_counts.localCheckpoint(eager=False)
+        tok_counts = tok_counts.transform(cut_lineage(eager=False))
     dist = tok_counts.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0)))
         .cast("long")

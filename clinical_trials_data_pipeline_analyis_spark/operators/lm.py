@@ -42,6 +42,7 @@ row given everything else we ingested".
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.text import normalized_text, whitespace_tokens
 
@@ -100,7 +101,7 @@ def bigram_lm_scores(
     """
     doc_pairs = _doc_bigrams(docs, id_col, text_col)
     if materialize:
-        doc_pairs = doc_pairs.localCheckpoint(eager=False)
+        doc_pairs = doc_pairs.transform(cut_lineage(eager=False))
     bigrams = doc_pairs.groupBy("w1", "w2").agg(
         F.sum("cnt").cast("long").alias("c12")
     )
@@ -114,7 +115,7 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
     if materialize:
-        unigrams = unigrams.localCheckpoint(eager=False)
+        unigrams = unigrams.transform(cut_lineage(eager=False))
     vocab = unigrams.agg(
         F.count(F.lit(1)).cast("double").alias("v_size")
     )

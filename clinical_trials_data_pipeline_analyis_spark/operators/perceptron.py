@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 
 def token_features(
@@ -133,14 +134,14 @@ def batch_perceptron(
     """
     feats = features.select(
         F.col(id_col).alias("_id"), "y", "bucket", "cnt"
-    ).localCheckpoint()
+    ).transform(cut_lineage())
 
     # w1: every doc misclassified at w0 = 0
     w = feats.groupBy("bucket").agg(
         F.sum(F.col("y") * F.col("cnt")).cast("long").alias("weight")
     )
     for _ in range(iters - 1):
-        w = w.localCheckpoint()
+        w = w.transform(cut_lineage())
         scores = (
             feats.join(F.broadcast(w), "bucket", "left")
             .groupBy("_id", "y")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 from .dedup import _spread
@@ -482,7 +483,7 @@ def train_ivf(
                     lambda s: s["centroid_value"],
                 ).alias("cvec")
             )
-            .localCheckpoint()
+            .transform(cut_lineage())
         )
     return cent.select("centroid_id", F.col("cvec").alias("centroid")), assign
 
@@ -867,7 +868,7 @@ def rhp_near_duplicates(
     sigs = (
         rhp_signatures(embeddings, n_bits, bands, dim, seed, id_col, vec_col)
         .repartition(nparts, F.col("band"), F.col("band_sig"))
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .transform(cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK))
     )
     if max_candidates is not None:
         est = (
@@ -1231,7 +1232,7 @@ def semantic_dedup(
             ),
             "vec_id",
         )
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .transform(cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK))
     )
     pairs = semantic_pair_candidates(
         blocked, threshold, broadcast_limit=broadcast_limit,

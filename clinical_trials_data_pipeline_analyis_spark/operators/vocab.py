@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.text import bpe_ish_tokens, normalized_text
 
@@ -84,7 +85,7 @@ def ranked_cumsum(
     parts = (
         counts.repartitionByRange(*range_args)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage())
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -119,7 +120,7 @@ def vocab_by_coverage(
     order = [F.col("cnt").desc(), F.col("token").asc()]
     # One pass over the corpus: the ranked table and the grand total
     # both read the materialized counts, not the explode pipeline.
-    counts = counts.localCheckpoint()
+    counts = counts.transform(cut_lineage())
     ranked = ranked_cumsum(counts, order, "cnt")
     total = counts.groupBy().agg(F.sum("cnt").alias("total"))
     return (

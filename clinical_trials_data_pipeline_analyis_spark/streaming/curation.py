@@ -19,6 +19,7 @@ curation funnel's (tests/test_streaming_metrics.py proves it).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from ..checkpoint import cut_lineage
 
 
 def curate_docs_stream(
@@ -54,12 +55,12 @@ def curate_docs_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()
+        batch = batch_df.transform(cut_lineage())
         rep = repetition_features(batch, id_col, text_col)
 
         fps = batch.select(
             id_col, F.md5(normalized_text(F.col(text_col)).cast("binary")).alias("fp")
-        ).localCheckpoint()
+        ).transform(cut_lineage())
         w = Window.partitionBy("fp").orderBy(id_col)
         dup_in_batch = fps.withColumn(
             "_dup", F.row_number().over(w) > 1

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..checkpoint import cut_lineage
 
 from ..functions.text import (
     LANG_MARKERS,
@@ -2331,14 +2332,14 @@ def a43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes staged artifacts instead of re-executing the centroid
     # scoring in every branch that references them.
     assignments = (
-        ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id").localCheckpoint()
+        ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id").transform(cut_lineage())
     )
     res = residual_vectors(emb, assignments, centroids)
-    cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual").localCheckpoint()
+    cb = seed_codebooks(res, m=_PQ_M, mod=61, vec_col="residual").transform(cut_lineage())
     codes = (
         pq_encode(res, cb, m=_PQ_M, vec_col="residual", sub_dim=_EMB_DIM // _PQ_M)
         .select("vec_id", "subspace", "code_id")
-        .localCheckpoint()
+        .transform(cut_lineage())
     )
     queries = emb.filter((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < _PQ_QUERY_CAP))
     return ivfpq_topk_residual(
@@ -5016,7 +5017,7 @@ def a89_perceptron_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     feats = token_features(
         docs, F.col("lang") == "en", buckets=_PCT_BUCKETS
-    ).localCheckpoint()
+    ).transform(cut_lineage())
     weights = batch_perceptron(feats, iters=_PCT_ITERS)
     return perceptron_scores(feats, weights)
 

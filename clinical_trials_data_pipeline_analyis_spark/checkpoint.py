@@ -27,8 +27,40 @@ With no checkpoint directory configured (the local[] default) behavior
 is byte-identical to the direct ``localCheckpoint`` calls this helper
 replaced. Results are identical either way — only the storage of the
 materialized blocks (and therefore executor-loss survivability)
-changes; ``tests/test_round9_ops.py`` proves value-equality of both
-modes in a subprocess so the shared test session's mode is untouched.
+changes; ``tests/test_checkpoint.py`` proves value-equality of both
+modes in a dedicated subprocess session (so the shared test session's
+mode is untouched) and asserts the reliable branch actually wrote
+checkpoint files.
+
+Reliable-mode operational notes (the costs local mode does not have):
+
+- **Double-compute guard.** ``Dataset.checkpoint()`` materializes the
+  plan once to run the job and a SECOND time in the separate job that
+  writes the checkpoint files — unless the frame is persisted first.
+  The reliable branch therefore persists (at ``storage_level``, default
+  ``MEMORY_AND_DISK``) before ``checkpoint(eager=True)`` and unpersists
+  immediately after the checkpoint files exist, so the plan above the
+  truncation point runs exactly once, same as local mode.
+- **Eagerness.** The reliable branch always checkpoints eagerly, even
+  for ``eager=False`` call sites (the lazy form exists to preserve
+  local stage pipelining, which reliable file-writing breaks anyway;
+  deferring it would also defeat the persist/unpersist bracket above).
+  Values are identical either way.
+- **Directory growth.** Reliable checkpoint files are NOT deleted when
+  the DataFrame goes out of scope unless
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set (and
+  JVM GC runs). Long loops and streaming jobs should enable it — or
+  point the checkpoint dir at storage with a TTL/lifecycle rule.
+- **Streaming micro-batches opt out.** ``foreachBatch`` handlers pass
+  ``local_only=True``: losing an executor there costs replaying one
+  micro-batch (the streaming engine's own WAL/offset checkpointing
+  provides recovery), while writing reliable files per micro-batch
+  grows the checkpoint dir without bound at exactly the cadence the
+  cleaner cannot keep up with.
+- **Spark Connect.** Connect sessions expose no ``sparkContext``; the
+  probe for a configured checkpoint dir is wrapped so Connect falls
+  back to ``localCheckpoint`` (which Connect supports) instead of
+  raising on every truncation point.
 """
 
 from __future__ import annotations
@@ -39,9 +71,22 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+def _checkpoint_dir(df: DataFrame) -> Optional[str]:
+    """The configured reliable checkpoint dir, or None.
+
+    None also when the session has no ``sparkContext`` at all (Spark
+    Connect) — there the only available truncation is local.
+    """
+    try:
+        return df.sparkSession.sparkContext.getCheckpointDir()
+    except Exception:
+        return None
+
+
 def cut_lineage(
     eager: bool = True,
     storage_level: Optional[StorageLevel] = None,
+    local_only: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Truncation point: ``df.transform(cut_lineage())``.
 
@@ -50,16 +95,25 @@ def cut_lineage(
     (``DataFrame.checkpoint``) when the SparkContext has a checkpoint
     directory configured; ``localCheckpoint`` otherwise.
 
-    ``storage_level`` only applies to the local mode (reliable
-    checkpoints are files, not block-manager entries; the level is
-    moot there). ``eager=False`` defers materialization to the first
-    action in both modes.
+    ``storage_level`` applies to the local block store in local mode
+    and to the persist-before-checkpoint bracket in reliable mode (see
+    module docstring). ``eager=False`` defers materialization in local
+    mode only — the reliable branch is always eager. ``local_only=True``
+    pins the call site to ``localCheckpoint`` regardless of
+    configuration (streaming micro-batch frames, where reliable files
+    per batch are a leak, not a safety upgrade).
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=eager)
+        if not local_only and _checkpoint_dir(df) is not None:
+            # Persist first: Dataset.checkpoint's file-writing job
+            # otherwise recomputes the whole plan a second time.
+            level = storage_level or StorageLevel.MEMORY_AND_DISK
+            df.persist(level)
+            try:
+                return df.checkpoint(eager=True)
+            finally:
+                df.unpersist()
         if storage_level is not None:
             return df.localCheckpoint(eager=eager, storageLevel=storage_level)
         return df.localCheckpoint(eager=eager)

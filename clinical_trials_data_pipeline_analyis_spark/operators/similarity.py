@@ -500,9 +500,16 @@ def quantize_embeddings(
     Per-vector scale = max(|v_i|); q_i = floor(v_i * 127 / scale + 0.5)
     — the explicit floor(+0.5) half-up makes the rounding engine-exact
     (float round() tie semantics differ between engines). Zero vectors
-    quantize to zeros. Row-local math only — no aggregation or join; the
-    only exchange is the input-spreading repartition, and the explode is
-    the output format, not a join feed.
+    quantize to zeros. Row-local math only — no aggregation, join, or
+    EXCHANGE of any kind: unlike the shingle/pair paths, the explode
+    here is the output format (nothing downstream joins on it), so
+    parallelism should come from the parquet scan's splits — at corpus
+    scale every 128 MB split is its own task and a ``_spread``
+    repartition would shuffle the entire embedding table for zero
+    benefit. Round 10 removed exactly that repartition after the a29
+    creep adjudication measured it as ~60% of the query's sf0.1 wall
+    (0.72s with the shuffle, 0.25s scan->generate->project without;
+    values bit-identical — partitioning never touches row-local math).
     """
     v = F.col("v").cast("double")
     scale = F.array_max(F.transform(F.col(vec_col), F.abs)).cast("double")
@@ -510,7 +517,7 @@ def quantize_embeddings(
         F.floor(v * 127.0 / F.col("scale") + 0.5).cast("int")
     )
     return (
-        _spread(embeddings)
+        embeddings
         .select(
             F.col(id_col),
             F.round(scale, 6).alias("scale"),

@@ -55,12 +55,12 @@ def curate_docs_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.transform(cut_lineage())
+        batch = batch_df.transform(cut_lineage(local_only=True))
         rep = repetition_features(batch, id_col, text_col)
 
         fps = batch.select(
             id_col, F.md5(normalized_text(F.col(text_col)).cast("binary")).alias("fp")
-        ).transform(cut_lineage())
+        ).transform(cut_lineage(local_only=True))
         w = Window.partitionBy("fp").orderBy(id_col)
         dup_in_batch = fps.withColumn(
             "_dup", F.row_number().over(w) > 1

@@ -86,7 +86,7 @@ def near_dedup_docs_stream(
         spark = batch_df.sparkSession
         sigs_new = minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
-        ).transform(cut_lineage())
+        ).transform(cut_lineage(local_only=True))
         try:
             store = (
                 spark.read.parquet(store_path)
@@ -102,7 +102,7 @@ def near_dedup_docs_stream(
             num_hashes=num_hashes,
             bands=bands,
             materialize=False,
-            against=all_sigs.transform(cut_lineage()),
+            against=all_sigs.transform(cut_lineage(local_only=True)),
         )
         dup_ids = (
             partners.filter(F.col("doc_b") < F.col("doc_a"))
@@ -181,8 +181,8 @@ def clean_spans_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.transform(cut_lineage())
-        win = window_hashes(batch_df, id_col, text_col, k).transform(cut_lineage())
+        batch_df = batch_df.transform(cut_lineage(local_only=True))
+        win = window_hashes(batch_df, id_col, text_col, k).transform(cut_lineage(local_only=True))
         in_batch_dup = (
             win.groupBy("gh")
             .agg(F.count(F.lit(1)).alias("c"))

@@ -226,24 +226,48 @@ def register(
 #: two full driver-sims this round; the in-window representatives
 #: above cover every opted-in site (a32/a33 pq, x08 verify, a45
 #: SemDeDup).
+#: Round-10 rotation (VERDICT r9 ask #3 — the r2–r4-stale backlog is
+#: policy-violating at ~24 names; rotate >=10 oldest-first, and include
+#: a29/a31, both of which also owe fresh verdicts after this round's
+#: bench adjudication — a29's CODE changed too: quantize_embeddings
+#: dropped its input repartition, so it owes a verdict under the
+#: changed-component rule regardless).
+#: IN (12, all last driver-green r2–r4): q11_duration_parse (F7 N4
+#: try_cast), q13_percentile_caps (A8 exact percentiles), q14/q15/q16/
+#: q17 (A5 count-distinct, A3 cohort counts, P5 HAVING, P6 NOT-ILIKE
+#: exclusions), q19_normalized_key_join (J2 headliner), q20_yoy_growth
+#: (F13 window growth), x11_text_langid, x12_events_hourly_window,
+#: a29_embedding_quantize (adjudicated + changed plan), a31_
+#: ann_ivf_multiprobe (adjudicated).
+#: OUT (12, all r9-driver-green, families still represented): q01
+#: (A4/P7 — q06 carries the multi-measure agg + date bounds), q02 (O1
+#: topk — a63/a67 keep ordered-limit shapes), q03 (S5/J1/J2 — q19
+#: rotating IN is the J2 headliner; silver pipeline parity carries
+#: J1/S5), q05 (A2 — gold pipeline parity), x02/x03 (fingerprint/token
+#: count — x01, q18, a64 stay), a23 (simhash candidates — a26 verified
+#: + x06 stay), a32/a33 (PQ encode/ADC — the composed a38/a43 IVFPQ
+#: paths exercise both inline), x16 (IVF search — a31 rotating IN is
+#: the same family's multiprobe form; x09 brute-force stays), a68/a75
+#: (events/retention — x12 rotating IN; a74/a82 registered + locally
+#: green). All twelve remain registered and locally oracle-checked.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",
     "x07_dedup_ngram_jaccard",
-    "q01_pricing_summary",
-    "q02_priority_frequency_topk",
-    "q03_mapping_standardize",
+    "q11_duration_parse",
+    "q13_percentile_caps",
+    "q14_count_distinct",
     "q04_category_case_chain",
-    "q05_best_priority_agg",
+    "q15_cohort_counts",
     "q08_surrogate_dim",
-    "x02_doc_fingerprint",
-    "x03_token_count",
+    "q16_having_filter",
+    "q17_exclusion_filters",
     "x04_text_quality",
-    "a23_dedup_simhash_pairs",
+    "q19_normalized_key_join",
     "a26_dedup_simhash_verified",
-    "a33_pq_adc_topk",
-    "a32_pq_encode",
-    "x16_ann_ivf_topk",
+    "q20_yoy_growth",
+    "x11_text_langid",
+    "x12_events_hourly_window",
     "a90_perceptron_wide",
     "a38_ivfpq_topk",
     "a39_text_repetition",
@@ -253,7 +277,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a43_ivfpq_residual_topk",
     "a45_semantic_dedup",
     "a76_canonical_by_centrality",
-    "a75_cohort_retention",
+    "a29_embedding_quantize",
     "a52_sliding_chunks",
     "a53_rhp_embedding_neardup",
     "a54_dup_ngram_coverage",
@@ -263,7 +287,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q06_opportunity_rank",
     "a66_dsir_importance",
     "a67_cms_heavy_hitters",
-    "a68_retention_curve",
+    "a31_ann_ivf_multiprobe",
     "a69_bigram_lm_scores",
     "a59_dup_spans",
     "a60_leakage_safe_split",

@@ -14,54 +14,37 @@ from clinical_trials_data_pipeline_analyis_spark.suite import (
     registry,
 )
 
-# The families the driver must verify this round (round 8): every
+# The families the driver must verify this round (round 10): every
 # component whose CODE/parameters changed since its last driver verdict,
 # the freshness rotation, and the standing LLM-pipeline surface.
 _REQUIRED_IN_WINDOW = {
-    # round-8: changed-parameter queries taking their driver verdict
-    # the round the change lands (VERDICT r7 asks #1/#2 — a53 12-bit
-    # bands, x07 max_df bound; x08's operator gained the dim guard +
-    # ordered diagnostics, so it stays for a fresh verdict too)
-    "a53_rhp_embedding_neardup",
+    # round-10: changed-code queries taking their driver verdict the
+    # round the change lands — quantize_embeddings dropped its input
+    # repartition (a29 creep adjudication; values bit-identical, plan
+    # now exchange-free)
+    "a29_embedding_quantize",
+    # round-10 freshness rotation (VERDICT r9 ask #3): stale names last
+    # driver-green r2-r4, oldest-first, plus the two adjudicated rows
+    "q11_duration_parse",
+    "q13_percentile_caps",
+    "q14_count_distinct",
+    "q15_cohort_counts",
+    "q16_having_filter",
+    "q17_exclusion_filters",
+    "q19_normalized_key_join",
+    "q20_yoy_growth",
+    "x11_text_langid",
+    "x12_events_hourly_window",
+    "a31_ann_ivf_multiprobe",
+    # standing LLM-pipeline surface
+    "a21_dedup_cc_clusters",
     "x07_dedup_ngram_jaccard",
     "x08_dedup_embedding_cosine",
-    # round-8 freshness rotation (VERDICT r7 ask #5): stale names last
-    # driver-green r2-r4
-    "q01_pricing_summary",
-    "q02_priority_frequency_topk",
-    "q03_mapping_standardize",
-    "q04_category_case_chain",
-    "q05_best_priority_agg",
-    "q08_surrogate_dim",
-    "x02_doc_fingerprint",
-    "x03_token_count",
-    "x04_text_quality",
-    # round-8: simhash hot-bucket cap (generator + oracle changed)
-    "a23_dedup_simhash_pairs",
-    "a26_dedup_simhash_verified",
-    # round-8: ANN query-set cap (a38/a43 in-window carry it too)
-    "a33_pq_adc_topk",
-    "a32_pq_encode",
-    # round-7 entrants with a single green verdict — keep one more round
-    "a90_perceptron_wide",
-    "x15_multimodal_metadata",
-    "a86_hll_distinct",
-    "q07_date_spine",
-    "q12_scalar_qa_bounds",
-    "q18_token_truncate",
-    "x01_dedup_exact",
-    "x06_dedup_simhash",
-    "x09_ann_cosine_topk",
-    "q28_correlated_subquery",
-    # standing LLM-pipeline surface (a45's operator gained the optional
-    # max_cell guard this round — default off, plan unchanged, but it
-    # stays in-window for a fresh verdict anyway)
-    "a21_dedup_cc_clusters",
+    "a53_rhp_embedding_neardup",
     "a45_semantic_dedup",
     "a38_ivfpq_topk",
     "a43_ivfpq_residual_topk",
     "a40_curation_funnel",
-    "x16_ann_ivf_topk",
     "a52_sliding_chunks",
     "a54_dup_ngram_coverage",
     "a56_vocab_oov_rates",
@@ -73,11 +56,16 @@ _REQUIRED_IN_WINDOW = {
     "a65_hybrid_rrf",
     "a66_dsir_importance",
     "a67_cms_heavy_hitters",
-    "a68_retention_curve",
     "a69_bigram_lm_scores",
     "a73_bloom_decontaminate",
-    "a75_cohort_retention",
     "a76_canonical_by_centrality",
+    "a90_perceptron_wide",
+    "a26_dedup_simhash_verified",
+    "x06_dedup_simhash",
+    "x15_multimodal_metadata",
+    "a86_hll_distinct",
+    "x01_dedup_exact",
+    "x09_ann_cosine_topk",
     # §2 flagship
     "q06_opportunity_rank",
 }

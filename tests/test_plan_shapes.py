@@ -153,12 +153,16 @@ def test_simhash_candidates_has_no_nested_loop_join(spark):
 
 
 def test_quantize_plan_is_row_local(spark):
-    """int8 quantization must plan as scan -> spread -> project/generate:
-    no join, no aggregate — the math is row-local by design."""
+    """int8 quantization must plan as scan -> project/generate with no
+    join, no aggregate, and (round 10) NO exchange: the explode is the
+    output format, not a join feed, so parallelism comes from the scan's
+    splits — a repartition here would shuffle the whole embedding table
+    at corpus scale for zero benefit (it was ~60% of a29's sf0.1 wall)."""
     df = spark_queries()["a29_embedding_quantize"](spark, SF_DIR)
     plan = _plan(df)
     assert "Join" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Exchange" not in plan
 
 
 def test_pq_encode_codebook_is_broadcast(spark):

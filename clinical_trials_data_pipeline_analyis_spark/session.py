@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
+        # If a caller upgrades lineage truncation to RELIABLE mode by
+        # configuring a checkpoint dir (see checkpoint.cut_lineage), the
+        # iterative operators write checkpoint files per loop round;
+        # without the reference-tracking cleaner those files outlive
+        # their frames and the directory grows without bound. No-op
+        # when no checkpoint dir is ever set (the local[] default).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Parquet scans: 128MB splits are the right granularity for the
         # medallion tables both locally and on a cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

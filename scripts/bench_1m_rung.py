@@ -9,8 +9,18 @@ as the sf10 sweep's 500k embeddings — Zipf cells, 5% dup chains):
   k=512 centroids from the same mod-97 seeding — expected ~1x-2x;
 - a53 (RHP near-dup, 12-bit bands) — expected ~linear.
 
+Round 10 (VERDICT r9 ask #2 — prove the SHIPPED auto paths at the rung
+they were built for, not the hand-pinned equivalents):
+
+- ``a45_auto_k``: centroid count computed by ``semdedup_auto_k(N)``
+  (512 at 1M — asserted, not assumed) through ``semantic_dedup`` with
+  its on-by-default candidate budget;
+- ``a53_rhp_auto``: ``rhp_near_duplicates(n_bits="auto")`` with
+  ``row_count_hint=N`` — ``rhp_auto_bits`` resolves 14-bit bands
+  (56 bits / 4 bands) at 1M, asserted in-leg.
+
 Emits one JSON line per leg and a final summary. Usage:
-    python scripts/bench_1m_rung.py [--dir testdata_1m]
+    python scripts/bench_1m_rung.py [--dir testdata_1m] [--leg NAME]
 """
 
 from __future__ import annotations
@@ -35,7 +45,13 @@ def main() -> None:
     ap.add_argument("--dir", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_1m"))
     ap.add_argument(
         "--leg",
-        choices=["a45_registered_k128", "a45_kscaled_k512", "a53_rhp_neardup"],
+        choices=[
+            "a45_registered_k128",
+            "a45_kscaled_k512",
+            "a53_rhp_neardup",
+            "a45_auto_k",
+            "a53_rhp_auto",
+        ],
         default=None,
         help="run ONE leg in this process (default: all three). One "
         "process per leg is the recommended shape — a prior session's "
@@ -129,6 +145,47 @@ def main() -> None:
         leg(
             "a53_rhp_neardup",
             lambda: rhp_near_duplicates(emb, 0.30, n_bits=48, bands=4, dim=_EMB_DIM),
+        )
+
+    if want("a45_auto_k"):
+        # round 10: the SHIPPED k∝n recipe end-to-end — k computed by
+        # semdedup_auto_k, centroids from the same mod-97 seeding, the
+        # default candidate budget left ON (it must not fire).
+        from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+            semdedup_auto_k,
+        )
+
+        k_auto = semdedup_auto_k(N_VECS)
+        assert k_auto == 512, f"semdedup_auto_k(1M) moved: {k_auto}"
+        cent_auto = emb.filter(
+            (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 97 * k_auto)
+        )
+        leg(
+            "a45_auto_k",
+            lambda: semantic_dedup(
+                emb, cent_auto, threshold=_SEMDEDUP_THRESHOLD, dim=_EMB_DIM
+            ),
+        )
+
+    if want("a53_rhp_auto"):
+        # round 10: the SHIPPED n_bits="auto" path — rhp_auto_bits must
+        # resolve 14-bit bands (56/4) at this rung; asserted before the
+        # timed leg so a sizing regression fails loudly, not slowly.
+        from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+            rhp_auto_bits,
+        )
+
+        assert rhp_auto_bits(N_VECS, bands=4) == 56
+        leg(
+            "a53_rhp_auto",
+            lambda: rhp_near_duplicates(
+                emb,
+                0.30,
+                n_bits="auto",
+                bands=4,
+                dim=_EMB_DIM,
+                row_count_hint=N_VECS,
+            ),
         )
 
     print(

@@ -662,6 +662,7 @@ def rhp_signatures(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_vector: bool = False,
 ) -> DataFrame:
     """Random-hyperplane (sign-bit) LSH signatures over an embedding
     column — the EMBEDDING analog of the token-level SimHash: bit b is
@@ -669,7 +670,10 @@ def rhp_signatures(
     techniques from rounding algorithms", STOC 2002: P[bits agree] =
     1 - angle/pi), banded into ``bands`` integer keys for bucketing.
 
-    Returns (id_col, band 0.., band_sig long) — one row per band.
+    Returns (id_col, band 0.., band_sig long) — one row per band;
+    ``with_vector=True`` appends ``vec_col`` so a caller verifying
+    candidates inside the bucket join never has to re-join the (wide)
+    vectors onto the (much wider) candidate stream.
     NULL vectors are excluded (no geometry, no signature — they can
     never near-duplicate anything); a NON-null vector whose length
     differs from ``dim`` raises a named error at execution (see the
@@ -757,25 +761,32 @@ def rhp_signatures(
             for band in range(bands)
         ]
     )
+    keep = [F.col(vec_col)] if with_vector else []
     return (
         _spread(embeddings)
-        .select(F.col(id_col), F.explode(band_rows).alias("b"))
-        .select(id_col, F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
+        .select(F.col(id_col), *keep, F.explode(band_rows).alias("b"))
+        .select(
+            id_col,
+            *([vec_col] if with_vector else []),
+            F.col("b.band").alias("band"),
+            F.col("b.band_sig").alias("band_sig"),
+        )
     )
 
 
 #: Candidate-row budget for ``rhp_near_duplicates``: Σ n(n-1)/2 over
 #: (band, band_sig) buckets — the exact row count the bucket equi-join
-#: materializes, and therefore the driver of the distinct/verify
-#: shuffle spill. LSH candidates grow as ~n²/2^bits per band, so a band
-#: width sized for one rung is a corpus-sized model exactly like
-#: SemDeDup's k. Measured on the 12-bit-band registered geometry:
-#: 500k vectors → 228,241,904 candidates (completes, ~10-20 GB spill);
-#: 1M vectors → 911,630,744 candidates (filled this container's ~78 GB
-#: free disk mid-sort: SPILL_OUT_OF_MEMORY/ENOSPC). 500M sits between
-#: the two measured rungs — ~2.2x the passing rung's load, refusing the
-#: one that died. A single-node budget; cluster callers with real
-#: per-node spill volumes can raise it.
+#: streams through the cosine verify. LSH candidates grow as
+#: ~n²/2^bits per band, so a band width sized for one rung is a
+#: corpus-sized model exactly like SemDeDup's k. Measured on the
+#: 12-bit-band registered geometry: 500k vectors → 228,241,904
+#: candidates; 1M vectors → 911,630,744. Since the round-10
+#: verify-in-join rewrite the candidate stream is codegen-only (the
+#: old shape re-joined vectors per candidate row and ENOSPC'd this
+#: container at 2.7e8 candidates), so the budget now bounds verify CPU
+#: and the surviving-pair distinct rather than a per-candidate disk
+#: spill. 500M sits between the two measured rungs; cluster callers
+#: can raise it.
 MAX_RHP_CANDIDATE_ROWS = 500_000_000
 
 
@@ -828,14 +839,20 @@ def rhp_near_duplicates(
     label-blocked ``embedding_duplicate_pairs`` needs a partition
     column; this derives its own buckets from the geometry).
 
-    Candidates = pairs sharing any band signature (a pair colliding in
-    k bands appears once — distinct before verify); verify = exact
-    cosine >= ``threshold``. Returns (vec_a, vec_b, cosine).
+    Candidates = pairs sharing any band signature; verify = exact
+    cosine >= ``threshold``, computed INSIDE the bucket join's output
+    projection (a pair colliding in k bands is verified k times and
+    deduped by a distinct over the surviving rows — identical result
+    set, see the in-body note). Returns (vec_a, vec_b, cosine).
 
     Scale shape: signatures are a row-local map; the candidate join is
     a bucketed EQUI-join on (band, band_sig) — never all-pairs; the
-    cosine verify touches only colliding pairs. Recall is tunable with
-    n_bits/bands exactly like MinHash-LSH banding.
+    cosine verify touches only colliding pairs and the candidate stream
+    is never materialized to disk (the round-10 fix: re-joining vectors
+    onto the candidate list shuffled O(candidates x vec_size) — 150 GB
+    at the 1M rung — where verify-in-join shuffles O(n x bands x
+    vec_size), ~2 GB there). Recall is tunable with n_bits/bands
+    exactly like MinHash-LSH banding.
 
     Fan-out guard (round 8, by incident — see MAX_RHP_CANDIDATE_ROWS):
     the signatures are checkpointed once (they fed BOTH join sides
@@ -871,9 +888,28 @@ def rhp_near_duplicates(
     # 500k rung in a 16g JVM, where the pre-checkpoint lineage ran
     # fine). Explicit partitioning keeps the checkpointed blocks
     # balanced and the join's input spread; values are unaffected.
+    #
+    # The vector and its norm ride WITH the signature (with_vector +
+    # the norm column below): the checkpointed frame is O(n x bands)
+    # wide rows, which both join sides read for free, and the cosine
+    # verify runs INSIDE the bucket join's projection. The previous
+    # shape (narrow candidates -> distinct -> re-join both vectors)
+    # shuffled the full 64-double vector once per CANDIDATE row — at
+    # the 1M rung that is 2.7e8 rows x ~550 B ≈ 150 GB of exchange,
+    # which filled this container's 78 GB disk twice (ENOSPC mid-sort)
+    # on a geometry whose narrow aggregates all pass. Verify-in-join
+    # makes the only wide shuffle O(n x bands) (~2 GB at 1M); the
+    # candidate stream exists only inside whole-stage codegen, and the
+    # distinct dedups the (far smaller) surviving pairs.
     nparts = max(embeddings.sparkSession.sparkContext.defaultParallelism, 2)
+    from ..functions.vectors import l2_norm
+
     sigs = (
-        rhp_signatures(embeddings, n_bits, bands, dim, seed, id_col, vec_col)
+        rhp_signatures(
+            embeddings, n_bits, bands, dim, seed, id_col, vec_col,
+            with_vector=True,
+        )
+        .withColumn("_norm", l2_norm(F.col(vec_col), dim=dim))
         .repartition(nparts, F.col("band"), F.col("band_sig"))
         .transform(cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK))
     )
@@ -901,46 +937,36 @@ def rhp_near_duplicates(
                 f"recall from the Charikar bound when changing it), or "
                 f"raise max_candidates if the spill volume can take it."
             )
+    # Verify-in-join: cosine is computed in the join's output
+    # projection (whole-stage codegen — never materialized), the
+    # threshold filter runs immediately, and only SURVIVING pairs reach
+    # the distinct. A pair colliding in k bands is verified k times
+    # (bounded extra CPU, k <= bands) and deduped by the distinct —
+    # cosine is a deterministic function of the pair, so distinct on
+    # (vec_a, vec_b, cosine) equals distinct on the pair. Same
+    # arithmetic/fold order as cosine_similarity (norms once per vector
+    # row, dot per pair): oracle parity unaffected.
     a = sigs.select(
         F.col("band").alias("band_a"),
         F.col("band_sig").alias("sig_a"),
         F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("_norm_a"),
     )
     b = sigs.select(
         F.col("band").alias("band_b"),
         F.col("band_sig").alias("sig_b"),
         F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("_norm_b"),
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("band_a") == F.col("band_b"))
             & (F.col("sig_a") == F.col("sig_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    # Norms computed once per VECTOR on the lookup sides, not per
-    # candidate pair — same arithmetic/fold order as cosine_similarity
-    # (oracle parity unaffected), ~2.5x less higher-order-function work
-    # in the verify stage (measured on the sf1 hot block for the
-    # sibling exact pair scan above).
-    from ..functions.vectors import l2_norm
-
-    va = embeddings.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_norm_a"),
-    )
-    vb = embeddings.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_norm_b"),
-    )
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -953,6 +979,7 @@ def rhp_near_duplicates(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
+        .distinct()
     )
 
 

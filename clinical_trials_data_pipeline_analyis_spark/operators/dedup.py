@@ -217,6 +217,7 @@ def simhash_candidates(
     id_col: str,
     materialize: bool = True,
     max_bucket: int | None = None,
+    _max_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing either 16-bit half of the 32-bit simhash.
 
@@ -243,6 +244,19 @@ def simhash_candidates(
     ``materialize`` checkpoints the fingerprint table first — the four
     join sides below would otherwise each re-execute the SimHash
     aggregation pipeline.
+
+    ``_max_hamming`` (internal — ``simhash_near_duplicates`` is the
+    public surface) switches on VERIFY-IN-JOIN: the fingerprint rides
+    each band side (8 bytes), the Hamming distance is computed inside
+    the band join's codegen projection, and the ``<= _max_hamming``
+    filter runs BEFORE the union+distinct — so the distinct shuffles
+    only surviving pairs instead of every candidate. The round-8 sf10
+    audit measured a 35,692-doc half-bucket (Σn² ≈ 4.9e9 candidate
+    rows); under the old candidates→distinct→re-join-fingerprints
+    shape that distinct ships 4.9e9 rows of which the verify then
+    discards nearly all — verify-in-join ships only what survives.
+    Same result set: hamming is a deterministic function of the pair,
+    so distinct over (doc_a, doc_b, hamming) equals pair-distinct.
     """
     if materialize:
         simhash_df = simhash_df.transform(cut_lineage())
@@ -250,7 +264,12 @@ def simhash_candidates(
     hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias("half")
 
     def pairs_on(half: Column) -> DataFrame:
-        base = simhash_df.select(F.col(id_col).alias("doc_a"), half)
+        sim_a = (
+            [F.col("simhash").alias("_sim_a")]
+            if _max_hamming is not None
+            else []
+        )
+        base = simhash_df.select(F.col(id_col).alias("doc_a"), half, *sim_a)
         if max_bucket is not None:
             # one window count over the band key — the same shuffle the
             # pair join needs anyway, no second aggregate-and-join pass
@@ -261,14 +280,24 @@ def simhash_candidates(
                 .drop("_n")
             )
         a = base
-        b = base.select(
-            F.col("doc_a").alias("doc_b"), F.col("half").alias("half_b")
+        b_cols = [F.col("doc_a").alias("doc_b"), F.col("half").alias("half_b")] + (
+            [F.col("_sim_a").alias("_sim_b")] if _max_hamming is not None else []
         )
-        return a.join(
+        b = base.select(*b_cols)
+        joined = a.join(
             b,
             (F.col("half") == F.col("half_b"))
             & (F.col("doc_a") < F.col("doc_b")),
-        ).select("doc_a", "doc_b")
+        )
+        if _max_hamming is None:
+            return joined.select("doc_a", "doc_b")
+        return joined.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+            .cast("int")
+            .alias("hamming"),
+        ).filter(F.col("hamming") <= _max_hamming)
 
     return pairs_on(lo).unionByName(pairs_on(hi)).distinct()
 
@@ -305,34 +334,23 @@ def simhash_near_duplicates(
 
     Returns ``(doc_a, doc_b, hamming)`` for candidate pairs whose
     fingerprints differ in at most ``max_hamming`` bits. The distance is
-    ``bit_count(xor(a, b))`` — O(1) per candidate, so the verify cost is
-    the candidate count, which banding already bounded; no full-table
-    work is added. ``max_bucket`` forwards to the candidate stage's
-    hot-bucket cap (see ``simhash_candidates``).
+    ``bit_count(xor(a, b))`` — O(1) per candidate, computed INSIDE the
+    band join's projection (verify-in-join, round 10): the fingerprint
+    rides each band side, the Hamming filter runs before the
+    union+distinct, so the distinct shuffles only SURVIVING pairs and
+    the two old post-candidate re-join shuffles are gone entirely.
+    Result set unchanged (see ``simhash_candidates``). ``max_bucket``
+    forwards to the candidate stage's hot-bucket cap.
     """
-    # One materialization serves the banding (2 sides) and the verify
-    # join (2 sides) — five consumers, one SimHash computation.
+    # One materialization serves both band sides — four consumers, one
+    # SimHash computation.
     simhash_df = simhash_df.transform(cut_lineage())
-    cands = simhash_candidates(
-        simhash_df, id_col, materialize=False, max_bucket=max_bucket
-    )
-    a = simhash_df.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sim_a")
-    )
-    b = simhash_df.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sim_b")
-    )
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(
-                F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))
-            ).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    return simhash_candidates(
+        simhash_df,
+        id_col,
+        materialize=False,
+        max_bucket=max_bucket,
+        _max_hamming=max_hamming,
     )
 
 

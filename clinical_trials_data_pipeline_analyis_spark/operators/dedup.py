@@ -122,6 +122,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     materialize: bool = True,
     against: DataFrame | None = None,
+    estimate: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate pair.
 
@@ -140,6 +141,15 @@ def lsh_candidate_pairs(
     checked against the accumulated signature store without recomputing
     history-vs-history pairs. doc_a keeps the left role (no
     canonicalization), self-pairs are dropped.
+
+    ``estimate=True`` appends ``jaccard_estimate`` = (agreeing hashes)
+    / num_hashes, rounded to 6, computed IN the band join's projection
+    (verify-in-join): the full signature rides each band side (one
+    long per hash) instead of being re-joined onto the candidate list
+    afterwards — two fewer shuffles of the candidate stream, and the
+    distinct dedups (doc_a, doc_b, estimate), which equals
+    pair-distinct because the estimate is a deterministic function of
+    the pair.
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes
@@ -147,6 +157,15 @@ def lsh_candidate_pairs(
         signatures = signatures.transform(cut_lineage())
 
     def band_table(src: DataFrame, id_alias: str, sig_alias: str) -> DataFrame:
+        side = "a" if id_alias == "doc_a" else "b"
+        sig_cols = (
+            [
+                F.col(f"h{i}").alias(f"_{side}_h{i}")
+                for i in range(num_hashes)
+            ]
+            if estimate
+            else []
+        )
         parts = [
             src.select(
                 F.col(id_col).alias(id_alias),
@@ -154,6 +173,7 @@ def lsh_candidate_pairs(
                 F.concat(
                     *[F.col(f"h{b * rows + r}") for r in range(rows)]
                 ).alias(sig_alias),
+                *sig_cols,
             )
             for b in range(bands)
         ]
@@ -168,14 +188,25 @@ def lsh_candidate_pairs(
         if against is None
         else F.col("doc_a") != F.col("doc_b")
     )
+    joined = left.join(
+        right,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bsig") == F.col("bsig_b"))
+        & id_cond,
+    )
+    if not estimate:
+        return joined.select("doc_a", "doc_b").distinct()
+    agree: Column = F.lit(0)
+    for i in range(num_hashes):
+        agree = agree + F.when(
+            F.col(f"_a_h{i}") == F.col(f"_b_h{i}"), 1
+        ).otherwise(0)
     return (
-        left.join(
-            right,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bsig") == F.col("bsig_b"))
-            & id_cond,
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(num_hashes), 6).alias("jaccard_estimate"),
         )
-        .select("doc_a", "doc_b")
         .distinct()
     )
 

@@ -860,27 +860,13 @@ def x17_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=_NUM_HASHES, shingle_k=3
     )
-    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS)
-    a = sigs.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(_NUM_HASHES)],
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(_NUM_HASHES)],
-    )
-    agree = None
-    for i in range(_NUM_HASHES):
-        term = F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
-    return (
-        cand.join(a, cand.doc_a == F.col("a_id"))
-        .join(b, cand.doc_b == F.col("b_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree / float(_NUM_HASHES), 6).alias("jaccard_estimate"),
-        )
+    # estimate-in-join (round 10): the signature rides the band sides
+    # and the agreement count is computed in the band join's projection
+    # — no re-join of signatures onto the candidate stream. The oracle
+    # keeps the candidates-then-join formulation; values are identical
+    # because the estimate is a deterministic function of the pair.
+    return lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, estimate=True
     )
 
 

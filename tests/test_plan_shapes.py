@@ -355,3 +355,40 @@ def test_registry_plan_has_no_antipatterns(spark, name):
     if name not in _NON_CROSS_BNLJ_ALLOWED:
         bad = [l.strip() for l in bnlj_lines if "Cross" not in l]
         assert not bad, f"{name}: non-Cross nested loop join: {bad}"
+
+
+def _join_count(plan: str) -> int:
+    return sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+
+
+def test_rhp_verify_is_in_join(spark):
+    """rhp_near_duplicates must verify cosine INSIDE the band bucket
+    join — exactly ONE join in the plan. The pre-round-10 shape
+    (narrow candidates -> distinct -> re-join both vectors) had three,
+    and the two vector re-joins shuffled O(candidates x vec_size):
+    ~150 GB at the 1M rung, ENOSPC on a geometry whose candidate
+    budget passed. See BASELINE '1M rung, round 10'."""
+    df = spark_queries()["a53_rhp_embedding_neardup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert _join_count(plan) == 1, plan
+
+
+def test_simhash_verify_is_in_join(spark):
+    """simhash_near_duplicates: the Hamming verify runs in the two band
+    joins' projections (bit_count present), with NO post-candidate
+    re-join of fingerprints — exactly TWO joins (lo half, hi half)."""
+    df = spark_queries()["a26_dedup_simhash_verified"](spark, SF_DIR)
+    plan = _plan(df)
+    assert _join_count(plan) == 2, plan
+    assert "bit_count" in plan
+
+
+def test_minhash_estimate_is_in_join(spark):
+    """x17: the Jaccard estimate is computed in the band join — one
+    join, signatures never re-joined onto the candidate stream."""
+    df = spark_queries()["x17_dedup_minhash_estimate"](spark, SF_DIR)
+    plan = _plan(df)
+    assert _join_count(plan) == 1, plan

@@ -342,6 +342,12 @@ def _rhp_block_pairs(
     Charikar bound; EXACT duplicates always collide."""
     from ..functions.vectors import l2_norm
 
+    # Verify-in-join (round 10, same discipline as rhp_near_duplicates):
+    # vector + norm + block ride the signature rows, the cosine is
+    # computed in the bucket join's projection, and the distinct dedups
+    # narrow (label, pair, cosine) rows — the old shape re-joined the
+    # wide vectors onto the candidate stream, O(candidates x vec_size)
+    # shuffle on exactly the blocks that are oversized by definition.
     base = embeddings.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -349,21 +355,31 @@ def _rhp_block_pairs(
         l2_norm(F.col(vec_col), dim=dim).alias("_norm"),
     )
     sigs = rhp_signatures(
-        base, n_bits=n_bits, bands=bands, dim=dim, id_col="_id", vec_col="_vec"
-    ).join(base.select("_id", "_blk"), "_id")
+        base,
+        n_bits=n_bits,
+        bands=bands,
+        dim=dim,
+        id_col="_id",
+        vec_col="_vec",
+        keep=("_vec", "_blk", "_norm"),
+    )
     a = sigs.select(
         F.col("_blk").alias("blk_a"),
         F.col("band").alias("band_a"),
         F.col("band_sig").alias("sig_a"),
         F.col("_id").alias("vec_a"),
+        F.col("_vec").alias("va"),
+        F.col("_norm").alias("_norm_a"),
     )
     b = sigs.select(
         F.col("_blk").alias("blk_b"),
         F.col("band").alias("band_b"),
         F.col("band_sig").alias("sig_b"),
         F.col("_id").alias("vec_b"),
+        F.col("_vec").alias("vb"),
+        F.col("_norm").alias("_norm_b"),
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("blk_a") == F.col("blk_b"))
@@ -371,24 +387,8 @@ def _rhp_block_pairs(
             & (F.col("sig_a") == F.col("sig_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select(F.col("blk_a").alias("label"), "vec_a", "vec_b")
-        .distinct()
-    )
-    va = base.select(
-        F.col("_id").alias("vec_a"),
-        F.col("_vec").alias("va"),
-        F.col("_norm").alias("_norm_a"),
-    )
-    vb = base.select(
-        F.col("_id").alias("vec_b"),
-        F.col("_vec").alias("vb"),
-        F.col("_norm").alias("_norm_b"),
-    )
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
         .select(
-            "label",
+            F.col("blk_a").alias("label"),
             "vec_a",
             "vec_b",
             F.round(
@@ -399,6 +399,7 @@ def _rhp_block_pairs(
                 6,
             ).alias("cosine"),
         )
+        .distinct()
     )
 
 
@@ -662,7 +663,7 @@ def rhp_signatures(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    with_vector: bool = False,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Random-hyperplane (sign-bit) LSH signatures over an embedding
     column — the EMBEDDING analog of the token-level SimHash: bit b is
@@ -671,9 +672,10 @@ def rhp_signatures(
     1 - angle/pi), banded into ``bands`` integer keys for bucketing.
 
     Returns (id_col, band 0.., band_sig long) — one row per band;
-    ``with_vector=True`` appends ``vec_col`` so a caller verifying
-    candidates inside the bucket join never has to re-join the (wide)
-    vectors onto the (much wider) candidate stream.
+    ``keep`` appends the named input columns (e.g. the vector and its
+    norm) so a caller verifying candidates inside the bucket join never
+    has to re-join a wide payload onto the (much wider) candidate
+    stream.
     NULL vectors are excluded (no geometry, no signature — they can
     never near-duplicate anything); a NON-null vector whose length
     differs from ``dim`` raises a named error at execution (see the
@@ -761,13 +763,16 @@ def rhp_signatures(
             for band in range(bands)
         ]
     )
-    keep = [F.col(vec_col)] if with_vector else []
     return (
         _spread(embeddings)
-        .select(F.col(id_col), *keep, F.explode(band_rows).alias("b"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.explode(band_rows).alias("b"),
+        )
         .select(
             id_col,
-            *([vec_col] if with_vector else []),
+            *keep,
             F.col("b.band").alias("band"),
             F.col("b.band_sig").alias("band_sig"),
         )
@@ -889,8 +894,8 @@ def rhp_near_duplicates(
     # fine). Explicit partitioning keeps the checkpointed blocks
     # balanced and the join's input spread; values are unaffected.
     #
-    # The vector and its norm ride WITH the signature (with_vector +
-    # the norm column below): the checkpointed frame is O(n x bands)
+    # The vector and its norm ride WITH the signature (keep= + the
+    # norm column below): the checkpointed frame is O(n x bands)
     # wide rows, which both join sides read for free, and the cosine
     # verify runs INSIDE the bucket join's projection. The previous
     # shape (narrow candidates -> distinct -> re-join both vectors)
@@ -907,7 +912,7 @@ def rhp_near_duplicates(
     sigs = (
         rhp_signatures(
             embeddings, n_bits, bands, dim, seed, id_col, vec_col,
-            with_vector=True,
+            keep=(vec_col,),
         )
         .withColumn("_norm", l2_norm(F.col(vec_col), dim=dim))
         .repartition(nparts, F.col("band"), F.col("band_sig"))

@@ -250,6 +250,24 @@ def register(
 #: the same family's multiprobe form; x09 brute-force stays), a68/a75
 #: (events/retention — x12 rotating IN; a74/a82 registered + locally
 #: green). All twelve remain registered and locally oracle-checked.
+#: Round-10 second wave (same round, before the driver ran): the
+#: verify-in-join rewrites landed after the first rotation and changed
+#: x17_dedup_minhash_estimate's plan (estimate computed in the band
+#: join) — under the changed-component rule it owes a fresh driver
+#: verdict, and it was ALSO r2–r4-stale; taking the edit anyway, seven
+#: more of the oldest stale names ride along, clearing most of the
+#: backlog this round. IN (8): x17 (changed + stale), q21_set_operations
+#: (§2.8's only row), q22_semi_anti_join, x13_events_sessionize,
+#: x14_events_json_props, a27/a28 (the multimodal Arrow decode/frame
+#: paths — x15 covers the metadata plumbing only), a36_stratified_sample
+#: (sampling-family rep). OUT (8, all r9-driver-green, unchanged code,
+#: families still represented): a54 (a59 + x07 keep spans/ngram),
+#: a63 (a65's RRF composes the BM25 leg), a39 (a40 composes the text
+#: metrics; x04 stays), a67 (a58 + a86 keep sketches), x09 (ANN keeps
+#: a31 multiprobe + a38/a43 IVFPQ + x08 exact verify), a66 (a69 keeps
+#: scoring), a60 (a36 rotating IN keeps the sampling/split family),
+#: q28 (q22 rotating IN is the semi/anti-join shape correlated EXISTS
+#: plans to). All eight remain registered and locally oracle-checked.
 DRIVER_WINDOW: tuple[str, ...] = (
     "a21_dedup_cc_clusters",
     "x08_dedup_embedding_cosine",
@@ -270,7 +288,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x12_events_hourly_window",
     "a90_perceptron_wide",
     "a38_ivfpq_topk",
-    "a39_text_repetition",
+    "q22_semi_anti_join",
     "a40_curation_funnel",
     "q07_date_spine",
     "a73_bloom_decontaminate",
@@ -280,18 +298,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a29_embedding_quantize",
     "a52_sliding_chunks",
     "a53_rhp_embedding_neardup",
-    "a54_dup_ngram_coverage",
+    "x17_dedup_minhash_estimate",
     "a56_vocab_oov_rates",
     "a58_binned_quantiles",
     "a65_hybrid_rrf",
     "q06_opportunity_rank",
-    "a66_dsir_importance",
-    "a67_cms_heavy_hitters",
+    "a27_multimodal_resize",
+    "x13_events_sessionize",
     "a31_ann_ivf_multiprobe",
     "a69_bigram_lm_scores",
     "a59_dup_spans",
-    "a60_leakage_safe_split",
-    "a63_bm25_topk",
+    "a28_multimodal_frames",
+    "q21_set_operations",
     "a64_bpe_pair_counts",
     "q12_scalar_qa_bounds",
     "q18_token_truncate",
@@ -299,8 +317,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x15_multimodal_metadata",
     "x06_dedup_simhash",
     "a86_hll_distinct",
-    "x09_ann_cosine_topk",
-    "q28_correlated_subquery",
+    "x14_events_json_props",
+    "a36_stratified_sample",
 )
 
 

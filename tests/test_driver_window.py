@@ -36,6 +36,17 @@ _REQUIRED_IN_WINDOW = {
     "x11_text_langid",
     "x12_events_hourly_window",
     "a31_ann_ivf_multiprobe",
+    # round-10 second wave: x17's plan changed (estimate-in-join) so it
+    # owes a fresh verdict under the changed-component rule — it was
+    # also r2-r4-stale, as were the seven riding along
+    "x17_dedup_minhash_estimate",
+    "q21_set_operations",
+    "q22_semi_anti_join",
+    "x13_events_sessionize",
+    "x14_events_json_props",
+    "a27_multimodal_resize",
+    "a28_multimodal_frames",
+    "a36_stratified_sample",
     # standing LLM-pipeline surface
     "a21_dedup_cc_clusters",
     "x07_dedup_ngram_jaccard",
@@ -46,16 +57,11 @@ _REQUIRED_IN_WINDOW = {
     "a43_ivfpq_residual_topk",
     "a40_curation_funnel",
     "a52_sliding_chunks",
-    "a54_dup_ngram_coverage",
     "a56_vocab_oov_rates",
     "a58_binned_quantiles",
     "a59_dup_spans",
-    "a60_leakage_safe_split",
-    "a63_bm25_topk",
     "a64_bpe_pair_counts",
     "a65_hybrid_rrf",
-    "a66_dsir_importance",
-    "a67_cms_heavy_hitters",
     "a69_bigram_lm_scores",
     "a73_bloom_decontaminate",
     "a76_canonical_by_centrality",
@@ -65,7 +71,6 @@ _REQUIRED_IN_WINDOW = {
     "x15_multimodal_metadata",
     "a86_hll_distinct",
     "x01_dedup_exact",
-    "x09_ann_cosine_topk",
     # §2 flagship
     "q06_opportunity_rank",
 }

@@ -22,19 +22,39 @@ stdout and parses the FINAL line as JSON, so the summary must be small):
 Each query is executed with a count()-style full materialization so the
 measured time covers the whole plan, not just plan construction.
 
-Adjudication pass (round 10 — VERDICT r9 ask #1): with 120 queries in
-one long-lived local[] JVM, the per-query GC hygiene below no longer
-fully isolates mid-suite CPU-bound queries — round 9 filed 7 rows over
-the 2x driver gate that solo re-runs cleared (a31 5.87s in-suite vs
-2.57s solo, identical code; the round-5 x16 12.3-vs-1.7 artifact at
-larger suite size). So after the timed pass, any query whose in-suite
-time exceeds 1.5x its BASELINE.md row is RE-RUN solo-style at suite
-end (GC-settled, best of 2 warm runs — the same methodology the judge
-used to adjudicate round 9) and BOTH numbers are filed:
-``bench_full.json`` keeps the raw in-suite map under ``insuite`` and
-the re-run map under ``retimed``; the headline ``queries`` map (and the
-suite total) carry min(in-suite, retimed) per query — the number that
-reflects the CODE rather than the predecessor queries' heap.
+Adjudication pass (round 10 — VERDICT r9 ask #1; tightened round 11):
+with 120 queries in one long-lived local[] JVM, the per-query GC
+hygiene below no longer fully isolates mid-suite CPU-bound queries —
+round 9 filed 7 rows over the 2x driver gate that solo re-runs cleared
+(a31 5.87s in-suite vs 2.57s solo, identical code; the round-5 x16
+12.3-vs-1.7 artifact at larger suite size). So after the timed pass,
+any query whose in-suite time reaches 1.5x its BASELINE.md row is
+RE-RUN solo-style at suite end (GC-settled, best of 2 warm runs — the
+same methodology the judge used to adjudicate round 9) and BOTH
+numbers are filed. Round-11 refinements (ADVICE r10 + VERDICT ask #5):
+
+- the 1.5x trigger is scaled by max(1, calib_sec / REFERENCE_CALIB)
+  so a degraded host (round 10 saw calib 1.42-1.67 vs the ~0.45
+  reference, ~3.5x slower) doesn't trip the gate on nearly every row
+  and turn the pass into a near-full best-of-2 re-run; on hosts at or
+  faster than reference the raw 1.5x applies unchanged;
+- the comparison is ``>=`` (round 10's a32 landed at exactly 1.50x
+  and escaped adjudication on the strict ``>``);
+- the ADJUDICATED number filed into ``queries`` / the suite total is
+  the RETIMED value itself, not min(in-suite, retimed): min() was an
+  asymmetric correction (slow rows got a second chance, no row ever
+  adjusted upward) that composed a best-case suite no single run
+  produced. The retimed value is a measurement under documented
+  conditions (quiet heap, best-of-2 warm) and can move a row in
+  either direction;
+- a fixed CONTROL sample of in-gate rows (never gate-suspects) is
+  retimed the same way each run and recorded under ``control`` in
+  ``bench_full.json`` — their filed numbers stay in-suite, so the
+  in-suite-vs-solo delta is measured on every run rather than only
+  harvested when favorable.
+
+``bench_full.json`` keeps the raw in-suite map under ``insuite``, the
+re-run map under ``retimed``, and the control map under ``control``.
 
 The summary also carries ``calib_sec`` — a fixed deterministic JVM-side
 workload timed each run (xxhash64 sum over range(200M), codegen-only,
@@ -54,6 +74,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clinical_trials_data_pipeline_analyis_spark.session import get_spark
 from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
+
+# Host calibration of the machines that produced BASELINE.md's operative
+# sf0.1 rows (per-row annotations cluster at calib 0.45-0.47; r10's driver
+# run measured 0.419). The retime trigger scales by the CURRENT run's
+# calib relative to this so a slow host doesn't gate every row.
+REFERENCE_CALIB = 0.45
+
+# Fixed in-gate control sample for the adjudication pass: retimed every
+# run (same quiet-heap best-of-2 methodology as gate-suspects) but their
+# FILED numbers stay in-suite — the pair measures the in-suite-vs-solo
+# delta on every run. Chosen to span the suite: an early CPU-bound ANN
+# row, a mid-suite join-heavy row, a late lightweight scan.
+CONTROL_SAMPLE = ["a31_ann_ivf_multiprobe", "a59_dup_spans", "x13_events_sessionize"]
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -161,16 +194,23 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     # Adjudication pass (see module docstring): re-run gate-risk rows
-    # solo-style at suite end; file min(in-suite, retimed) per query.
+    # solo-style at suite end; file the retimed value per suspect.
     insuite = dict(timings)
     base = baseline_times()
+    # Calib-scaled trigger: on a host slower than the BASELINE reference
+    # (ratio > 1) the gate loosens proportionally so host speed alone
+    # can't put most of the suite into the retime pass; never tightens
+    # below the raw 1.5x on fast hosts.
+    calib_scale = max(1.0, calib_sec / REFERENCE_CALIB)
+    gate = 1.5 * calib_scale
     suspects = [
         n
         for n in names
-        if n in base and timings[n] > 1.5 * base[n]
+        if n in base and timings[n] >= gate * base[n]
     ]
-    retimed: dict[str, float] = {}
-    for name in suspects:
+
+    def _solo_time(name: str) -> float:
+        """Quiet-heap best-of-2 warm re-run — the adjudication method."""
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
@@ -179,8 +219,15 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        retimed[name] = round(best, 4)
-        timings[name] = min(timings[name], retimed[name])
+        return round(best, 4)
+
+    retimed: dict[str, float] = {}
+    for name in suspects:
+        retimed[name] = _solo_time(name)
+        # File the retimed measurement itself (up OR down), not the min:
+        # min() only ever corrected downward and composed a best-case
+        # suite no single run produced (ADVICE r10).
+        timings[name] = retimed[name]
         print(
             json.dumps(
                 {
@@ -191,6 +238,21 @@ def main() -> None:
                 }
             )
         )
+    # Control sample: measure the in-suite-vs-solo delta on rows that
+    # did NOT trip the gate. Recorded, never filed.
+    control: dict[str, float] = {}
+    for name in CONTROL_SAMPLE:
+        if name in timings and name not in retimed:
+            control[name] = _solo_time(name)
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "control_sec": control[name],
+                        "insuite_sec": insuite[name],
+                    }
+                )
+            )
     total = round(sum(timings.values()), 4)
 
     full = {
@@ -200,8 +262,10 @@ def main() -> None:
         "queries": timings,
         "insuite": insuite,
         "retimed": retimed,
+        "control": control,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_sec": calib_sec,
+        "gate_ratio": round(gate, 4),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_json = os.environ.get(
@@ -215,6 +279,7 @@ def main() -> None:
     # line carries the adjudicated per-query values + a retime count.
     compact.pop("insuite")
     compact.pop("retimed")
+    compact.pop("control")
     compact["retimed_n"] = len(retimed)
     compact["queries"] = {
         short_id(n): round(t, 3) for n, t in timings.items()

@@ -107,13 +107,19 @@ def cut_lineage(
     def _apply(df: DataFrame) -> DataFrame:
         if not local_only and _checkpoint_dir(df) is not None:
             # Persist first: Dataset.checkpoint's file-writing job
-            # otherwise recomputes the whole plan a second time.
-            level = storage_level or StorageLevel.MEMORY_AND_DISK
-            df.persist(level)
+            # otherwise recomputes the whole plan a second time. But
+            # only persist/unpersist a frame THIS call cached: if the
+            # caller already persisted it, persist() here is a no-op
+            # and the finally would silently drop the caller's cache —
+            # releasing storage cut_lineage does not own.
+            we_persisted = not df.is_cached
+            if we_persisted:
+                df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
             try:
                 return df.checkpoint(eager=True)
             finally:
-                df.unpersist()
+                if we_persisted:
+                    df.unpersist()
         if storage_level is not None:
             return df.localCheckpoint(eager=eager, storageLevel=storage_level)
         return df.localCheckpoint(eager=eager)

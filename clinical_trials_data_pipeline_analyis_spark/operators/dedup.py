@@ -144,12 +144,17 @@ def lsh_candidate_pairs(
 
     ``estimate=True`` appends ``jaccard_estimate`` = (agreeing hashes)
     / num_hashes, rounded to 6, computed IN the band join's projection
-    (verify-in-join): the full signature rides each band side (one
-    long per hash) instead of being re-joined onto the candidate list
-    afterwards — two fewer shuffles of the candidate stream, and the
+    (verify-in-join): the full signature rides each band side — eight
+    8-char lowercase-hex STRING columns (md5 substrings from
+    :func:`minhash_signatures`, ~16 B each serialized, ~128 B per band
+    row) — instead of being re-joined onto the candidate list
+    afterwards: two fewer shuffles of the candidate stream, and the
     distinct dedups (doc_a, doc_b, estimate), which equals
     pair-distinct because the estimate is a deterministic function of
-    the pair.
+    the pair. Equality-on-string matches equality-on-value here, so
+    the strings are NOT cast to long: ``conv()`` per hash per band row
+    would add 8 codegen conversions to save ~64 B/row of shuffle —
+    measured noise at the band-table sizes the budget guard permits.
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes

@@ -268,58 +268,73 @@ def register(
 #: scoring), a60 (a36 rotating IN keeps the sampling/split family),
 #: q28 (q22 rotating IN is the semi/anti-join shape correlated EXISTS
 #: plans to). All eight remain registered and locally oracle-checked.
-DRIVER_WINDOW: tuple[str, ...] = (
-    "a21_dedup_cc_clusters",
-    "x08_dedup_embedding_cosine",
-    "x07_dedup_ngram_jaccard",
-    "q11_duration_parse",
-    "q13_percentile_caps",
-    "q14_count_distinct",
-    "q04_category_case_chain",
-    "q15_cohort_counts",
-    "q08_surrogate_dim",
-    "q16_having_filter",
-    "q17_exclusion_filters",
-    "x04_text_quality",
-    "q19_normalized_key_join",
-    "a26_dedup_simhash_verified",
-    "q20_yoy_growth",
-    "x11_text_langid",
-    "x12_events_hourly_window",
-    "a90_perceptron_wide",
-    "a38_ivfpq_topk",
-    "q22_semi_anti_join",
-    "a40_curation_funnel",
-    "q07_date_spine",
-    "a73_bloom_decontaminate",
-    "a43_ivfpq_residual_topk",
-    "a45_semantic_dedup",
-    "a76_canonical_by_centrality",
-    "a29_embedding_quantize",
-    "a52_sliding_chunks",
-    "a53_rhp_embedding_neardup",
-    "x17_dedup_minhash_estimate",
-    "a56_vocab_oov_rates",
-    "a58_binned_quantiles",
-    "a65_hybrid_rrf",
-    "q06_opportunity_rank",
-    "a27_multimodal_resize",
-    "x13_events_sessionize",
-    "a31_ann_ivf_multiprobe",
-    "a69_bigram_lm_scores",
-    "a59_dup_spans",
-    "a28_multimodal_frames",
-    "q21_set_operations",
-    "a64_bpe_pair_counts",
-    "q12_scalar_qa_bounds",
-    "q18_token_truncate",
-    "x01_dedup_exact",
-    "x15_multimodal_metadata",
-    "x06_dedup_simhash",
-    "a86_hll_distinct",
-    "x14_events_json_props",
-    "a36_stratified_sample",
-)
+#: Round-11 change (VERDICT r10 ask #3 — "encode oldest-first auto-
+#: rotation as code"): DRIVER_WINDOW is no longer a hand-picked tuple.
+#: It is COMPUTED as ``CHANGED_COMPONENTS + oldest-first fill`` from the
+#: tracked per-name last-green map (``window_history.LAST_GREEN``,
+#: regenerated each round start from the driver's CORRECTNESS_r*.json
+#: by ``scripts/update_window_history.py``). The hand-picked rotations
+#: above kept falling behind the repo's own <=3-round freshness policy
+#: (r9 rotated zero names; r10's 20-name catch-up still left a 16-name
+#: r3-r4 cohort at 6-7 rounds stale); the computed rule cannot. For
+#: round 11 the oldest-first fill selects exactly the r3-r7 cohorts
+#: (10+6+9+12+13 = 50 names — among them the entire outstanding r3-r4
+#: cohort q23-q27, q29, q30, x18-x20, a22, a41, a42, a44, a46, a47,
+#: closing VERDICT r10 ask #2), leaving nothing older than r9 once this
+#: window goes green. Steady state: 120 names / 50 slots -> every name
+#: re-verified every ceil(120/50) = 3 rounds, which
+#: tests/test_driver_window.py asserts as an invariant of the build
+#: rule. Names never driver-checked (new components) sort as round 0 —
+#: automatically first in line, preserving the "every new component
+#: takes a verdict the round it lands" rule.
+from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
+
+#: Queries whose code/plan changed since their last driver verdict —
+#: they owe a verdict THIS round (the changed-component rule) and take
+#: priority slots ahead of the oldest-first fill. Reset each round.
+#: Round 11: none yet — bench.py/checkpoint.py changes don't alter any
+#: local-mode query plan (the reliable checkpoint branch is never taken
+#: in driver runs: no checkpoint dir configured).
+CHANGED_COMPONENTS: tuple[str, ...] = ()
+
+WINDOW_SIZE = 50
+
+_WINDOW: tuple[str, ...] | None = None
+
+
+def _build_window(size: int = WINDOW_SIZE) -> tuple[str, ...]:
+    """changed components first, then oldest-first by last driver green.
+
+    Only registered names participate (LAST_GREEN may carry relics of
+    renamed queries, e.g. x21->a21); a CHANGED_COMPONENTS name that is
+    not registered is a hard error — a rename must not silently drop a
+    changed component out of the checked window.
+    """
+    _load_all()
+    missing = [n for n in CHANGED_COMPONENTS if n not in _REGISTRY]
+    if missing:
+        raise LookupError(
+            f"CHANGED_COMPONENTS names not registered: {missing}"
+        )
+    window = list(dict.fromkeys(CHANGED_COMPONENTS))
+    taken = set(window)
+    fill = sorted(
+        (n for n in _REGISTRY if n not in taken),
+        key=lambda n: (LAST_GREEN.get(n, 0), n),
+    )
+    window.extend(fill[: size - len(window)])
+    return tuple(window)
+
+
+def __getattr__(name: str):
+    # PEP 562: DRIVER_WINDOW needs the registry loaded, which must not
+    # happen at import time (tpch/extensions import back from here).
+    if name == "DRIVER_WINDOW":
+        global _WINDOW
+        if _WINDOW is None:
+            _WINDOW = _build_window()
+        return _WINDOW
+    raise AttributeError(name)
 
 
 def _load_all() -> None:
@@ -330,17 +345,13 @@ def _load_all() -> None:
 
 def registry() -> dict[str, Registered]:
     """All registered queries, DRIVER_WINDOW names first (in that exact
-    order), then the rest in registration order. A DRIVER_WINDOW name
-    with no registration is a hard error — a rename must not silently
-    shrink the driver-checked window."""
+    order), then the rest in registration order. The window is built by
+    :func:`_build_window` from registered names only, so every window
+    entry is registered by construction."""
     _load_all()
-    missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
-    if missing:
-        raise LookupError(
-            f"DRIVER_WINDOW names not registered: {missing}"
-        )
-    rest = [n for n in _REGISTRY if n not in set(DRIVER_WINDOW)]
-    return {n: _REGISTRY[n] for n in [*DRIVER_WINDOW, *rest]}
+    window = __getattr__("DRIVER_WINDOW")
+    rest = [n for n in _REGISTRY if n not in set(window)]
+    return {n: _REGISTRY[n] for n in [*window, *rest]}
 
 
 def spark_queries() -> dict[str, SparkQuery]:

@@ -76,6 +76,16 @@ before = n_files()
 small.transform(cut_lineage(local_only=True)).count()
 local_only_new = n_files() - before
 
+# Ownership (ADVICE r10): a frame the CALLER persisted must still be
+# cached after the reliable bracket — cut_lineage only unpersists what
+# it persisted itself.
+owned = docs.limit(10).select("doc_id")
+owned.persist()
+owned.count()
+owned.transform(cut_lineage()).count()
+caller_cache_kept = bool(owned.is_cached)
+owned.unpersist()
+
 print(
     "RESULT::"
     + json.dumps(
@@ -86,6 +96,7 @@ print(
             "level_ids": b,
             "persisted_after": leaked,
             "local_only_new_files": local_only_new,
+            "caller_cache_kept": caller_cache_kept,
         }
     )
 )
@@ -116,6 +127,10 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
     assert got["wrote_files"] > 0, "no checkpoint files written — reliable branch not taken"
     assert got["local_only_new_files"] == 0, "local_only wrote reliable files"
     assert got["persisted_after"] == 0, "persist-before-checkpoint bracket leaked an RDD"
+    assert got["caller_cache_kept"], (
+        "cut_lineage unpersisted a frame the caller had cached — "
+        "it must only release storage it persisted itself"
+    )
 
     # Local-mode leg in the shared session (no checkpoint dir configured).
     assert spark.sparkContext.getCheckpointDir() is None
@@ -129,3 +144,44 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
     )
     assert got["lazy_ids"] == small
     assert got["level_ids"] == small
+
+
+def test_connect_mode_falls_back_to_local_checkpoint():
+    """Spark Connect exposes no ``sparkContext`` — the checkpoint-dir
+    probe must swallow that and route to ``localCheckpoint`` instead of
+    raising at every truncation point. Pure-Python fakes: the branch
+    under test is driver-side control flow, no cluster needed."""
+    from pyspark.storagelevel import StorageLevel
+
+    from clinical_trials_data_pipeline_analyis_spark.checkpoint import cut_lineage
+
+    class _ConnectSession:
+        @property
+        def sparkContext(self):
+            raise NotImplementedError(
+                "sparkContext is not supported in Spark Connect"
+            )
+
+    class _ConnectDF:
+        sparkSession = _ConnectSession()
+
+        def __init__(self):
+            self.local_calls = []
+
+        def localCheckpoint(self, eager=True, storageLevel=None):
+            self.local_calls.append((eager, storageLevel))
+            return self
+
+        def checkpoint(self, eager=True):  # pragma: no cover - guard
+            raise AssertionError(
+                "reliable branch taken on a Connect-style session"
+            )
+
+    df = _ConnectDF()
+    assert cut_lineage()(df) is df
+    assert df.local_calls == [(True, None)]
+
+    df2 = _ConnectDF()
+    level = StorageLevel.MEMORY_AND_DISK
+    cut_lineage(eager=False, storage_level=level)(df2)
+    assert df2.local_calls == [(False, level)]

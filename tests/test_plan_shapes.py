@@ -392,3 +392,29 @@ def test_minhash_estimate_is_in_join(spark):
     df = spark_queries()["x17_dedup_minhash_estimate"](spark, SF_DIR)
     plan = _plan(df)
     assert _join_count(plan) == 1, plan
+
+
+def test_ngram_jaccard_joins_are_post_aggregation(spark):
+    """x07: exactly THREE joins — the per-shingle inverted-index
+    self-join plus two size lookups. The invariant that makes three
+    acceptable where a candidate re-join is not: the self-join's output
+    feeds a partial-combining aggregate IMMEDIATELY (count per pair), so
+    the size joins run on the COLLAPSED (doc_a, doc_b, intersection)
+    stream — O(distinct surviving pairs) rows of 8-byte payloads, never
+    the exploded per-shingle candidate stream. A refactor inserting a
+    fourth join (re-joining shingle sets onto candidates) or deferring
+    the aggregate fails here."""
+    df = spark_queries()["x07_dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = _plan(df)
+    assert _join_count(plan) == 3, plan
+
+
+def test_semantic_dedup_verify_is_in_join(spark):
+    """a45: exactly TWO joins — the within-cell pair scan (cosine
+    verified inside its projection: vectors + norms ride the join
+    sides) and the final keep-rank join of components back onto the
+    checkpointed blocked frame. A third join would mean the verify
+    left the pair scan (the pre-r8 candidate re-join shape)."""
+    df = spark_queries()["a45_semantic_dedup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert _join_count(plan) == 2, plan

@@ -87,6 +87,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    use_flat: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine.
 
@@ -103,6 +104,17 @@ def ivf_assign(
     (3 folds per pair + window sort over 6.4e7 rows) at 62s for the
     bare assignment; this is the pq_encode rewrite applied to its
     coarse-quantizer sibling.
+
+    ``use_flat`` (requires ``dim``) routes the cross-term dot through
+    the flat codegen form (``functions/vectors.py``; bit-identical —
+    same left-assoc float order). The assign is the textbook "one short
+    dot over 10^8+ rows" flat-wins regime ONCE n x k is large: with the
+    k ∝ n auto-provisioning rule (``semdedup_auto_k``) the scored-row
+    count grows as n²/target_cell — 6.4e7 rows at the 500k/k=128 sweep
+    (a measured wash) but 5.1e9 at the 2.5M/k=2048 rung, where the
+    interpreted fold is the leg's dominant stage. Default stays fold:
+    the registered sf0.1 queries (x10/x16/a24/a31, k<=128) sit in the
+    flat-LOSES regime (per-plan compile constant > total fold cost).
     """
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
@@ -119,7 +131,7 @@ def ivf_assign(
         "centroid_id",
         F.round(
             F.try_divide(
-                dot(F.col("vvec"), F.col("cvec"), dim=dim),
+                dot(F.col("vvec"), F.col("cvec"), dim=dim, use_flat=use_flat),
                 F.col("_vn") * F.col("_cn"),
             ),
             6,
@@ -994,6 +1006,14 @@ def rhp_near_duplicates(
 #: a comfortable executor broadcast; real deployments tune it per cluster.
 SEMANTIC_DEDUP_BROADCAST_LIMIT = 2_000_000
 
+#: Centroid count at which ``semantic_dedup`` switches its coarse
+#: assign's cross-term dot to the flat codegen form (bit-identical; see
+#: ``ivf_assign``'s docstring for the n x k cost regime). 512 is the
+#: first auto-k rung past every registered query's k (<=128, measured
+#: flat-loses at sf0.1) and the 1M rung's auto-k, where n x k >= 5e8
+#: puts the dot firmly in the measured flat-wins regime.
+IVF_ASSIGN_FLAT_MIN_K = 512
+
 #: Candidate-row budget for the SemDeDup pair scan: Σ n(n−1)/2 over IVF
 #: cells — the exact row count the within-cell ``vec_a < vec_b`` join
 #: materializes, and with a FIXED centroid count k it grows as n²/k (the
@@ -1248,8 +1268,26 @@ def semantic_dedup(
 
     from pyspark import StorageLevel
 
+    # Coarse-assign cost is |corpus| x k cross-term dots — under the
+    # k ∝ n provisioning rule this grows as n²/target_cell, and at the
+    # 2.5M/k=2048 rung the interpreted fold made the assign the leg's
+    # dominant stage. Past IVF_ASSIGN_FLAT_MIN_K centroids (and with
+    # dim known) the dot routes through the flat codegen form —
+    # bit-identical (same left-assoc order, tests/test_vectors_dim.py),
+    # so oracle parity is unaffected. Small k (every registered sf0.1
+    # query, k<=128) stays on the fold, where the flat form's per-plan
+    # compile constant exceeds its savings. centroids is small by
+    # contract (it is about to be broadcast), so the count is one cheap
+    # action.
+    k = centroids.count()
+    assign_flat = dim is not None and k >= IVF_ASSIGN_FLAT_MIN_K
     assigned = ivf_assign(
-        embeddings, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        embeddings,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        use_flat=assign_flat,
     )
     # The checkpointed frame carries the full embedding arrays, so HOW it
     # is stored matters at corpus scale: the blocks are stored SERIALIZED

@@ -28,6 +28,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
 from ..checkpoint import cut_lineage
 
 from ..functions.text import normalized_text, whitespace_tokens, word_shingles
@@ -696,6 +698,18 @@ def remove_spans(
     )
 
 
+#: Storage level for every O(|edges|) checkpoint inside the CC loops:
+#: SERIALIZED blocks (MEMORY_AND_DISK). The localCheckpoint default
+#: keeps deserialized row objects — ~5x inflation on a two-long edge
+#: row — and at the 2.5M SemDeDup rung the deserialized symmetrized
+#: edge list alone filled the 48 GiB unified pool, starving the next
+#: hash aggregate (AGGREGATE_OUT_OF_MEMORY, "got 0"). Serialized
+#: blocks also stream to/from disk in chunks on eviction instead of
+#: re-inflating whole partitions. Storage layout only; values are
+#: unaffected.
+_EDGE_CHECKPOINT_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -748,9 +762,18 @@ def connected_components(
     # pipeline, not its input. The checkpoint happens BEFORE any
     # self-union: a union of two selects over the raw plan would embed
     # (and execute) the upstream pipeline twice.
+    #
+    # Every O(|edges|) frame in this loop stores its blocks SERIALIZED
+    # (MEMORY_AND_DISK): the localCheckpoint default keeps DESERIALIZED
+    # row objects, which inflate a two-long edge row ~5x — the round-8
+    # `blocked` lesson, re-learned at the 2.5M SemDeDup rung where the
+    # deserialized symmetrized edge list filled the unified pool and the
+    # next aggregate died with AGGREGATE_OUT_OF_MEMORY ("got 0" — the
+    # storage side had taken everything execution could not evict fast
+    # enough). Label-scale frames (O(vertices)) keep the default.
     e0 = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).transform(cut_lineage())
+    ).transform(cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL))
     if algorithm == "auto":
         # Propagation gets a SHORT leash (8 rounds covers every shallow
         # near-dup graph) — burning the full cap before falling back
@@ -802,7 +825,7 @@ def _cc_propagation(
             e0.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .repartition(F.col("_src"))
-        .transform(cut_lineage())
+        .transform(cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL))
     )
     # Active subgraph only: vertices that touch at least one edge
     # (already co-partitioned by _src, so this distinct adds no shuffle).
@@ -868,7 +891,7 @@ def _cc_two_phase(
             .distinct()
         )
 
-    E = canon(e0).transform(cut_lineage())
+    E = canon(e0).transform(cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL))
     rounds = 0
     while True:
         stats = (
@@ -903,7 +926,9 @@ def _cc_two_phase(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("_src"), F.col("m").alias("_dst"))
         )
-        E1 = canon(large).transform(cut_lineage())
+        E1 = canon(large).transform(
+            cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL)
+        )
         # small-star: every smaller neighbor (and u itself) connects to
         # m(u) = min of u's smaller neighbors; canonical E1 IS the
         # child>parent directed form small-star operates on.
@@ -917,7 +942,9 @@ def _cc_two_phase(
                 )
             )
         )
-        E = canon(small).transform(cut_lineage())
+        E = canon(small).transform(
+            cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL)
+        )
     # At convergence every child points at its component min (a root).
     children = stats.select(F.col("u").alias(id_col), F.col("p").alias("component"))
     roots = (

@@ -21,12 +21,21 @@ search", TPAMI 2011 — the coarse-quantizer stage, without PQ codes).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from ..checkpoint import cut_lineage
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 from .dedup import _spread
+
+#: Scale-diagnostic logger (INFO): candidate-budget numbers the guards
+#: compute anyway — Σ n(n−1)/2 and the largest cell — so a rung harness
+#: or an operator can record the pair-scan volume without re-running
+#: the cell histogram. No behavioral effect; silent unless a caller
+#: enables INFO on this logger.
+_LOG = logging.getLogger("clinical_trials_data_pipeline_analyis_spark.similarity")
 
 
 def brute_force_topk(
@@ -1105,6 +1114,13 @@ def semantic_pair_candidates(
                     ).alias("cand")
                 ).collect()[0]["cand"]
             )
+            if est is not None:
+                _LOG.info(
+                    "semantic_pair_candidates: sigma n(n-1)/2 = %d "
+                    "candidate rows (budget %d)",
+                    int(est),
+                    max_candidates,
+                )
             if est is not None and est > max_candidates:
                 top = (
                     cells.orderBy(F.desc("n"), F.asc("_cell"))

@@ -57,9 +57,16 @@ def main() -> None:
         gen_embeddings(vec_path, N_VECS)
         print(f"generated {N_VECS} embeddings in {time.time()-t0:.1f}s", flush=True)
 
-    # 1 GB+/core scaling that carried the 1M rung (32g), grown with the
-    # corpus: 2.5x rows -> 48g headroom on the 128 GiB host.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 96g on the 128 GiB host: the first 48g attempt died in the CC
+    # loop's labels aggregate (AGGREGATE_OUT_OF_MEMORY) while the
+    # symmetrized edge list sat DESERIALIZED in the storage pool — the
+    # code fix (serialized edge checkpoints, dedup.py
+    # ``_EDGE_CHECKPOINT_LEVEL``) is the real remedy; the larger heap
+    # gives the leg the same ~40 B/vector-of-heap ratio the 1M/32g leg
+    # had, with room for the 2.5x edge volume.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
+    import logging
+
     from pyspark.sql import functions as F
 
     from clinical_trials_data_pipeline_analyis_spark.session import get_spark
@@ -79,6 +86,18 @@ def main() -> None:
     )
     k_auto = semdedup_auto_k(N_VECS)
     assert k_auto == 2048, f"semdedup_auto_k(2.5M) moved: {k_auto}"
+
+    # Capture the pair-scan budget number the guard computes anyway
+    # (sigma n(n-1)/2) — the leg's candidate volume, for the record.
+    budget_lines: list[str] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record: logging.LogRecord) -> None:
+            budget_lines.append(record.getMessage())
+
+    sim_log = logging.getLogger("clinical_trials_data_pipeline_analyis_spark.similarity")
+    sim_log.setLevel(logging.INFO)
+    sim_log.addHandler(_Capture())
 
     spark = get_spark(app_name="bench-2m5-rung")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,6 +130,7 @@ def main() -> None:
                 "rows": n,
                 "kept": kept,
                 "calib_sec": calib,
+                "budget_log": budget_lines,
             }
         ),
         flush=True,

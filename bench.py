@@ -195,8 +195,14 @@ def main() -> None:
 
     # Adjudication pass (see module docstring): re-run gate-risk rows
     # solo-style at suite end; file the retimed value per suspect.
+    # SPARK_GRAFT_ADJUDICATE=0 disables it — the trigger compares to
+    # BASELINE.md's sf0.1 rows, so at any other SF (the sf1/sf10 scale
+    # sweeps point SPARK_GRAFT_SF_DIR elsewhere) every row would trip
+    # the gate and the pass would re-run the whole suite; scale sweeps
+    # adjudicate with scripts/adjudicate_sweep.py (fresh-process) instead.
+    adjudicate = os.environ.get("SPARK_GRAFT_ADJUDICATE", "1") != "0"
     insuite = dict(timings)
-    base = baseline_times()
+    base = baseline_times() if adjudicate else {}
     # Calib-scaled trigger: on a host slower than the BASELINE reference
     # (ratio > 1) the gate loosens proportionally so host speed alone
     # can't put most of the suite into the retime pass; never tightens
@@ -241,7 +247,7 @@ def main() -> None:
     # Control sample: measure the in-suite-vs-solo delta on rows that
     # did NOT trip the gate. Recorded, never filed.
     control: dict[str, float] = {}
-    for name in CONTROL_SAMPLE:
+    for name in CONTROL_SAMPLE if adjudicate else ():
         if name in timings and name not in retimed:
             control[name] = _solo_time(name)
             print(

@@ -52,6 +52,14 @@ def main() -> None:
     ap.add_argument("--prior", default=None, help="prior sweep JSON to compare")
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--dir", default=None, help="corpus dir (forwarded)")
+    ap.add_argument(
+        "--runner",
+        choices=("corpus", "suite"),
+        default="corpus",
+        help="corpus = bench_corpus_sf10.py --names (corpus-family rows, "
+        "sf10 corpus shape); suite = run_one.py --sf-dir (ANY registered "
+        "query at any sf dir — the whole-suite sf1 sweep's retime leg)",
+    )
     args = ap.parse_args()
 
     sweep = json.load(open(args.sweep))
@@ -66,7 +74,11 @@ def main() -> None:
         print("no suspects — nothing to adjudicate")
         return
 
-    bench = os.path.join(REPO, "scripts", "bench_corpus_sf10.py")
+    bench = os.path.join(
+        REPO,
+        "scripts",
+        "bench_corpus_sf10.py" if args.runner == "corpus" else "run_one.py",
+    )
     insweep = dict(sweep.setdefault("insweep", {}))
     retimed = sweep.setdefault("retimed", {})
     recalib = sweep.setdefault("retimed_calib", {})
@@ -74,9 +86,14 @@ def main() -> None:
         base = name.split("(")[0]  # routed forms re-run their base query
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             out = tf.name
-        cmd = [sys.executable, bench, "--names", base, "--out", out]
-        if args.dir:
-            cmd += ["--dir", args.dir]
+        if args.runner == "corpus":
+            cmd = [sys.executable, bench, "--names", base, "--out", out]
+            if args.dir:
+                cmd += ["--dir", args.dir]
+        else:
+            cmd = [sys.executable, bench, base, "--out", out]
+            if args.dir:
+                cmd += ["--sf-dir", args.dir]
         print(f"adjudicating {name} (fresh process)...", flush=True)
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         if proc.returncode != 0:

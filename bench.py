@@ -140,6 +140,15 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    # SPARK_GRAFT_ONLY=q01,q10_star,... runs only the matching subset
+    # (substring match per token) — the relational/events sf10 rung
+    # times 15 queries against a dir whose corpus tables are not scaled.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        toks = [t.strip() for t in only.split(",") if t.strip()]
+        names = [n for n in names if any(t in n for t in toks)]
+        if not names:
+            raise SystemExit(f"SPARK_GRAFT_ONLY={only!r} matched no queries")
 
     # Warm the JVM + file listing once so per-query numbers measure the
     # query, not session startup.

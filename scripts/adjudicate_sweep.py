@@ -53,12 +53,23 @@ def main() -> None:
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--dir", default=None, help="corpus dir (forwarded)")
     ap.add_argument(
+        "--max-calib",
+        type=float,
+        default=0.65,
+        help="accept a fresh-process attempt only if its own calib_sec is "
+        "at or under this (a quiet-host window); past --retries attempts "
+        "the best-calib attempt is filed anyway",
+    )
+    ap.add_argument("--retries", type=int, default=4)
+    ap.add_argument(
         "--runner",
         choices=("corpus", "suite"),
         default="corpus",
         help="corpus = bench_corpus_sf10.py --names (corpus-family rows, "
-        "sf10 corpus shape); suite = run_one.py --sf-dir (ANY registered "
-        "query at any sf dir — the whole-suite sf1 sweep's retime leg)",
+        "sf10 corpus shape, single timed run); suite = run_one.py --sf-dir "
+        "(ANY registered query at any sf dir, BEST-OF-2 in the fresh JVM — "
+        "the warm-solo method bench.py's in-suite adjudicator uses; a cold "
+        "first run measures JIT/codegen warmup, see run_one.py)",
     )
     args = ap.parse_args()
 
@@ -95,14 +106,39 @@ def main() -> None:
             if args.dir:
                 cmd += ["--sf-dir", args.dir]
         print(f"adjudicating {name} (fresh process)...", flush=True)
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
-        if proc.returncode != 0:
-            print(f"  FAILED rc={proc.returncode}: {proc.stderr[-500:]}")
-            continue
-        fresh = json.load(open(out))
-        os.unlink(out)
-        if name not in fresh["queries"]:
-            print(f"  no timing for {name} in fresh run: {fresh.get('errors')}")
+        # Load-aware retry: on a shared host the external load swings
+        # minute-to-minute (measured calib 0.16-4.26 within two minutes
+        # on the round-11 relational rung); a retime taken in a bad
+        # window files a load artifact, not the query. Each attempt's
+        # own calib is the witness — retry until it lands under
+        # --max-calib, else keep the attempt with the best calib.
+        fresh = None
+        for attempt in range(args.retries):
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=7200
+            )
+            if proc.returncode != 0:
+                print(f"  FAILED rc={proc.returncode}: {proc.stderr[-500:]}")
+                continue
+            cand = json.load(open(out))
+            if name not in cand["queries"]:
+                print(
+                    f"  no timing for {name} in fresh run: {cand.get('errors')}"
+                )
+                continue
+            if fresh is None or cand["calib_sec"] < fresh["calib_sec"]:
+                fresh = cand
+            if cand["calib_sec"] <= args.max_calib:
+                break
+            print(
+                f"  attempt {attempt + 1}: calib {cand['calib_sec']} > "
+                f"--max-calib {args.max_calib} (loaded host window), "
+                f"retrying...",
+                flush=True,
+            )
+        if os.path.exists(out):
+            os.unlink(out)
+        if fresh is None:
             continue
         insweep.setdefault(name, sweep["queries"][name])
         retimed[name] = fresh["queries"][name]

@@ -8,6 +8,16 @@ Mirrors bench.py's measurement hygiene: same warms (parquet footers +
 Arrow worker spinup), same deterministic JVM calib workload, one timed
 `.count()`.
 
+The timing is BEST-OF-2 — the same method as bench.py's in-suite
+`_solo_time` adjudicator. A fresh JVM's FIRST heavy run measures
+JIT/whole-stage-codegen/classloading warmup, not the query: measured
+on the 100x relational rung, q09_window_dedup runs 38.0s / 7.8s /
+4.6s on consecutive executions in one fresh process (the in-sweep
+value, 9.5s, sits right at the warm level because earlier sweep
+queries had warmed the scan path). A single cold run is a different
+metric (one-shot-job latency) and must not be filed against warm-JVM
+sweep rows.
+
 Usage: python scripts/run_one.py NAME --sf-dir DIR [--out OUT.json]
 Prints/writes {"queries": {NAME: sec}, "calib_sec": c} — the same shape
 adjudicate_sweep.py merges from.
@@ -55,14 +65,21 @@ def main() -> None:
     ).collect()
     calib_sec = round(time.perf_counter() - c0, 4)
 
-    t0 = time.perf_counter()
-    n = qs[args.name](spark, args.sf_dir).count()
-    sec = round(time.perf_counter() - t0, 4)
+    runs: list[float] = []
+    n = 0
+    for _ in range(2):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        n = qs[args.name](spark, args.sf_dir).count()
+        runs.append(round(time.perf_counter() - t0, 4))
+    sec = min(runs)
 
     result = {
         "queries": {args.name: sec},
         "calib_sec": calib_sec,
         "rows": {args.name: n},
+        "runs": runs,
         "sf_dir": args.sf_dir,
     }
     line = json.dumps(result)

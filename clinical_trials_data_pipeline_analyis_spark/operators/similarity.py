@@ -847,6 +847,89 @@ def rhp_auto_bits(
     return bands * per_band
 
 
+#: Packing/JIT ceiling for auto-escalated band width: band_sig packs
+#: bits into a LONG (hard cap ~62), but the practical bound is the
+#: signing projection's cost — every bit is one dim-wide dot per row,
+#: and the whole-stage-codegen method grows with it. 30-bit bands
+#: (2^30 buckets) already give a 5e8-candidate budget headroom past
+#: 8 billion rows; past that the answer is more bands, not more bits.
+RHP_MAX_BAND_BITS = 30
+
+
+def rhp_candidate_estimate(
+    embeddings: DataFrame,
+    n_bits: int,
+    bands: int,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int | None:
+    """Exact candidate-row count of the (band, band_sig) equi-join at
+    the given geometry: Σ n(n−1)/2 over bucket sizes, from a NARROW
+    signature pass — no vector payload, no checkpoint, one shuffle of
+    (band, band_sig) longs. This is the same number the in-operator
+    fan-out guard computes; exposed separately so auto-sizing can probe
+    a geometry for the cost of a signing pass instead of building the
+    wide checkpointed join input first."""
+    s = rhp_signatures(embeddings, n_bits, bands, dim, seed, id_col, vec_col)
+    row = (
+        s.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum((F.col("n") * (F.col("n") - F.lit(1))) / F.lit(2)).alias(
+                "cand"
+            )
+        )
+        .collect()[0]["cand"]
+    )
+    return None if row is None else int(row)
+
+
+def rhp_escalate_bits(
+    embeddings: DataFrame,
+    n_bits: int,
+    bands: int,
+    *,
+    max_candidates: int,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_band_bits: int = RHP_MAX_BAND_BITS,
+) -> int:
+    """Data-aware refinement of the n-only sizing law: starting from
+    ``n_bits`` (normally ``rhp_auto_bits``'s answer), measure the
+    actual candidate mass and widen the bands one bit at a time until
+    it fits ``max_candidates`` (or the packing/JIT ceiling).
+
+    Why the law alone is not enough — measured at the 5M rung
+    (round 11): ``rhp_auto_bits(5M)`` = 17-bit bands targets a
+    64-row RANDOM bucket (5M/2^17 ≈ 38), but the law only knows n.
+    On the Zipf-CLUSTERED corpus the measured mass was 1,159,901,039
+    candidates — 2.3x the 500M budget — because same-cluster vectors
+    (cosine ≈ 0.2) agree per bit at 1 − arccos(0.2)/π ≈ 0.564 instead
+    of the random 0.5, and that excess compounds per bit. Each extra
+    bit multiplies the clustered collision mass by ~0.564 (and the
+    random mass by 0.5), so a couple of bits absorb the cluster
+    structure; the escalation stops at the first geometry the data
+    actually fits. Exact dup pairs survive any width (identical
+    vectors share every signature) — they are the contract output.
+
+    Cost: one narrow signing pass per probed geometry (the wide
+    checkpointed join input is built once, after sizing). Returns the
+    chosen ``n_bits`` (bands × chosen band width).
+    """
+    band_bits = max(1, n_bits // bands)
+    while True:
+        est = rhp_candidate_estimate(
+            embeddings, band_bits * bands, bands, dim, seed, id_col, vec_col
+        )
+        if est is None or est <= max_candidates or band_bits >= max_band_bits:
+            return band_bits * bands
+        band_bits += 1
+
+
 def rhp_near_duplicates(
     embeddings: DataFrame,
     threshold: float,
@@ -904,6 +987,24 @@ def rhp_near_duplicates(
     if n_bits == "auto":
         n = row_count_hint if row_count_hint is not None else embeddings.count()
         n_bits = rhp_auto_bits(n, bands=bands, target_bucket=target_bucket)
+        # Data-aware escalation (round 11, by the 5M-rung refusal): the
+        # n-only law under-sizes on clustered corpora — same-cluster
+        # sign bits agree above the random rate, and at 5M the law's
+        # 17-bit bands measured 1.16e9 candidates against the 500M
+        # budget. Probe the ACTUAL candidate mass with narrow signing
+        # passes and widen until it fits; a pinned-int call keeps the
+        # strict refuse-loudly contract unchanged.
+        if max_candidates is not None:
+            n_bits = rhp_escalate_bits(
+                embeddings,
+                n_bits,
+                bands,
+                max_candidates=max_candidates,
+                dim=dim,
+                seed=seed,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
     elif not isinstance(n_bits, int):
         raise ValueError(f"n_bits must be an int or 'auto', got {n_bits!r}")
 

@@ -50,3 +50,82 @@ def test_semantic_dedup_auto_flat_rule(spark, monkeypatch):
     monkeypatch.setattr(similarity, "IVF_ASSIGN_FLAT_MIN_K", k)  # binds now
     flat = sorted(map(key, semantic_dedup(emb, cent, 0.95, dim=_DIM).collect()))
     assert fold == flat
+
+
+# ---------------------------------------------------------------------
+# Data-aware RHP band escalation (the 5M-rung refusal: rhp_auto_bits'
+# n-only law under-sizes on clustered corpora — measured 1.16e9
+# candidates vs the 500M budget at 17-bit bands; auto mode now probes
+# the actual candidate mass and widens until it fits).
+# ---------------------------------------------------------------------
+from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (  # noqa: E402
+    rhp_candidate_estimate,
+    rhp_escalate_bits,
+    rhp_near_duplicates,
+    rhp_signatures,
+)
+
+
+def test_rhp_candidate_estimate_matches_bucket_math(spark):
+    """The narrow estimate must equal Σ n(n−1)/2 over the bucket sizes
+    of the SAME geometry's signature table, computed independently."""
+    emb = _emb(spark)
+    est = rhp_candidate_estimate(emb, 8, 2, dim=_DIM)
+    sizes = (
+        rhp_signatures(emb, 8, 2, dim=_DIM)
+        .groupBy("band", "band_sig")
+        .count()
+        .collect()
+    )
+    expected = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert est == expected and est > 0
+
+
+def test_rhp_escalate_bits_fits_the_budget(spark):
+    """Starting from deliberately under-sized 1-bit bands (2 buckets per
+    band — nearly all-pairs), escalation must widen until the measured
+    candidate mass fits the budget, and the returned geometry's
+    estimate must actually fit."""
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)  # far below the 1-bit all-pairs mass
+    chosen = rhp_escalate_bits(
+        emb, 2, 2, max_candidates=budget, dim=_DIM
+    )
+    assert chosen > 2 and chosen % 2 == 0
+    assert rhp_candidate_estimate(emb, chosen, 2, dim=_DIM) <= budget
+
+
+def test_rhp_auto_escalation_completes_and_matches_pinned(spark):
+    """An auto call whose initial law-sized geometry exceeds the budget
+    must COMPLETE (not refuse) and return exactly the pinned result at
+    the escalated width — auto is sizing, never semantics."""
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)
+    chosen = rhp_escalate_bits(
+        emb, 2, 2, max_candidates=budget, dim=_DIM
+    )
+    key = lambda r: (r["vec_a"], r["vec_b"], r["cosine"])  # noqa: E731
+    auto = rhp_near_duplicates(
+        emb, 0.8, n_bits="auto", bands=2, dim=_DIM,
+        max_candidates=budget, target_bucket=2 * n,  # law start = 1-bit bands
+    )
+    pinned = rhp_near_duplicates(
+        emb, 0.8, n_bits=chosen, bands=2, dim=_DIM, max_candidates=budget
+    )
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, pinned.collect())
+    )
+
+
+def test_rhp_pinned_refusal_unchanged(spark):
+    """A pinned-int call past the budget must still refuse loudly with
+    the bits-growth prescription — escalation is auto-mode only."""
+    import pytest
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="under-sized for this corpus"):
+        rhp_near_duplicates(
+            emb, 0.8, n_bits=2, bands=2, dim=_DIM, max_candidates=50
+        ).count()

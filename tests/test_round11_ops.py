@@ -99,24 +99,49 @@ def test_rhp_escalate_bits_fits_the_budget(spark):
 def test_rhp_auto_escalation_completes_and_matches_pinned(spark):
     """An auto call whose initial law-sized geometry exceeds the budget
     must COMPLETE (not refuse) and return exactly the pinned result at
-    the escalated width — auto is sizing, never semantics."""
+    the escalated width — auto is sizing, never semantics.
+
+    The threshold sits BELOW the fixture's cosine range (max pairwise
+    cosine ≈ 0.479 — ADVICE r11: at 0.8 both sides were empty and the
+    equality was vacuous), so the compared result sets are non-empty
+    and the identity is exercised on real rows. The law's starting
+    geometry is asserted explicitly: target_bucket=2n puts the raw law
+    at 1-bit bands, but rhp_auto_bits floors at min_band_bits=8, so
+    the escalation starts from 8-bit bands (16 total), not 1-bit."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        rhp_auto_bits,
+    )
+
     emb = _emb(spark)
     n = emb.count()
     budget = max(50, n // 2)
+    assert rhp_auto_bits(n, bands=2, target_bucket=2 * n) == 16  # 8-bit floor
+    # Same 16-bit law start as the auto call, so both walk the same
+    # probe sequence and land on the same escalated width.
     chosen = rhp_escalate_bits(
-        emb, 2, 2, max_candidates=budget, dim=_DIM
+        emb, 16, 2, max_candidates=budget, dim=_DIM
     )
+    assert chosen > 16  # the fixture's mass escalates past the law
     key = lambda r: (r["vec_a"], r["vec_b"], r["cosine"])  # noqa: E731
-    auto = rhp_near_duplicates(
-        emb, 0.8, n_bits="auto", bands=2, dim=_DIM,
-        max_candidates=budget, target_bucket=2 * n,  # law start = 1-bit bands
+    auto = sorted(
+        map(
+            key,
+            rhp_near_duplicates(
+                emb, 0.3, n_bits="auto", bands=2, dim=_DIM,
+                max_candidates=budget, target_bucket=2 * n,
+            ).collect(),
+        )
     )
-    pinned = rhp_near_duplicates(
-        emb, 0.8, n_bits=chosen, bands=2, dim=_DIM, max_candidates=budget
+    pinned = sorted(
+        map(
+            key,
+            rhp_near_duplicates(
+                emb, 0.3, n_bits=chosen, bands=2, dim=_DIM,
+                max_candidates=budget,
+            ).collect(),
+        )
     )
-    assert sorted(map(key, auto.collect())) == sorted(
-        map(key, pinned.collect())
-    )
+    assert auto and auto == pinned
 
 
 def test_rhp_pinned_refusal_unchanged(spark):

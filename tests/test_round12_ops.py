@@ -1,0 +1,230 @@
+"""Round-12 additions (VERDICT r11 asks #1/#2 + ADVICE r11): the RHP
+escalation is now recall-aware and predict-then-confirm.
+
+- probe cost: ~2 narrow signing passes beyond the law geometry instead
+  of +1-bit stepping, same chosen width as the stepping loop;
+- recall: the Charikar estimate at the chosen geometry is carried on
+  the escalation record (and logged), ``min_recall`` prefers adding
+  bands over widening bits, and refuses when budget and floor cannot
+  both be met;
+- the measured mass at the chosen geometry is REUSED by the in-operator
+  guard (no redundant full signing pass in auto mode);
+- the at-ceiling guard refusal prescribes bands/budget, not wider bands.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from conftest import SF_DIR
+
+from clinical_trials_data_pipeline_analyis_spark.operators import similarity
+from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+    RHP_MAX_BAND_BITS,
+    rhp_candidate_estimate,
+    rhp_escalate_geometry,
+    rhp_near_duplicates,
+    rhp_recall_estimate,
+)
+
+_DIM = 64
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_recall_estimate_is_charikar_closed_form():
+    """1 − (1 − q^bits)^bands with q = 1 − arccos(c)/π, and the
+    monotonicities the escalation relies on: up in cosine and bands,
+    down in band width."""
+    q = 1.0 - math.acos(0.99) / math.pi
+    assert rhp_recall_estimate(0.99, 14, 4) == pytest.approx(
+        1.0 - (1.0 - q**14) ** 4
+    )
+    # The 5M-rung table's predicted values (measure_rhp_recall.py used
+    # mean cosine 0.9908; at 0.99 the numbers shift in the 3rd decimal).
+    assert rhp_recall_estimate(0.9908, 14, 4) == pytest.approx(0.9546, abs=5e-4)
+    assert rhp_recall_estimate(0.9908, 19, 4) == pytest.approx(0.8956, abs=5e-4)
+    assert rhp_recall_estimate(0.999, 14, 4) > rhp_recall_estimate(0.99, 14, 4)
+    assert rhp_recall_estimate(0.99, 14, 5) > rhp_recall_estimate(0.99, 14, 4)
+    assert rhp_recall_estimate(0.99, 15, 4) < rhp_recall_estimate(0.99, 14, 4)
+
+
+def test_escalation_uses_at_most_two_probes_beyond_law(spark, monkeypatch):
+    """On the clustered fixture, the predict-then-confirm walk must (a)
+    probe at most twice beyond the initial law geometry and (b) choose
+    exactly the width the +1-bit stepping loop would — the jumps are
+    lower bounds, never overshoots (VERDICT r11 ask #2's Done)."""
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)
+
+    calls = []
+    real = similarity.rhp_candidate_estimate
+
+    def counting(embeddings, n_bits, bands, *a, **k):
+        calls.append((n_bits, bands))
+        return real(embeddings, n_bits, bands, *a, **k)
+
+    monkeypatch.setattr(similarity, "rhp_candidate_estimate", counting)
+    geom = rhp_escalate_geometry(
+        emb, 16, 2, max_candidates=budget, dim=_DIM
+    )
+    assert geom.fits and geom.escalated
+    assert calls[0] == (16, 2)  # first probe IS the law geometry
+    assert len(calls) <= 3  # initial + <=2 predict/confirm probes
+    assert len(geom.probes) == len(calls)
+
+    # Reference: the round-11 stepping loop, re-run independently.
+    bb = 8
+    while True:
+        est = real(emb, bb * 2, 2, _DIM)
+        if est is None or est <= budget or bb >= RHP_MAX_BAND_BITS:
+            break
+        bb += 1
+    assert geom.n_bits == bb * 2
+
+
+def test_unsatisfiable_budget_jumps_straight_to_ceiling(spark):
+    """ADVICE r11: the old loop walked +1 bit per full signing pass —
+    up to ~22 serial corpus passes to the 30-bit ceiling. A budget no
+    width can satisfy must now cost TWO probes: the law geometry, then
+    the ceiling."""
+    emb = _emb(spark)
+    geom = rhp_escalate_geometry(
+        emb, 2, 2, max_candidates=0, dim=_DIM, max_band_bits=3
+    )
+    assert geom.n_bits == 6 and not geom.fits
+    assert len(geom.probes) == 2
+    assert geom.probes[-1][0] == 3  # second probe is the ceiling itself
+
+
+def test_escalation_record_carries_recall_and_law(spark):
+    """The escalation result names the law start, the measured masses,
+    every probe, and the Charikar recall at both geometries — the
+    caller-visible signal VERDICT r11 ask #1 demanded."""
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)
+    geom = rhp_escalate_geometry(
+        emb, 16, 2, max_candidates=budget, dim=_DIM
+    )
+    assert geom.law_n_bits == 16 and geom.law_bands == 2
+    assert geom.law_estimate > budget  # why it escalated
+    assert geom.candidate_estimate <= budget
+    # Wider bits at the same band count ⇒ recall strictly drops; the
+    # record must expose the price.
+    assert geom.recall_estimate < geom.law_recall_estimate
+    assert geom.recall_cosine == similarity.RHP_RECALL_COSINE
+    d = geom.describe()
+    assert "law 16 bits x 2 bands" in d and "Charikar recall" in d
+
+
+def test_auto_escalation_logs_the_geometry(spark, caplog):
+    """Auto mode must emit the warning naming law geometry, measured
+    mass, chosen geometry, and recall estimate (ADVICE r11)."""
+    import logging
+
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="clinical_trials_data_pipeline_analyis_spark.similarity",
+    ):
+        rhp_near_duplicates(
+            emb, 0.3, n_bits="auto", bands=2, dim=_DIM,
+            max_candidates=budget, target_bucket=2 * n,
+        ).count()
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(
+        "rhp auto escalation" in m and "Charikar recall" in m for m in msgs
+    )
+    assert similarity.LAST_ESCALATION is not None
+    assert similarity.LAST_ESCALATION.fits
+
+
+def test_auto_mode_reuses_probe_for_guard(spark, monkeypatch):
+    """ADVICE r11: an auto call whose law geometry already fits paid a
+    redundant second Σ n(n−1)/2 pass in the in-operator guard. Now the
+    escalation's measured estimate is reused: exactly ONE narrow probe
+    runs, and the operator completes."""
+    emb = _emb(spark)
+    calls = []
+    real = similarity.rhp_candidate_estimate
+
+    def counting(embeddings, n_bits, bands, *a, **k):
+        calls.append((n_bits, bands))
+        return real(embeddings, n_bits, bands, *a, **k)
+
+    monkeypatch.setattr(similarity, "rhp_candidate_estimate", counting)
+    out = rhp_near_duplicates(
+        emb, 0.3, n_bits="auto", bands=2, dim=_DIM,
+        max_candidates=10**9,  # law fits immediately
+    )
+    assert out.count() >= 0
+    assert calls == [(16, 2)]  # the law probe, once — nothing else
+
+
+def test_min_recall_prefers_bands_over_bits(spark):
+    """When bit-widening alone would cross the recall floor, the search
+    must ADD BANDS (the recall-preserving direction) and land a
+    geometry meeting BOTH constraints (VERDICT r11 ask #1's Done)."""
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)
+    # Without a floor, phase 1 chooses 2 bands at some width whose
+    # recall at 0.99 is ~0.84-0.89 — below 0.93.
+    base = rhp_escalate_geometry(emb, 16, 2, max_candidates=budget, dim=_DIM)
+    assert base.bands == 2 and base.recall_estimate < 0.93
+    geom = rhp_escalate_geometry(
+        emb, 16, 2, max_candidates=budget, dim=_DIM, min_recall=0.93
+    )
+    assert geom.bands > 2
+    assert geom.fits and geom.candidate_estimate <= budget
+    assert geom.recall_estimate >= 0.93
+
+
+def test_min_recall_unachievable_refuses_loudly(spark):
+    """No geometry can hold 2x the corpus's all-pairs mass under a
+    1-candidate budget AND 0.99 recall: the refusal must name both
+    constraints and the remedies."""
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="meets BOTH the candidate budget"):
+        rhp_escalate_geometry(
+            emb, 16, 2, max_candidates=1, dim=_DIM,
+            min_recall=0.999, max_bands=3,
+        )
+
+
+def test_min_recall_validates_pinned_geometry(spark):
+    """Pinned geometry + min_recall: validate-or-refuse, never adjust.
+    20-bit x 2 bands at cosine 0.99 estimates ~0.66 recall — below a
+    0.9 floor; 8-bit x 2 clears it."""
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="below min_recall"):
+        rhp_near_duplicates(
+            emb, 0.3, n_bits=40, bands=2, dim=_DIM, min_recall=0.9
+        )
+    assert (
+        rhp_near_duplicates(
+            emb, 0.3, n_bits=16, bands=2, dim=_DIM, min_recall=0.9
+        ).count()
+        >= 0
+    )
+
+
+def test_at_ceiling_refusal_prescribes_bands_not_bits(spark, monkeypatch):
+    """ADVICE r11: when bands are already at the RHP_MAX_BAND_BITS
+    ceiling, 'raise n_bits' is a circle — the refusal must prescribe
+    bands or budget instead. Ceiling monkeypatched down so the tiny
+    fixture still has bucket mass at the 'ceiling' width."""
+    emb = _emb(spark)
+    monkeypatch.setattr(similarity, "RHP_MAX_BAND_BITS", 4)
+    with pytest.raises(ValueError, match="Add BANDS"):
+        rhp_near_duplicates(
+            emb, 0.3, n_bits=8, bands=2, dim=_DIM, max_candidates=0
+        ).count()

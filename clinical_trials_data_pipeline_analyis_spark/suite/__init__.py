@@ -292,10 +292,15 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: Queries whose code/plan changed since their last driver verdict —
 #: they owe a verdict THIS round (the changed-component rule) and take
 #: priority slots ahead of the oldest-first fill. Reset each round.
-#: Round 11: none yet — bench.py/checkpoint.py changes don't alter any
-#: local-mode query plan (the reliable checkpoint branch is never taken
-#: in driver runs: no checkpoint dir configured).
-CHANGED_COMPONENTS: tuple[str, ...] = ()
+#: Round 12: the RHP escalation rework (recall-aware geometry search,
+#: probe-jumping, guard est reuse) touches rhp_near_duplicates' body.
+#: The registered x08/a53 calls are pinned-geometry (auto-only code is
+#: not on their path and their plans are unchanged), but the operator
+#: they run through changed — they owe a verdict this round.
+CHANGED_COMPONENTS: tuple[str, ...] = (
+    "x08_dedup_embedding_cosine",
+    "a53_rhp_embedding_neardup",
+)
 
 WINDOW_SIZE = 50
 

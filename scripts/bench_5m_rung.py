@@ -82,6 +82,7 @@ def main() -> None:
     ).collect()
     calib = round(time.perf_counter() - c0, 4)
 
+    escalation = None
     if args.leg == "a53_rhp_auto":
         # the law must resolve the NEW 17-bit-band geometry here
         assert rhp_auto_bits(N_VECS, bands=4) == 68, rhp_auto_bits(N_VECS, bands=4)
@@ -90,6 +91,27 @@ def main() -> None:
             emb, 0.30, n_bits="auto", bands=4, dim=_EMB_DIM,
             row_count_hint=N_VECS,
         ).count()
+        # Round 12: the escalation decision is part of the leg's output
+        # — chosen geometry, measured masses, probe count, and the
+        # Charikar recall estimate at the dup cosine (VERDICT r11 #1).
+        from clinical_trials_data_pipeline_analyis_spark.operators import (
+            similarity,
+        )
+
+        geom = similarity.LAST_ESCALATION
+        if geom is not None:
+            escalation = {
+                "law_n_bits": geom.law_n_bits,
+                "law_bands": geom.law_bands,
+                "law_candidates": geom.law_estimate,
+                "chosen_n_bits": geom.n_bits,
+                "chosen_bands": geom.bands,
+                "chosen_candidates": geom.candidate_estimate,
+                "probes": [list(p) for p in geom.probes],
+                "recall_cosine": geom.recall_cosine,
+                "recall_estimate": round(geom.recall_estimate, 4),
+                "law_recall_estimate": round(geom.law_recall_estimate, 4),
+            }
     else:
         k_auto = semdedup_auto_k(N_VECS)
         assert k_auto == 4096, k_auto
@@ -110,6 +132,7 @@ def main() -> None:
                 "calib_sec": calib,
                 "sec": sec,
                 "rows": n,
+                **({"escalation": escalation} if escalation else {}),
             }
         ),
         flush=True,

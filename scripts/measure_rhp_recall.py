@@ -24,7 +24,6 @@ Usage: python scripts/measure_rhp_recall.py [--vecs 5000000]
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 
@@ -34,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (  # noqa: E402
     rhp_plan_vectors,
+    rhp_recall_estimate,
 )
 
 DIM, N_CLUSTERS, SEED = 64, 24, 7
@@ -88,8 +88,9 @@ def main() -> None:
             sl = slice(band * per_band, (band + 1) * per_band)
             collide |= (sa[:, sl] == sb[:, sl]).all(1)
         rec = collide.mean()
-        pbit = 1 - math.acos(min(float(cos.mean()), 1.0)) / math.pi
-        pred = 1 - (1 - pbit**per_band) ** bands
+        # Same closed form the operator's escalation now reports
+        # (round 12): keep script and operator on one estimator.
+        pred = rhp_recall_estimate(float(cos.mean()), per_band, bands)
         print(
             f"{n_bits} bits x {bands} bands ({per_band}-bit): "
             f"measured recall {rec:.4f} vs Charikar-at-mean-cos {pred:.4f}"

@@ -443,25 +443,46 @@ def ngram_jaccard_pairs(
         sh = filter_hot_shingles(sh, max_df)
     sh = sh.transform(cut_lineage())
     if max_join_rows is not None:
-        est = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .agg(
-                F.sum(
-                    (F.col("_df") * (F.col("_df") - F.lit(1))) / F.lit(2)
-                ).alias("rows")
+        # Guard aggregate, round-12 form: the df HISTOGRAM instead of
+        # the single Σ df(df−1)/2 row. Same two-shuffle cost (the
+        # second groupBy runs over ≤ |distinct df values| rows — a few
+        # hundred at any corpus size), the Σ is derived from it, and
+        # when the guard fires it can PRESCRIBE the max_df that fits:
+        # filter_hot_shingles keeps whole df-levels, so the surviving
+        # mass at max_df=m is the histogram's cumulative Σ over df ≤ m
+        # — exactly computable here, the way the RHP refusal prescribes
+        # bits/bands (VERDICT r11 ask #8; the x07 cap-transition sweep
+        # measured the df distribution this reads).
+        hist = sorted(
+            (r["_df"], r["_n"])
+            for r in (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .groupBy("_df")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
             )
-            .collect()[0]["rows"]
         )
-        if est is not None and est > max_join_rows:
+        est = sum(n * df_v * (df_v - 1) // 2 for df_v, n in hist)
+        if est > max_join_rows:
+            cum, fit_df = 0, 1  # df=1 shingles never join: always fit
+            for df_v, n in hist:
+                c = n * df_v * (df_v - 1) // 2
+                if cum + c > max_join_rows:
+                    break
+                cum += c
+                fit_df = df_v
             raise ValueError(
                 f"ngram_jaccard_pairs: the inverted-index pair join would "
                 f"materialize {int(est):,} rows (> max_join_rows="
                 f"{max_join_rows:,}); the per-shingle self-join is "
-                "quadratic in document frequency by contract. Lower "
-                "max_df to bound hot shingles, or use the subquadratic "
+                "quadratic in document frequency by contract. At this "
+                f"corpus's measured df distribution, max_df={fit_df} "
+                f"fits the budget (surviving mass {cum:,} rows); pass "
+                "it to bound hot shingles — or use the subquadratic "
                 "near-dup routes (minhash_signatures + "
-                "lsh_candidate_pairs, simhash_near_duplicates)."
+                "lsh_candidate_pairs, simhash_near_duplicates), which "
+                "sample the shingle space instead of joining all of it."
             )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size")).transform(cut_lineage())
 

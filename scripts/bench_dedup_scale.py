@@ -31,26 +31,50 @@ VOCAB = (
 LANGS = ["en", "en", "en", "fr", "de", "zh"]
 
 
+def gen_texts(
+    n_docs: int, seed: int = 42, rng: random.Random | None = None
+) -> tuple[list[str], list[tuple[int, int, str]]]:
+    """The corpus text stream with its GROUND-TRUTH dup edges.
+
+    Identical draw sequence to the original inline loop (the parquet
+    fixtures regenerate bit-for-bit — pass the caller's ``rng`` to
+    continue its stream, as ``gen_documents`` does for the metadata
+    columns); additionally records every planted (src, i, kind) edge —
+    kind 'exact' for the copy branch, 'near' for the copy+perturb
+    branch — so recall harnesses (scripts/measure_text_recall.py, the
+    RHP harness's pattern) measure candidate recall against what the
+    generator actually planted instead of re-deriving it."""
+    if rng is None:
+        rng = random.Random(seed)
+    texts: list[str] = []
+    edges: list[tuple[int, int, str]] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if r < 0.04 and i > 10:
+            # exact duplicate of an earlier doc
+            src = rng.randrange(len(texts))
+            texts.append(texts[src])
+            edges.append((src, i, "exact"))
+        elif r < 0.10 and i > 10:
+            # near-duplicate: copy + perturb a few tokens
+            src = rng.randrange(len(texts))
+            toks = texts[src].split()
+            for _ in range(max(1, len(toks) // 30)):
+                toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+            texts.append(" ".join(toks))
+            edges.append((src, i, "near"))
+        else:
+            n_tok = rng.randint(15, 90)
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_tok)))
+    return texts, edges
+
+
 def gen_documents(path: str, n_docs: int, seed: int = 42) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = random.Random(seed)
-    texts: list[str] = []
-    for i in range(n_docs):
-        r = rng.random()
-        if r < 0.04 and i > 10:
-            # exact duplicate of an earlier doc
-            texts.append(texts[rng.randrange(len(texts))])
-        elif r < 0.10 and i > 10:
-            # near-duplicate: copy + perturb a few tokens
-            toks = texts[rng.randrange(len(texts))].split()
-            for _ in range(max(1, len(toks) // 30)):
-                toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
-            texts.append(" ".join(toks))
-        else:
-            n_tok = rng.randint(15, 90)
-            texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_tok)))
+    texts, _ = gen_texts(n_docs, seed, rng=rng)
     table = pa.table(
         {
             "doc_id": pa.array(range(n_docs), pa.int64()),

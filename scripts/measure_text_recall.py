@@ -1,0 +1,240 @@
+"""Measured near-dup recall for the MinHash-LSH and SimHash families
+against the corpus generator's ground-truth dup edges — the round-12
+completion of what round 11 did for RHP (VERDICT r11 ask #6).
+
+Method
+------
+``bench_dedup_scale.gen_texts`` regenerates the exact corpus AND the
+planted (src, dup, kind) edges. Signatures come from the REAL operators
+(``minhash_signatures``, ``simhash`` — the Spark code path); pair
+collision is then evaluated per truth edge from the collected
+signatures, mirroring the banding the candidate operators document:
+
+- MinHash: docs collide iff any band's concatenated hash block agrees
+  (``lsh_candidate_pairs``'s join key);
+- SimHash: docs collide iff either 16-bit half agrees
+  (``simhash_candidates``), with ``max_bucket`` caps applied from the
+  full corpus's half-bucket histogram — the operator's exact skip rule.
+
+For the registered geometries the script ALSO runs the real candidate
+joins and asserts the pairwise derivation matches — the mirror is
+identity-checked against the operator, not trusted.
+
+Theory alongside (the banding curve, Broder/Leskovec-Rajaraman-Ullman
+"Mining of Massive Datasets" ch.3): per near-pair with true Jaccard s,
+P[candidate] = 1 − (1 − s^r)^b over b bands of r rows; the script
+reports the mean over planted near edges next to each measured number.
+Exact-dup edges must land 1.0000 recall at every geometry (identical
+text ⇒ identical signatures) — asserted.
+
+Usage: python scripts/measure_text_recall.py [--docs 50000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+from bench_dedup_scale import gen_texts  # noqa: E402
+
+NUM_HASHES = 8
+SHINGLE_K = 3
+
+
+def _shingles(text: str) -> set[str]:
+    toks = text.split()
+    return {
+        " ".join(toks[i : i + SHINGLE_K])
+        for i in range(len(toks) - SHINGLE_K + 1)
+    }
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--minhash-bands", type=int, nargs="*", default=[2, 4])
+    ap.add_argument(
+        "--simhash-caps", type=int, nargs="*", default=[1000, 100]
+    )
+    args = ap.parse_args()
+
+    texts, edges = gen_texts(args.docs)
+    near = [(s, d) for s, d, k in edges if k == "near"]
+    exact = [(s, d) for s, d, k in edges if k == "exact"]
+    jac = {p: _jaccard(texts[p[0]], texts[p[1]]) for p in near}
+    mean_j = sum(jac.values()) / len(jac)
+    print(
+        f"docs={args.docs} edges: {len(near)} near (mean J={mean_j:.4f}, "
+        f"p5={sorted(jac.values())[len(jac) // 20]:.4f}), "
+        f"{len(exact)} exact",
+        flush=True,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="text_recall_")
+    doc_path = os.path.join(tmp, "documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(args.docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        doc_path,
+    )
+
+    from clinical_trials_data_pipeline_analyis_spark.session import get_spark
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_candidates,
+    )
+
+    spark = get_spark(app_name="measure-text-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(doc_path)
+
+    results: dict[str, dict] = {}
+
+    # ---------------- MinHash-LSH -------------------------------------
+    sigs_df = minhash_signatures(docs, "doc_id", "text", NUM_HASHES, SHINGLE_K)
+    sigs = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(NUM_HASHES))
+        for r in sigs_df.collect()
+    }
+
+    def mh_collides(pair: tuple[int, int], bands: int) -> bool:
+        rows = NUM_HASHES // bands
+        sa, sb = sigs[pair[0]], sigs[pair[1]]
+        return any(
+            sa[b * rows : (b + 1) * rows] == sb[b * rows : (b + 1) * rows]
+            for b in range(bands)
+        )
+
+    mh_raw: dict[int, float] = {}
+    for bands in args.minhash_bands:
+        rows = NUM_HASHES // bands
+        rec_near = sum(mh_collides(p, bands) for p in near) / len(near)
+        mh_raw[bands] = rec_near
+        rec_exact = sum(mh_collides(p, bands) for p in exact) / len(exact)
+        pred = sum(
+            1.0 - (1.0 - s**rows) ** bands for s in jac.values()
+        ) / len(jac)
+        assert rec_exact == 1.0, (bands, rec_exact)
+        results[f"minhash_{bands}bands_{rows}rows"] = {
+            "measured_near": round(rec_near, 4),
+            "predicted_near": round(pred, 4),
+            "exact": rec_exact,
+        }
+        print(
+            f"minhash {bands} bands x {rows} rows: measured near-recall "
+            f"{rec_near:.4f} vs banding-theory {pred:.4f} (exact "
+            f"{rec_exact:.4f})",
+            flush=True,
+        )
+
+    # Identity check: the registered 4-band geometry through the REAL
+    # candidate join must agree with the pairwise derivation.
+    cand = set(
+        map(
+            tuple,
+            lsh_candidate_pairs(sigs_df, "doc_id", NUM_HASHES, 4)
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    join_rec = sum(p in cand for p in near) / len(near)
+    assert abs(join_rec - mh_raw[4]) < 1e-9, (join_rec, mh_raw[4])
+    print(f"minhash identity check vs lsh_candidate_pairs: {join_rec:.4f} OK")
+
+    # ---------------- SimHash -----------------------------------------
+    fp_df = simhash(docs, "doc_id", "text")
+    fps = {r["doc_id"]: r["simhash"] for r in fp_df.collect()}
+    lo_hist: dict[int, int] = {}
+    hi_hist: dict[int, int] = {}
+    for v in fps.values():
+        lo_hist[v % 65536] = lo_hist.get(v % 65536, 0) + 1
+        hi_hist[(v >> 16) & 65535] = hi_hist.get((v >> 16) & 65535, 0) + 1
+
+    def sh_collides(pair: tuple[int, int], cap: int | None) -> bool:
+        va, vb = fps[pair[0]], fps[pair[1]]
+        lo_a, lo_b = va % 65536, vb % 65536
+        hi_a, hi_b = (va >> 16) & 65535, (vb >> 16) & 65535
+        lo_ok = lo_a == lo_b and (cap is None or lo_hist[lo_a] <= cap)
+        hi_ok = hi_a == hi_b and (cap is None or hi_hist[hi_a] <= cap)
+        return lo_ok or hi_ok
+
+    sh_raw: dict[int | None, float] = {}
+    for cap in [None] + args.simhash_caps:
+        rec_near = sum(sh_collides(p, cap) for p in near) / len(near)
+        sh_raw[cap] = rec_near
+        rec_exact = sum(sh_collides(p, cap) for p in exact) / len(exact)
+        label = "uncapped" if cap is None else f"cap{cap}"
+        if cap is None:
+            assert rec_exact == 1.0, rec_exact
+        results[f"simhash_{label}"] = {
+            "measured_near": round(rec_near, 4),
+            "exact": round(rec_exact, 4),
+            **(
+                {}
+                if cap is None
+                else {
+                    "buckets_skipped": sum(
+                        1
+                        for h in (lo_hist, hi_hist)
+                        for n in h.values()
+                        if n > cap
+                    ),
+                    "max_bucket_seen": max(
+                        max(lo_hist.values()), max(hi_hist.values())
+                    ),
+                }
+            ),
+        }
+        print(
+            f"simhash {label}: measured near-recall {rec_near:.4f} "
+            f"(exact {rec_exact:.4f})",
+            flush=True,
+        )
+
+    # Identity check: uncapped + first cap through the REAL operator.
+    for cap in [None, args.simhash_caps[0]]:
+        got = set(
+            map(
+                tuple,
+                simhash_candidates(fp_df, "doc_id", max_bucket=cap)
+                .select("doc_a", "doc_b")
+                .collect(),
+            )
+        )
+        op_rec = sum(p in got for p in near) / len(near)
+        label = "uncapped" if cap is None else f"cap{cap}"
+        assert abs(op_rec - sh_raw[cap]) < 1e-9, (cap, op_rec)
+        print(f"simhash identity check ({label}) vs simhash_candidates OK")
+
+    print(json.dumps({"metric": "text_recall", "docs": args.docs, **results}))
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

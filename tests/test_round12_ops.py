@@ -217,6 +217,33 @@ def test_min_recall_validates_pinned_geometry(spark):
     )
 
 
+def test_ngram_refusal_prescribes_concrete_max_df(spark):
+    """VERDICT r11 ask #8: the guard now reads the df histogram, so the
+    refusal can prescribe the max_df that fits the budget at the
+    measured df distribution (the way the RHP refusal prescribes
+    bits/bands). 10 copies of one doc (one shingle, df=10 → 45 join
+    rows) + 3 copies of another (df=3 → 3 rows): a 40-row budget must
+    refuse naming 48 total and prescribe max_df=3 — and that
+    prescription must actually run."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)]
+        + [(100 + i, "delta epsilon zeta") for i in range(3)],
+        "doc_id LONG, text STRING",
+    )
+    with pytest.raises(ValueError) as exc:
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_join_rows=40)
+    msg = str(exc.value)
+    assert "48" in msg and "max_df=3" in msg and "minhash" in msg
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", max_df=3, max_join_rows=40
+    )
+    assert out.count() == 3  # the df=3 trio's pairs survive the cap
+
+
 def test_at_ceiling_refusal_prescribes_bands_not_bits(spark, monkeypatch):
     """ADVICE r11: when bands are already at the RHP_MAX_BAND_BITS
     ceiling, 'raise n_bits' is a circle — the refusal must prescribe

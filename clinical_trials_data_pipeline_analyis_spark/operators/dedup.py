@@ -256,6 +256,7 @@ def simhash_candidates(
     materialize: bool = True,
     max_bucket: int | None = None,
     _max_hamming: int | None = None,
+    rescue_identical: bool = False,
 ) -> DataFrame:
     """Candidate pairs sharing either 16-bit half of the 32-bit simhash.
 
@@ -295,6 +296,25 @@ def simhash_candidates(
     discards nearly all — verify-in-join ships only what survives.
     Same result set: hamming is a deterministic function of the pair,
     so distinct over (doc_a, doc_b, hamming) equals pair-distinct.
+
+    ``rescue_identical`` (round 12, measured motivation): the
+    hot-bucket cap binds hardest exactly where TRUE duplicates pile up
+    — on the template-heavy 50k recall fixture, max_bucket=100 skips
+    150 half-buckets and costs even exact-duplicate pairs 25 recall
+    points (BASELINE "Near-dup recall" table), because a family of
+    identical documents IS a hot bucket in both halves. With the flag
+    on (and a cap set — it is a no-op otherwise, the pairs are already
+    present), documents sharing a FULL fingerprint are re-connected by
+    STAR edges to the group's minimum id: one groupBy on the 64-bit
+    fingerprint + one join back — linear in group size, never the
+    O(m²) pair list (re-materializing that would be the exact
+    detonation the cap exists to prevent; the full list within an
+    identical family is ``exact_duplicates``'s linear-cost job).
+    Star edges are a subset of the uncapped candidate set (identical
+    fingerprints ⇒ identical halves), so the flag can only restore
+    pairs the cap dropped, never add new ones; connectivity —
+    what ``duplicate_clusters``/CC consumes — is fully restored for
+    identical-fingerprint groups. Rescued pairs carry hamming=0.
     """
     if materialize:
         simhash_df = simhash_df.transform(cut_lineage())
@@ -337,7 +357,23 @@ def simhash_candidates(
             .alias("hamming"),
         ).filter(F.col("hamming") <= _max_hamming)
 
-    return pairs_on(lo).unionByName(pairs_on(hi)).distinct()
+    out = pairs_on(lo).unionByName(pairs_on(hi))
+    if rescue_identical and max_bucket is not None:
+        hubs = simhash_df.groupBy("simhash").agg(
+            F.min(id_col).alias("_hub")
+        )
+        star = (
+            simhash_df.join(hubs, "simhash")
+            .filter(F.col(id_col) != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+            )
+        )
+        if _max_hamming is not None:
+            star = star.withColumn("hamming", F.lit(0).cast("int"))
+        out = out.unionByName(star)
+    return out.distinct()
 
 
 def filter_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
@@ -365,6 +401,7 @@ def simhash_near_duplicates(
     id_col: str,
     max_hamming: int = 6,
     max_bucket: int | None = None,
+    rescue_identical: bool = False,
 ) -> DataFrame:
     """Verified SimHash near-duplicates: banded candidates filtered by
     Hamming distance (Manku et al., WWW 2007 — the verify step that
@@ -378,7 +415,11 @@ def simhash_near_duplicates(
     union+distinct, so the distinct shuffles only SURVIVING pairs and
     the two old post-candidate re-join shuffles are gone entirely.
     Result set unchanged (see ``simhash_candidates``). ``max_bucket``
-    forwards to the candidate stage's hot-bucket cap.
+    forwards to the candidate stage's hot-bucket cap;
+    ``rescue_identical`` to its identical-fingerprint star rescue
+    (linear re-connection of the duplicate families the cap would
+    disconnect — which the recall fixture measured at 25 exact-dup
+    points under cap=100).
     """
     # One materialization serves both band sides — four consumers, one
     # SimHash computation.
@@ -389,6 +430,7 @@ def simhash_near_duplicates(
         materialize=False,
         max_bucket=max_bucket,
         _max_hamming=max_hamming,
+        rescue_identical=rescue_identical,
     )
 
 

@@ -231,6 +231,57 @@ def main() -> None:
         assert abs(op_rec - sh_raw[cap]) < 1e-9, (cap, op_rec)
         print(f"simhash identity check ({label}) vs simhash_candidates OK")
 
+    # ---------------- SimHash rescue_identical ------------------------
+    # Star edges restore CONNECTIVITY, not the pair list, so the right
+    # metric is component recall: the fraction of planted edges whose
+    # endpoints share a candidate-graph connected component (what the
+    # CC dedup stage consumes).
+    def comp_recall(pairs: set[tuple[int, int]]) -> tuple[float, float]:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        conn = lambda p: find(p[0]) == find(p[1])  # noqa: E731
+        return (
+            sum(map(conn, exact)) / len(exact),
+            sum(map(conn, near)) / len(near),
+        )
+
+    cap = args.simhash_caps[-1]  # the harshest cap — where rescue matters
+    for rescue in (False, True):
+        got = set(
+            map(
+                tuple,
+                simhash_candidates(
+                    fp_df, "doc_id", max_bucket=cap, rescue_identical=rescue
+                )
+                .select("doc_a", "doc_b")
+                .collect(),
+            )
+        )
+        rec_exact, rec_near = comp_recall(got)
+        label = f"cap{cap}_{'rescued' if rescue else 'plain'}"
+        if rescue:
+            # Identical text ⇒ identical fingerprint ⇒ same star group:
+            # the rescue must restore exact-dup connectivity fully.
+            assert rec_exact == 1.0, rec_exact
+        results[f"simhash_component_{label}"] = {
+            "component_exact": round(rec_exact, 4),
+            "component_near": round(rec_near, 4),
+        }
+        print(
+            f"simhash component recall {label}: exact {rec_exact:.4f} "
+            f"near {rec_near:.4f}",
+            flush=True,
+        )
+
     print(json.dumps({"metric": "text_recall", "docs": args.docs, **results}))
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()

@@ -244,6 +244,76 @@ def test_ngram_refusal_prescribes_concrete_max_df(spark):
     assert out.count() == 3  # the df=3 trio's pairs survive the cap
 
 
+def _simhash_fp(spark, rows):
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    return simhash(docs, "doc_id", "text")
+
+
+def test_simhash_rescue_reconnects_capped_identical_family(spark):
+    """The recall fixture measured the hot-bucket cap costing exact
+    duplicates 25 points at cap=100: an identical-document family IS a
+    hot bucket in both halves. rescue_identical must re-connect the
+    family with LINEAR star edges to its minimum id (never the O(m²)
+    pair list), hamming=0."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(300)] + [
+        (1000 + i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(20)
+    ]
+    fp = _simhash_fp(spark, rows)
+    capped = simhash_near_duplicates(fp, "doc_id", max_bucket=100).collect()
+    assert not any(r["doc_a"] < 300 and r["doc_b"] < 300 for r in capped)
+
+    rescued = simhash_near_duplicates(
+        fp, "doc_id", max_bucket=100, rescue_identical=True
+    ).collect()
+    fam = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in rescued
+        if r["doc_a"] < 300 and r["doc_b"] < 300
+    }
+    assert fam == {(0, j, 0) for j in range(1, 300)}  # star, not clique
+
+
+def test_simhash_rescue_is_a_subset_restorer(spark):
+    """Star edges are a subset of the uncapped candidate set, so the
+    flag must change NOTHING when the cap doesn't bind — and it is a
+    no-op without a cap."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(20)] + [
+        (100 + i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(10)
+    ]
+    fp = _simhash_fp(spark, rows)
+    key = lambda r: (r["doc_a"], r["doc_b"], r["hamming"])  # noqa: E731
+    base = sorted(map(key, simhash_near_duplicates(fp, "doc_id").collect()))
+    unbound_cap = sorted(
+        map(
+            key,
+            simhash_near_duplicates(
+                fp, "doc_id", max_bucket=1000, rescue_identical=True
+            ).collect(),
+        )
+    )
+    no_cap = sorted(
+        map(
+            key,
+            simhash_near_duplicates(
+                fp, "doc_id", rescue_identical=True
+            ).collect(),
+        )
+    )
+    assert base == unbound_cap == no_cap and base
+
+
 def test_at_ceiling_refusal_prescribes_bands_not_bits(spark, monkeypatch):
     """ADVICE r11: when bands are already at the RHP_MAX_BAND_BITS
     ceiling, 'raise n_bits' is a circle — the refusal must prescribe

@@ -117,6 +117,21 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+#: Candidate-row budget for ``lsh_candidate_pairs``: Σ n(n−1)/2 over
+#: (band, bsig) buckets — the exact row count the banded self-join
+#: materializes (Σ n_a×n_b for the asymmetric ``against`` form, an
+#: upper bound tight up to the excluded self-pairs). Same accounting
+#: family as ``MAX_RHP_CANDIDATE_ROWS`` / ``MAX_JACCARD_JOIN_ROWS``
+#: and the same calibration: ~1e9 rows is large-but-finishable on one
+#: node since the round-10 verify-in-join rewrites; past it the fix is
+#: geometry (coarser banding) or exact-dedup first, not a bigger
+#: shuffle. Round 12: MinHash was the one candidate generator WITHOUT
+#: an exact-count budget — a template-heavy corpus (the recall
+#: fixture's 3,645-doc half-bucket shape) detonates a banded join
+#: exactly like the x07 disk-fill did.
+MAX_LSH_CANDIDATE_ROWS = 1_000_000_000
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -125,6 +140,7 @@ def lsh_candidate_pairs(
     materialize: bool = True,
     against: DataFrame | None = None,
     estimate: bool = False,
+    max_candidates: int | None = MAX_LSH_CANDIDATE_ROWS,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate pair.
 
@@ -157,6 +173,17 @@ def lsh_candidate_pairs(
     the strings are NOT cast to long: ``conv()`` per hash per band row
     would add 8 codegen conversions to save ~64 B/row of shuffle —
     measured noise at the band-table sizes the budget guard permits.
+
+    ``max_candidates`` (round 12) is that budget guard, closing the
+    family symmetry — RHP, SimHash, and the n-gram join each had an
+    exact-count budget; MinHash now does too: one narrow aggregate
+    over the band-table bucket sizes computes the exact join fan-out
+    (Σ n(n−1)/2 symmetric; Σ n_a×n_b for ``against``) and the call
+    refuses loudly past the budget instead of detonating the shuffle.
+    Values-neutral; ``None`` disables it. Callers that pre-materialize
+    signatures (``dedup_pipeline``) pay one cheap scan of the
+    checkpointed table; with ``materialize=False`` and lazy input the
+    probe re-executes the signature pipeline once — materialize first.
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes
@@ -190,6 +217,50 @@ def lsh_candidate_pairs(
     right = band_table(
         signatures if against is None else against, "doc_b", "bsig_b"
     )
+    if max_candidates is not None:
+        if against is None:
+            est = (
+                left.groupBy("band", "bsig")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.sum(
+                        (F.col("_n") * (F.col("_n") - F.lit(1))) / F.lit(2)
+                    ).alias("c")
+                )
+                .collect()[0]["c"]
+            )
+        else:
+            ha = left.groupBy("band", "bsig").agg(
+                F.count(F.lit(1)).alias("_na")
+            )
+            hb = right.groupBy("band_b", "bsig_b").agg(
+                F.count(F.lit(1)).alias("_nb")
+            )
+            est = (
+                ha.join(
+                    hb,
+                    (F.col("band") == F.col("band_b"))
+                    & (F.col("bsig") == F.col("bsig_b")),
+                )
+                .agg(F.sum(F.col("_na") * F.col("_nb")).alias("c"))
+                .collect()[0]["c"]
+            )
+        if est is not None and est > max_candidates:
+            rows_per_band = num_hashes // bands
+            raise ValueError(
+                f"lsh_candidate_pairs: the (band, bsig) equi-join would "
+                f"materialize ~{int(est):,} candidate rows (budget "
+                f"max_candidates={max_candidates:,}). Banded MinHash "
+                f"candidates grow with bucket mass; the current "
+                f"{bands} bands x {rows_per_band} rows are too "
+                f"permissive for this corpus. Coarsen the banding — "
+                f"fewer bands of more rows (a pair at Jaccard s "
+                f"collides per band at s^rows; recall = "
+                f"1−(1−s^rows)^bands, re-derive before changing) — or "
+                f"run exact_duplicates first (identical documents "
+                f"collide in EVERY band and dominate hot buckets), or "
+                f"raise max_candidates if the verify stage can take it."
+            )
     id_cond = (
         F.col("doc_a") < F.col("doc_b")
         if against is None

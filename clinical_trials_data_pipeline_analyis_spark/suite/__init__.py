@@ -292,14 +292,26 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: Queries whose code/plan changed since their last driver verdict —
 #: they owe a verdict THIS round (the changed-component rule) and take
 #: priority slots ahead of the oldest-first fill. Reset each round.
-#: Round 12: the RHP escalation rework (recall-aware geometry search,
-#: probe-jumping, guard est reuse) touches rhp_near_duplicates' body.
-#: The registered x08/a53 calls are pinned-geometry (auto-only code is
-#: not on their path and their plans are unchanged), but the operator
-#: they run through changed — they owe a verdict this round.
+#: Round 12 touched every LSH-family operator body, so every query
+#: routing through one owes a verdict this round even where its result
+#: plan is unchanged: rhp_near_duplicates (recall-aware escalation,
+#: guard est reuse) -> x08/a53; lsh_candidate_pairs (new exact-count
+#: candidate budget) -> x05/x17/a21/a30; ngram_jaccard_pairs (df
+#: histogram guard + max_df prescription) -> x07/a25; simhash
+#: candidates (rescue_identical param, default path identical) ->
+#: x06/a23/a26.
 CHANGED_COMPONENTS: tuple[str, ...] = (
     "x08_dedup_embedding_cosine",
     "a53_rhp_embedding_neardup",
+    "x05_dedup_minhash_lsh",
+    "x17_dedup_minhash_estimate",
+    "a21_dedup_cc_clusters",
+    "a30_dedup_keep_best",
+    "x07_dedup_ngram_jaccard",
+    "a25_dedup_ngram_filtered",
+    "x06_dedup_simhash",
+    "a23_dedup_simhash_pairs",
+    "a26_dedup_simhash_verified",
 )
 
 WINDOW_SIZE = 50

@@ -244,6 +244,75 @@ def test_ngram_refusal_prescribes_concrete_max_df(spark):
     assert out.count() == 3  # the df=3 trio's pairs survive the cap
 
 
+def test_lsh_guard_counts_exact_join_rows(spark):
+    """Round 12 closes the family symmetry: MinHash was the one
+    candidate generator without an exact-count budget. 40 identical
+    docs collide in every band: 4 bands x 40·39/2 = 3,120 join rows —
+    a 3,119 budget refuses naming the count and the exact-dedup-first
+    remedy; 3,120 runs; the guard is values-neutral."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    with pytest.raises(ValueError) as exc:
+        lsh_candidate_pairs(sigs, "doc_id", max_candidates=3_119)
+    msg = str(exc.value)
+    assert "3,120" in msg and "exact_duplicates" in msg and "recall" in msg
+
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    guarded = sorted(
+        map(
+            key,
+            lsh_candidate_pairs(
+                sigs, "doc_id", max_candidates=3_120
+            ).collect(),
+        )
+    )
+    unguarded = sorted(
+        map(
+            key,
+            lsh_candidate_pairs(
+                sigs, "doc_id", max_candidates=None
+            ).collect(),
+        )
+    )
+    assert guarded == unguarded and len(guarded) == 40 * 39 // 2
+
+
+def test_lsh_guard_against_mode_counts_products(spark):
+    """Asymmetric (decontamination-shaped) accounting: Σ n_a×n_b per
+    bucket. 10 train x 5 benchmark copies of one text collide in all 4
+    bands: 200 join rows — 199 refuses, 200 runs."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta"
+    train = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id LONG, text STRING"
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, text) for i in range(5)], "doc_id LONG, text STRING"
+    )
+    ts = minhash_signatures(train, "doc_id", "text")
+    bs = minhash_signatures(bench, "doc_id", "text")
+    with pytest.raises(ValueError, match="200"):
+        lsh_candidate_pairs(
+            ts, "doc_id", against=bs, max_candidates=199
+        )
+    got = lsh_candidate_pairs(
+        ts, "doc_id", against=bs, max_candidates=200
+    )
+    assert got.count() == 50  # every train doc x every bench doc
+
+
 def _simhash_fp(spark, rows):
     from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
         simhash,

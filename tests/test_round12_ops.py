@@ -188,6 +188,37 @@ def test_min_recall_prefers_bands_over_bits(spark):
     assert geom.recall_estimate >= 0.93
 
 
+def test_min_recall_flows_through_the_operator(spark):
+    """Auto + min_recall through rhp_near_duplicates itself: the
+    band-first geometry (MORE bands than requested) must be the one
+    the signatures/join actually run at — the result equals a pinned
+    call at the chosen geometry, and LAST_ESCALATION records it."""
+    emb = _emb(spark)
+    n = emb.count()
+    budget = max(50, n // 2)
+    auto = sorted(
+        map(
+            tuple,
+            rhp_near_duplicates(
+                emb, 0.3, n_bits="auto", bands=2, dim=_DIM,
+                max_candidates=budget, min_recall=0.93,
+            ).collect(),
+        )
+    )
+    geom = similarity.LAST_ESCALATION
+    assert geom.bands > 2 and geom.recall_estimate >= 0.93
+    pinned = sorted(
+        map(
+            tuple,
+            rhp_near_duplicates(
+                emb, 0.3, n_bits=geom.n_bits, bands=geom.bands, dim=_DIM,
+                max_candidates=budget,
+            ).collect(),
+        )
+    )
+    assert auto == pinned and auto
+
+
 def test_min_recall_unachievable_refuses_loudly(spark):
     """No geometry can hold 2x the corpus's all-pairs mass under a
     1-candidate budget AND 0.99 recall: the refusal must name both

@@ -24,6 +24,7 @@ algorithms", STOC 2002; Manku et al., WWW 2007 for near-dup detection).
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
@@ -33,6 +34,11 @@ from pyspark.storagelevel import StorageLevel
 from ..checkpoint import cut_lineage
 
 from ..functions.text import normalized_text, whitespace_tokens, word_shingles
+
+#: Completion-mode diagnostics (auto banding / auto max_df): geometry
+#: decisions a caller should be able to see and reproduce. Same
+#: pattern as the similarity module's logger.
+_LOG = logging.getLogger("clinical_trials_data_pipeline_analyis_spark.dedup")
 
 
 def _md5(col: Column) -> Column:
@@ -136,7 +142,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     num_hashes: int = 8,
-    bands: int = 4,
+    bands: int | str = 4,
     materialize: bool = True,
     against: DataFrame | None = None,
     estimate: bool = False,
@@ -184,7 +190,104 @@ def lsh_candidate_pairs(
     signatures (``dedup_pipeline``) pay one cheap scan of the
     checkpointed table; with ``materialize=False`` and lazy input the
     probe re-executes the signature pipeline once — materialize first.
+
+    ``bands="auto"`` (round 12) is the completion mode, following the
+    RHP escalation's discipline: probe the measured candidate mass at
+    each banding of ``num_hashes`` from FINEST down (8x1, 4x2, 2x4,
+    1x8 at the default 8 hashes — candidate mass strictly shrinks as
+    bands coarsen, since a coarser band's bucket pairs are the subset
+    agreeing on every constituent hash) and take the first geometry
+    that fits the budget — i.e. the RECALL-MAXIMAL banding within
+    ``max_candidates`` (recall = 1−(1−s^rows)^bands is monotone in
+    bands at fixed num_hashes). ≤ 4 narrow probes on the checkpointed
+    signatures; the chosen geometry and its banding-theory recall at
+    the recall harness's measured near-dup Jaccard are logged, the
+    final probe's mass feeds the guard (no recompute), and an auto
+    call is IDENTICAL to the pinned call at the chosen banding.
+    Requires a budget and symmetric mode; refuses loudly when even one
+    band of all ``num_hashes`` rows exceeds the budget (exact-dedup
+    first, or raise it).
     """
+    measured_est: int | None = None
+    if bands == "auto":
+        if against is not None:
+            raise ValueError(
+                "lsh_candidate_pairs: bands='auto' sizes against the "
+                "symmetric Σ n(n−1)/2 accounting — pin the banding for "
+                "against-mode candidate generation."
+            )
+        if max_candidates is None:
+            raise ValueError(
+                "lsh_candidate_pairs: bands='auto' needs a "
+                "max_candidates budget to size against."
+            )
+        if materialize:
+            signatures = signatures.transform(cut_lineage())
+            materialize = False
+
+        def _band_mass(nb: int) -> int | None:
+            r = num_hashes // nb
+            bt = reduce(
+                DataFrame.unionByName,
+                [
+                    signatures.select(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{b * r + j}") for j in range(r)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(nb)
+                ],
+            )
+            row = (
+                bt.groupBy("band", "bsig")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.sum(
+                        (F.col("_n") * (F.col("_n") - F.lit(1))) / F.lit(2)
+                    ).alias("c")
+                )
+                .collect()[0]["c"]
+            )
+            return None if row is None else int(row)
+
+        probes: list[tuple[int, int | None]] = []
+        chosen: int | None = None
+        for nb in range(num_hashes, 0, -1):
+            if num_hashes % nb:
+                continue
+            est = _band_mass(nb)
+            probes.append((nb, est))
+            if est is None or est <= max_candidates:
+                chosen, measured_est = nb, est
+                break
+        if chosen is None:
+            raise ValueError(
+                f"lsh_candidate_pairs: no banding of {num_hashes} "
+                f"hashes fits max_candidates={max_candidates:,} — even "
+                f"1 band x {num_hashes} rows measured "
+                f"{probes[-1][1]:,} candidate rows (identical "
+                f"documents collide at EVERY banding: run "
+                f"exact_duplicates first), or raise max_candidates."
+            )
+        bands = chosen
+        r = num_hashes // bands
+        # Reference Jaccard 0.84: the recall harness's measured mean
+        # over planted near-dup edges (BASELINE "Near-dup recall").
+        _LOG.warning(
+            "lsh auto banding: chose %d bands x %d rows (measured "
+            "%s candidates vs budget %s, probes %s); banding-theory "
+            "recall at Jaccard 0.84: %.4f",
+            bands,
+            r,
+            f"{measured_est:,}" if measured_est is not None else "0",
+            f"{max_candidates:,}",
+            probes,
+            1.0 - (1.0 - 0.84**r) ** bands,
+        )
+    elif not isinstance(bands, int):
+        raise ValueError(f"bands must be an int or 'auto', got {bands!r}")
+
     rows = num_hashes // bands
     assert rows * bands == num_hashes
     if materialize:
@@ -217,7 +320,7 @@ def lsh_candidate_pairs(
     right = band_table(
         signatures if against is None else against, "doc_b", "bsig_b"
     )
-    if max_candidates is not None:
+    if max_candidates is not None and measured_est is None:
         if against is None:
             est = (
                 left.groupBy("band", "bsig")
@@ -526,7 +629,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     top_n: int = 50,
-    max_df: int | None = None,
+    max_df: int | str | None = None,
     max_join_rows: int | None = MAX_JACCARD_JOIN_ROWS,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets via the inverted-index join,
@@ -548,13 +651,71 @@ def ngram_jaccard_pairs(
     routes instead of detonating shuffle/disk at scale. ``None``
     disables the guard for callers that have already bounded their
     shingle geometry.
+
+    ``max_df="auto"`` (round 12) is the completion mode: the guard's
+    df histogram is computed FIRST, and when the unfiltered mass
+    exceeds ``max_join_rows`` the operator APPLIES the max_df its
+    refusal would have prescribed — the largest df level whose
+    cumulative mass fits — instead of refusing, logging the chosen
+    cap and the dropped mass. An auto call equals the pinned call at
+    the chosen max_df (and the unfiltered call when nothing binds);
+    pinned/None calls keep the strict refuse-loudly contract. Same
+    completion-vs-refusal split as RHP's ``n_bits="auto"``.
     """
     # The shingle table feeds both self-join sides AND the set sizes —
     # materialize once so the explode pipeline runs once, not four times.
+    auto_df = max_df == "auto"
+    if auto_df:
+        if max_join_rows is None:
+            raise ValueError(
+                "ngram_jaccard_pairs: max_df='auto' needs a "
+                "max_join_rows budget to size against."
+            )
+        max_df = None
+    elif max_df is not None and not isinstance(max_df, int):
+        raise ValueError(f"max_df must be an int, 'auto' or None, got {max_df!r}")
     sh = shingle_sets(df, id_col, text_col, k)
     if max_df is not None:
         sh = filter_hot_shingles(sh, max_df)
     sh = sh.transform(cut_lineage())
+    if auto_df:
+        hist = sorted(
+            (r["_df"], r["_n"])
+            for r in (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .groupBy("_df")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+        )
+        est = sum(n * d * (d - 1) // 2 for d, n in hist)
+        if est > max_join_rows:
+            cum, fit_df = 0, 1
+            for d, n in hist:
+                c = n * d * (d - 1) // 2
+                if cum + c > max_join_rows:
+                    break
+                cum += c
+                fit_df = d
+            dropped = sum(n for d, n in hist if d > fit_df)
+            _LOG.warning(
+                "ngram auto max_df: unfiltered join mass %s exceeds "
+                "max_join_rows %s; applying max_df=%d (surviving mass "
+                "%s, %d hot shingles dropped)",
+                f"{est:,}",
+                f"{max_join_rows:,}",
+                fit_df,
+                f"{cum:,}",
+                dropped,
+            )
+            # Second checkpoint: the filtered table feeds three
+            # consumers (set sizes + both join sides); without it each
+            # re-runs the df window over the raw checkpoint.
+            sh = filter_hot_shingles(sh, fit_df).transform(cut_lineage())
+        # The chosen mass fits by construction (or nothing bound) —
+        # the histogram WAS the guard; no second aggregate.
+        max_join_rows = None
     if max_join_rows is not None:
         # Guard aggregate, round-12 form: the df HISTOGRAM instead of
         # the single Σ df(df−1)/2 row. Same two-shuffle cost (the

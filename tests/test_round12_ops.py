@@ -316,6 +316,118 @@ def test_lsh_guard_counts_exact_join_rows(spark):
     assert guarded == unguarded and len(guarded) == 40 * 39 // 2
 
 
+def test_lsh_auto_banding_is_recall_max_within_budget(spark, caplog):
+    """bands='auto' probes finest-first and takes the first fitting
+    banding — the recall-maximal geometry within the budget. 40
+    identical docs measure 6240/3120/1560/780 candidate rows at
+    8/4/2/1 bands; a 2,000 budget must choose 2 bands and equal the
+    pinned 2-band call; an ample budget chooses the finest; an
+    unsatisfiable one refuses naming exact-dedup-first."""
+    import logging
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    with caplog.at_level(
+        logging.WARNING,
+        logger="clinical_trials_data_pipeline_analyis_spark.dedup",
+    ):
+        auto = sorted(
+            map(
+                key,
+                lsh_candidate_pairs(
+                    sigs, "doc_id", bands="auto", max_candidates=2_000
+                ).collect(),
+            )
+        )
+    assert any("2 bands x 4 rows" in r.getMessage() for r in caplog.records)
+    pinned = sorted(
+        map(
+            key,
+            lsh_candidate_pairs(
+                sigs, "doc_id", bands=2, max_candidates=2_000
+            ).collect(),
+        )
+    )
+    assert auto == pinned and len(auto) == 40 * 39 // 2
+
+    finest = lsh_candidate_pairs(
+        sigs, "doc_id", bands="auto", max_candidates=10_000
+    )
+    assert finest.count() == 40 * 39 // 2  # 8x1 banding fits and runs
+
+    with pytest.raises(ValueError, match="no banding"):
+        lsh_candidate_pairs(
+            sigs, "doc_id", bands="auto", max_candidates=500
+        )
+
+
+def test_ngram_auto_max_df_applies_the_prescription(spark, caplog):
+    """max_df='auto' must COMPLETE where the pinned guard refuses, at
+    exactly the max_df the refusal prescribes — and leave the corpus
+    untouched when nothing binds."""
+    import logging
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)]
+        + [(100 + i, "delta epsilon zeta") for i in range(3)],
+        "doc_id LONG, text STRING",
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    with caplog.at_level(
+        logging.WARNING,
+        logger="clinical_trials_data_pipeline_analyis_spark.dedup",
+    ):
+        auto = sorted(
+            map(
+                key,
+                ngram_jaccard_pairs(
+                    docs, "doc_id", "text", max_df="auto", max_join_rows=40
+                ).collect(),
+            )
+        )
+    assert any("max_df=3" in r.getMessage() for r in caplog.records)
+    pinned = sorted(
+        map(
+            key,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", max_df=3, max_join_rows=40
+            ).collect(),
+        )
+    )
+    assert auto == pinned and len(auto) == 3
+
+    unbound = sorted(
+        map(
+            key,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", max_df="auto", max_join_rows=1_000
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            key,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", max_join_rows=1_000
+            ).collect(),
+        )
+    )
+    assert unbound == plain and len(plain) > 3  # df=10 family included
+
+
 def test_lsh_guard_against_mode_counts_products(spark):
     """Asymmetric (decontamination-shaped) accounting: Σ n_a×n_b per
     bucket. 10 train x 5 benchmark copies of one text collide in all 4

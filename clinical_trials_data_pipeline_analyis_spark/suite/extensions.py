@@ -1171,7 +1171,12 @@ def a22_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 _SIMHASH_MAX_BUCKET = 2000
 
-_SIMHASH_HALVES_CAPPED_SQL = f"""
+
+def _simhash_halves_sql(cap: int) -> str:
+    """The capped half-bucket CTEs at an arbitrary ``max_bucket`` —
+    a23/a26 use the 2000 cap; a91 uses one that BINDS at the driver
+    SFs so the rescue path is value-checked where it matters."""
+    return f"""
 halves AS (
     SELECT doc_id,
            simhash % 65536 AS lo,
@@ -1181,13 +1186,16 @@ halves AS (
 lo_ok AS (
     SELECT doc_id, lo FROM (
         SELECT doc_id, lo, COUNT(*) OVER (PARTITION BY lo) AS n FROM halves
-    ) WHERE n <= {_SIMHASH_MAX_BUCKET}
+    ) WHERE n <= {cap}
 ),
 hi_ok AS (
     SELECT doc_id, hi FROM (
         SELECT doc_id, hi, COUNT(*) OVER (PARTITION BY hi) AS n FROM halves
-    ) WHERE n <= {_SIMHASH_MAX_BUCKET}
+    ) WHERE n <= {cap}
 )"""
+
+
+_SIMHASH_HALVES_CAPPED_SQL = _simhash_halves_sql(_SIMHASH_MAX_BUCKET)
 
 
 @register(
@@ -5038,3 +5046,79 @@ def a90_perceptron_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     feats = token_ngram_features(docs, F.col("lang") == "en")
     return batch_perceptron(feats, iters=_PCT_ITERS)
+
+
+# =====================================================================
+# a91 — the SimHash hot-bucket cap WITH the identical-fingerprint star
+# rescue (round 12). The recall harness measured cap-bound corpora
+# losing even exact-duplicate pairs (component recall 0.7481 at
+# cap=100 on the 50k fixture) because an identical-document family IS
+# a hot bucket in both halves. rescue_identical re-connects each full-
+# fingerprint group through its minimum id — star edges, linear in
+# family size — and this query pins the semantics with a cap that
+# BINDS at the driver SFs (max half-bucket 28 at sf0.01, 291 at
+# sf0.1, vs the cap of 20), so the skipped-bucket + rescue union is
+# value-checked where it matters, not on a cap that never fires.
+# Oracle: capped banded candidates with Hamming verify (a26's shape at
+# the binding cap) UNION ALL the star edges (hamming 0 by identity),
+# DISTINCT over (doc_a, doc_b, hamming) — equal to pair-distinct since
+# hamming is a function of the pair.
+# =====================================================================
+_RESCUE_MAX_BUCKET = 20
+
+
+@register(
+    "a91_simhash_capped_rescue",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+    FROM toks WHERE tok <> ''
+),
+sums AS ({_SIMHASH_SUMS_SQL}),
+sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
+{_simhash_halves_sql(_RESCUE_MAX_BUCKET)},
+cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM lo_ok AS a JOIN lo_ok AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM hi_ok AS a JOIN hi_ok AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT
+        c.doc_a,
+        c.doc_b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cands AS c
+    JOIN sims AS sa ON c.doc_a = sa.doc_id
+    JOIN sims AS sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_MAX_HAMMING}
+),
+hubs AS (SELECT simhash, MIN(doc_id) AS hub FROM sims GROUP BY simhash),
+star AS (
+    SELECT h.hub AS doc_a, s.doc_id AS doc_b, 0 AS hamming
+    FROM sims AS s
+    JOIN hubs AS h ON s.simhash = h.simhash
+    WHERE s.doc_id <> h.hub
+)
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+    SELECT * FROM verified UNION ALL SELECT * FROM star
+)
+""",
+    covers=("X-DEDUP-SIMHASH", "X-DEDUP-KEEP"),
+)
+def a91_simhash_capped_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+    return simhash_near_duplicates(
+        sims,
+        "doc_id",
+        _SIMHASH_MAX_HAMMING,
+        max_bucket=_RESCUE_MAX_BUCKET,
+        rescue_identical=True,
+    )

@@ -5108,7 +5108,7 @@ SELECT DISTINCT doc_a, doc_b, hamming FROM (
     SELECT * FROM verified UNION ALL SELECT * FROM star
 )
 """,
-    covers=("X-DEDUP-SIMHASH", "X-DEDUP-KEEP"),
+    covers=("X-DEDUP-SIMHASH", "J7"),
 )
 def a91_simhash_capped_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_duplicates

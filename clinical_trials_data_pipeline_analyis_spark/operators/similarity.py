@@ -92,6 +92,40 @@ def brute_force_topk(
     )
 
 
+def _centroid_scores(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+    use_flat: bool,
+) -> DataFrame:
+    """The |corpus| x k cross-scoring projection both assignment forms
+    share: centroids broadcast, norms once per side, per-pair work =
+    the dot alone — same scalar sequence as ``cosine_similarity``."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
+    )
+    v = _spread(embeddings).select(
+        F.col(id_col).alias("vec"),
+        F.col(vec_col).alias("vvec"),
+        l2_norm(F.col(vec_col), dim=dim).alias("_vn"),
+    )
+    return v.crossJoin(F.broadcast(c)).select(
+        F.col("vec").alias("vec_id"),
+        "centroid_id",
+        F.round(
+            F.try_divide(
+                dot(F.col("vvec"), F.col("cvec"), dim=dim, use_flat=use_flat),
+                F.col("_vn") * F.col("_cn"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -127,26 +161,8 @@ def ivf_assign(
     the registered sf0.1 queries (x10/x16/a24/a31, k<=128) sit in the
     flat-LOSES regime (per-plan compile constant > total fold cost).
     """
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
-    )
-    v = _spread(embeddings).select(
-        F.col(id_col).alias("vec"),
-        F.col(vec_col).alias("vvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_vn"),
-    )
-    scored = v.crossJoin(F.broadcast(c)).select(
-        F.col("vec").alias("vec_id"),
-        "centroid_id",
-        F.round(
-            F.try_divide(
-                dot(F.col("vvec"), F.col("cvec"), dim=dim, use_flat=use_flat),
-                F.col("_vn") * F.col("_cn"),
-            ),
-            6,
-        ).alias("cosine"),
+    scored = _centroid_scores(
+        embeddings, centroids, id_col, vec_col, dim, use_flat
     )
     # The null flag keeps NULL cosines (zero-norm or NULL vectors) LAST
     # exactly as the window's DESC NULLS LAST did; within the non-null
@@ -169,6 +185,46 @@ def ivf_assign(
             F.col("_best.cosine").alias("cosine"),
         )
     )
+
+
+def ivf_assign_topp(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    use_flat: bool = False,
+) -> DataFrame:
+    """Top-``probes`` coarse assignment: every vector's ``probes``
+    nearest centroids, with ``rank`` 1..probes — the multi-probe
+    membership table (rank 1 is exactly ``ivf_assign``'s answer: same
+    scoring projection, same total order — cosine DESC NULLS LAST,
+    centroid_id tiebreak).
+
+    COST NOTE, stated plainly: ranking needs the top-p per vector, so
+    this shuffles the |corpus| x k scored rows through a window sort —
+    the exchange ``ivf_assign``'s struct-min aggregate exists to avoid
+    (it map-combines to one row per vector). That is the price of
+    probing: under the k ∝ n provisioning rule the scored-row count
+    grows as n²/target_cell. Callers buy boundary recall with it —
+    measured on the 500k rung (``scripts/measure_semdedup_recall.py``):
+    single-assignment cell recall over planted dup pairs is 0.8115 at
+    auto-k, top-2 probing recovers 0.9901.
+    """
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
+    scored = _centroid_scores(
+        embeddings, centroids, id_col, vec_col, dim, use_flat
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").isNull().cast("int").asc(),
+        F.desc("cosine"),
+        F.asc("centroid_id"),
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= probes)
 
 
 #: Above this many vectors in one block, ``embedding_duplicate_pairs``
@@ -1674,6 +1730,7 @@ def semantic_dedup(
     max_cell: int | None = None,
     dim: int | None = None,
     max_candidates: int | None = MAX_SEMDEDUP_CANDIDATE_ROWS,
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by embedding similarity. Cluster the corpus with a coarse quantizer,
@@ -1704,6 +1761,20 @@ def semantic_dedup(
     ``max_cell`` (off by default) additionally enforces a per-cell
     ceiling. Provision k with ``semdedup_auto_k`` (k ≈ corpus /
     target_cell_size) to stay under both at any corpus size.
+
+    ``probes`` (round 12, by measurement): cell confinement has a
+    structural recall cost — a dup pair straddling a cell boundary is
+    NEVER compared, whatever the threshold. Measured on the 500k rung
+    (``scripts/measure_semdedup_recall.py``): 0.8115 of planted dup
+    pairs (cosine ≈ 0.99) share their argmax cell at auto-k, falling
+    as k grows (0.7878 at 4x auto-k). ``probes=2`` scans each vector
+    in its top-2 cells — measured pair coverage 0.9901 — at the cost
+    of the rank window's n x k exchange (``ivf_assign_topp``) and up
+    to ~4x within-cell candidate mass (the budget guard counts the
+    expanded membership exactly). The keep rule is unchanged: primary
+    cell's ``cos_centroid``, one survivor per component; extra probes
+    only ADD edges, so components merge, never split. ``probes=1`` is
+    byte-identical to the round-11 operator.
     """
     from .dedup import connected_components
 
@@ -1720,50 +1791,100 @@ def semantic_dedup(
     # compile constant exceeds its savings. centroids is small by
     # contract (it is about to be broadcast), so the count is one cheap
     # action.
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     k = centroids.count()
     assign_flat = dim is not None and k >= IVF_ASSIGN_FLAT_MIN_K
-    assigned = ivf_assign(
-        embeddings,
-        centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        use_flat=assign_flat,
-    )
-    # The checkpointed frame carries the full embedding arrays, so HOW it
-    # is stored matters at corpus scale: the blocks are stored SERIALIZED
-    # (MEMORY_AND_DISK in PySpark is the serialized level; the Dataset
-    # default is DESER) — deserialized row objects inflate a 64-float
-    # array row ~5-10x, and the round-8 sf10 re-run OOM'd an 8 GB heap
-    # exactly there (maybeCacheDiskValuesInMemory re-inflating disk
-    # blocks into one contiguous in-memory vector on read-back).
-    # Serialized blocks also stream to/from disk in chunks instead of
-    # re-materializing whole partitions. Values are unaffected; this is
-    # storage layout only.
-    blocked = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    if probes == 1:
+        assigned = ivf_assign(
+            embeddings,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            use_flat=assign_flat,
         )
-        .join(
-            assigned.select(
-                "vec_id", "centroid_id", F.col("cosine").alias("cos_centroid")
-            ),
-            "vec_id",
+        # The checkpointed frame carries the full embedding arrays, so
+        # HOW it is stored matters at corpus scale: the blocks are
+        # stored SERIALIZED (MEMORY_AND_DISK in PySpark is the
+        # serialized level; the Dataset default is DESER) —
+        # deserialized row objects inflate a 64-float array row ~5-10x,
+        # and the round-8 sf10 re-run OOM'd an 8 GB heap exactly there
+        # (maybeCacheDiskValuesInMemory re-inflating disk blocks into
+        # one contiguous in-memory vector on read-back). Serialized
+        # blocks also stream to/from disk in chunks instead of
+        # re-materializing whole partitions. Values are unaffected;
+        # this is storage layout only.
+        blocked = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+            )
+            .join(
+                assigned.select(
+                    "vec_id",
+                    "centroid_id",
+                    F.col("cosine").alias("cos_centroid"),
+                ),
+                "vec_id",
+            )
+            .transform(
+                cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK)
+            )
         )
-        .transform(cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK))
-    )
+        scan_input = blocked
+        keep_src = blocked
+    else:
+        # Multi-probe membership: p rows per vector, each carrying the
+        # probed cell and the cosine TO THAT CELL. ONE n x k scoring
+        # pass serves both the scan membership and the primary
+        # assignment (rank 1 is ivf_assign's answer by the shared total
+        # order) — the checkpointed narrow memb table is consumed
+        # twice instead of re-scoring. The keep rule still reads the
+        # PRIMARY cos_centroid.
+        memb = ivf_assign_topp(
+            embeddings,
+            centroids,
+            probes,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            use_flat=assign_flat,
+        ).transform(cut_lineage())
+        scan_input = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+            )
+            .join(
+                memb.select(
+                    "vec_id",
+                    "centroid_id",
+                    F.col("cosine").alias("cos_centroid"),
+                ),
+                "vec_id",
+            )
+            .transform(
+                cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK)
+            )
+        )
+        keep_src = memb.filter(F.col("rank") == 1).select(
+            "vec_id", F.col("cosine").alias("cos_centroid")
+        )
     pairs = semantic_pair_candidates(
-        blocked, threshold, broadcast_limit=broadcast_limit,
+        scan_input, threshold, broadcast_limit=broadcast_limit,
         max_cell=max_cell, dim=dim, max_candidates=max_candidates,
     )
+    if probes > 1:
+        # A pair sharing several probed cells is emitted once per
+        # shared cell; edges feed CC, so pair-distinct is values-exact.
+        pairs = pairs.distinct()
     comp = connected_components(
-        pairs, "vec_a", "vec_b", blocked.select("vec_id"), "vec_id"
+        pairs, "vec_a", "vec_b", keep_src.select("vec_id"), "vec_id"
     )
     w = Window.partitionBy("component").orderBy(
         F.asc("cos_centroid"), F.asc("vec_id")
     )
     return (
-        comp.join(blocked.select("vec_id", "cos_centroid"), "vec_id")
+        comp.join(keep_src.select("vec_id", "cos_centroid"), "vec_id")
         .withColumn(
             "kept",
             F.when(F.row_number().over(w) == 1, F.lit(1))

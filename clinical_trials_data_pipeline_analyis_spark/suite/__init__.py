@@ -312,6 +312,16 @@ CHANGED_COMPONENTS: tuple[str, ...] = (
     "x06_dedup_simhash",
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
+    # ivf_assign's scoring projection was extracted into
+    # _centroid_scores (shared with the new ivf_assign_topp) and
+    # semantic_dedup grew the probes branch — identical plans at
+    # probes=1, but the bodies changed:
+    "a45_semantic_dedup",
+    "x10_ann_ivf_assign",
+    "x16_ann_ivf_topk",
+    "a24_ivf_train_step",
+    "a31_ann_ivf_multiprobe",
+    "a50_cell_assign_rowlocal",
 )
 
 WINDOW_SIZE = 50

@@ -5122,3 +5122,70 @@ def a91_simhash_capped_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=_RESCUE_MAX_BUCKET,
         rescue_identical=True,
     )
+
+
+# =====================================================================
+# a92 — SemDeDup with top-2 cell probing (round 12). The cell-recall
+# harness (scripts/measure_semdedup_recall.py) measured single-
+# assignment cell confinement missing 19% of planted dup pairs at
+# auto-k (0.8115 cell recall at cosine 0.99); top-2 probing recovers
+# 0.9901 for a 2x assign + <=4x pair-scan cost. This query pins the
+# multi-probe semantics end-to-end against SQL: membership = top-2
+# cells per vector (rank window, same total order as the assign),
+# pairs = DISTINCT same-cell threshold links over that membership,
+# keep rule unchanged (primary cell's cos_centroid, one survivor per
+# component). a45 remains the single-probe twin on the same centroid
+# scheme; diffing the two shows exactly the boundary pairs probing
+# recovers.
+# =====================================================================
+@register(
+    "a92_semantic_dedup_multiprobe",
+    oracle=f"""
+WITH RECURSIVE
+embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
+sc AS (
+    SELECT v.vec_id, cid, {_COS_SQL.format(a="v.e", b="cent.ce")} AS cosc,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cid
+           ) AS rn
+    FROM embd AS v, cent
+),
+home AS (SELECT vec_id, cid, cosc FROM sc WHERE rn = 1),
+memb AS (SELECT vec_id, cid FROM sc WHERE rn <= 2),
+p AS (
+    SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+    FROM memb AS a
+    JOIN memb AS b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embd AS ea ON ea.vec_id = a.vec_id
+    JOIN embd AS eb ON eb.vec_id = b.vec_id
+    WHERE {_COS_SQL.format(a="ea.e", b="eb.e")} >= {_SEMDEDUP_THRESHOLD}
+),
+edges AS (
+    SELECT va AS e_src, vb AS e_dst FROM p
+    UNION ALL
+    SELECT vb AS e_src, va AS e_dst FROM p
+),
+walk(vec_id, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.e_dst, w.label FROM walk AS w JOIN edges AS e ON w.vec_id = e.e_src
+),
+comp AS (SELECT vec_id, MIN(label) AS component FROM walk GROUP BY vec_id)
+SELECT c.vec_id, c.component, h.cosc AS cos_centroid,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY h.cosc ASC, c.vec_id ASC
+       ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM comp AS c JOIN home AS h ON c.vec_id = h.vec_id
+""",
+    covers=("X-DEDUP-EMBEDDING", "X-DEDUP-CC", "X-ANN-IVF"),
+)
+def a92_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
+    return semantic_dedup(
+        emb, centroids, threshold=_SEMDEDUP_THRESHOLD, dim=_EMB_DIM, probes=2
+    )

@@ -526,6 +526,72 @@ def test_simhash_rescue_is_a_subset_restorer(spark):
     assert base == unbound_cap == no_cap and base
 
 
+def test_semantic_dedup_multiprobe_recovers_boundary_pair(spark):
+    """The cell-recall harness measured single-assignment missing 19%
+    of dup pairs at auto-k (boundary straddle). probes=2 must scan a
+    straddling pair together: v1's primary cell is c1, v2's is c2,
+    cosine(v1, v2) ≈ 1 — probes=1 never compares them (2 components,
+    2 kept), probes=2 merges them (1 component, 1 kept)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.99, 0.0, 0.0]),
+            (2, [0.99, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),  # far singleton
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    p1 = {r["vec_id"]: r for r in semantic_dedup(emb, cents, 0.95).collect()}
+    assert p1[1]["component"] != p1[2]["component"]
+    assert p1[1]["kept"] == 1 and p1[2]["kept"] == 1
+
+    p2 = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, cents, 0.95, probes=2).collect()
+    }
+    assert p2[1]["component"] == p2[2]["component"]
+    assert p2[1]["kept"] + p2[2]["kept"] == 1
+    # The far singleton is untouched by probing.
+    assert p2[3]["kept"] == 1 and p2[3]["component"] == p1[3]["component"]
+
+
+def test_semantic_dedup_multiprobe_only_merges(spark):
+    """Extra probes only ADD candidate edges: on the fixture corpus the
+    probes=2 components must be a coarsening of probes=1 (never split;
+    kept count never rises)."""
+    from pyspark.sql import functions as F
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _emb(spark)
+    cents = emb.filter(F.col("vec_id") % 97 == 0)
+    p1 = semantic_dedup(emb, cents, 0.8, dim=_DIM).collect()
+    p2 = semantic_dedup(emb, cents, 0.8, dim=_DIM, probes=2).collect()
+    comp1 = {r["vec_id"]: r["component"] for r in p1}
+    comp2 = {r["vec_id"]: r["component"] for r in p2}
+    # coarsening: same p1-component => same p2-component
+    by_c1: dict[int, set[int]] = {}
+    for v, c in comp1.items():
+        by_c1.setdefault(c, set()).add(comp2[v])
+    assert all(len(s) == 1 for s in by_c1.values())
+    kept1 = sum(r["kept"] for r in p1)
+    kept2 = sum(r["kept"] for r in p2)
+    assert kept2 <= kept1
+    # cos_centroid is the PRIMARY cell's in both modes
+    cc1 = {r["vec_id"]: r["cos_centroid"] for r in p1}
+    cc2 = {r["vec_id"]: r["cos_centroid"] for r in p2}
+    assert cc1 == cc2
+
+
 def test_at_ceiling_refusal_prescribes_bands_not_bits(spark, monkeypatch):
     """ADVICE r11: when bands are already at the RHP_MAX_BAND_BITS
     ceiling, 'raise n_bits' is a circle — the refusal must prescribe

@@ -322,6 +322,10 @@ CHANGED_COMPONENTS: tuple[str, ...] = (
     "a24_ivf_train_step",
     "a31_ann_ivf_multiprobe",
     "a50_cell_assign_rowlocal",
+    "a38_ivfpq_topk",
+    "a41_pq_residual_encode",
+    "a43_ivfpq_residual_topk",
+    "a70_ivfadc_rerank",
 )
 
 WINDOW_SIZE = 50

@@ -1880,6 +1880,29 @@ def semantic_dedup(
     comp = connected_components(
         pairs, "vec_a", "vec_b", keep_src.select("vec_id"), "vec_id"
     )
+    # Percolation tripwire (round 12, by the 500k legs): with
+    # transitive CC linking, a weak threshold chains the corpus — at
+    # 0.40 on the clustered 500k rung, 500k rows collapsed to 618
+    # components single-probe and to ONE with probes=2, i.e. SemDeDup
+    # would drop essentially everything. That is a threshold-semantics
+    # problem the caller must see, not infer from a tiny keep count:
+    # one bounded two-row aggregate (max component size vs total) on
+    # the CC output, WARN past 20%. Values are untouched.
+    stats = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(F.max("n").alias("mx"), F.sum("n").alias("total")).collect()[0]
+    if stats["total"] and stats["mx"] / stats["total"] > 0.20:
+        _LOG.warning(
+            "semantic_dedup: largest component holds %d of %d rows "
+            "(%.0f%%) — transitive CC chaining at threshold %s is "
+            "percolating (the 500k rung collapsed to one component at "
+            "0.40). Raise the threshold for dedup semantics, or treat "
+            "the output as clustering.",
+            stats["mx"],
+            stats["total"],
+            100.0 * stats["mx"] / stats["total"],
+            threshold,
+        )
     w = Window.partitionBy("component").orderBy(
         F.asc("cos_centroid"), F.asc("vec_id")
     )

@@ -562,6 +562,40 @@ def test_semantic_dedup_multiprobe_recovers_boundary_pair(spark):
     assert p2[3]["kept"] == 1 and p2[3]["component"] == p1[3]["component"]
 
 
+def test_semantic_dedup_warns_on_percolation(spark, caplog):
+    """The 500k legs showed a weak threshold percolating the CC (one
+    giant component — SemDeDup would drop everything). The operator
+    must WARN when the largest component passes 20% of the corpus,
+    and stay silent on healthy fixtures."""
+    import logging
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # Every vector near-identical: one component = 100% of the corpus.
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    logname = "clinical_trials_data_pipeline_analyis_spark.similarity"
+    with caplog.at_level(logging.WARNING, logger=logname):
+        semantic_dedup(emb, cents, 0.5).count()
+    assert any("percolating" in r.getMessage() for r in caplog.records)
+
+    caplog.clear()
+    from pyspark.sql import functions as F
+
+    sparse = _emb(spark)
+    scents = sparse.filter(F.col("vec_id") % 97 == 0)
+    with caplog.at_level(logging.WARNING, logger=logname):
+        semantic_dedup(sparse, scents, 0.95, dim=_DIM).count()
+    assert not any("percolating" in r.getMessage() for r in caplog.records)
+
+
 def test_semantic_dedup_multiprobe_only_merges(spark):
     """Extra probes only ADD candidate edges: on the fixture corpus the
     probes=2 components must be a coarsening of probes=1 (never split;

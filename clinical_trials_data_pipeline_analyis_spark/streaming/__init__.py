@@ -13,9 +13,11 @@ from .events import (
 from .joins import attribute_actions_batch, attribute_actions_stream
 from .similarity import (
     MAX_LITERAL_CENTROIDS,
+    MAX_RHP_STREAM_CANDIDATES_PER_EPOCH,
     assign_cells_foreach_batch,
     assign_cells_stream,
     nearest_centroid_expr,
+    rhp_near_dedup_stream,
 )
 
 __all__ = [
@@ -30,7 +32,9 @@ __all__ = [
     "attribute_actions_batch",
     "attribute_actions_stream",
     "MAX_LITERAL_CENTROIDS",
+    "MAX_RHP_STREAM_CANDIDATES_PER_EPOCH",
     "assign_cells_foreach_batch",
     "assign_cells_stream",
     "nearest_centroid_expr",
+    "rhp_near_dedup_stream",
 ]

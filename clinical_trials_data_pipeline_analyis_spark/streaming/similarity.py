@@ -204,3 +204,231 @@ def assign_cells_foreach_batch(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+#: Per-epoch candidate budget for the streaming RHP near-dedup: the
+#: exact row count the asymmetric (batch x history) bucket join streams
+#: through the cosine verify each micro-batch. Reuses the batch
+#: operator's budget — per EPOCH here, since the stream amortizes the
+#: corpus over epochs (batch-side mass is |batch| x bucket occupancy,
+#: never history x history).
+MAX_RHP_STREAM_CANDIDATES_PER_EPOCH = 500_000_000
+
+
+def rhp_near_dedup_stream(
+    embeddings_stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    threshold: float,
+    n_bits: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_candidates_per_epoch: int | None = MAX_RHP_STREAM_CANDIDATES_PER_EPOCH,
+):
+    """Incremental embedding-cosine near-dedup via ``foreachBatch`` —
+    the streaming twin of ``operators.similarity.rhp_near_duplicates``
+    (same sign-bit LSH bucketing, same verify-in-join exact cosine).
+
+    Each micro-batch's vectors are signed once (row-local projection,
+    the vector and its norm riding WITH the signature exactly like the
+    batch operator's checkpoint shape), banded against the ACCUMULATED
+    signature store plus the batch itself, cosine-verified INSIDE the
+    bucket join, and flagged; the batch's signed rows then append to
+    the store. A vector is flagged ``is_near_dup`` when it verifies
+    against any LOWER-id vector — the keep-first contract shared with
+    ``near_dedup_docs_stream``, so for an id-ordered stream the flags
+    equal the batch operator's pair set (vec flagged iff it appears as
+    ``vec_b``; stream=batch equality is tested). NULL vectors sign
+    nothing (no geometry) and flag False.
+
+    Scale shape: per-epoch cost is |batch| x matching bucket occupancy
+    — never history x history (the batch side is the new rows only);
+    the candidate stream exists only inside whole-stage codegen (the
+    verify-in-join shape — candidates are never materialized), and one
+    bounded aggregate over joined bucket COUNTS computes the exact
+    per-epoch candidate mass, refusing past
+    ``max_candidates_per_epoch`` with the fix named instead of letting
+    a hot epoch spill the disk away. The store is O(n x bands) rows of
+    (id, vector, norm, band, band_sig) — ``bands``x vector
+    duplication, the same deliberate trade as the batch checkpoint:
+    re-joining vectors per CANDIDATE row (the round-10 incident shape)
+    shuffles O(candidates x vec_size), catastrophically more.
+
+    Geometry is PINNED for the store's lifetime: band signatures from
+    different (n_bits, bands, dim, seed) never collide meaningfully, so
+    a restart with changed geometry would silently miss every
+    cross-epoch duplicate. The first epoch writes a ``_rhp_geometry``
+    sidecar (underscore-prefixed: invisible to the parquet reader) and
+    every later epoch verifies it, failing the stream LOUDLY on
+    mismatch — re-sign the store to change geometry. Auto-sizing
+    (``n_bits="auto"``) is deliberately NOT offered here for the same
+    reason: per-epoch re-sizing would shift the keys under the store.
+
+    Retry-idempotence: flags and store are epoch-partitioned with
+    DYNAMIC overwrite, and the store read filters ``epoch_id <
+    current`` — a retried micro-batch is bit-identical to its first
+    attempt (same pattern as ``near_dedup_docs_stream``).
+
+    Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Flag
+    output: (id_col, is_near_dup) partitioned by epoch_id.
+    """
+    import json
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..checkpoint import cut_lineage
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.similarity import rhp_signatures
+
+    geometry = {
+        "n_bits": int(n_bits),
+        "bands": int(bands),
+        "dim": int(dim),
+        "seed": int(seed),
+    }
+    marker = os.path.join(store_path, "_rhp_geometry")
+
+    def _check_geometry() -> None:
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                stored = json.load(fh)
+            if stored != geometry:
+                raise ValueError(
+                    f"rhp_near_dedup_stream: signature store at "
+                    f"{store_path} was built with geometry {stored} but "
+                    f"this stream is configured with {geometry}. Band "
+                    f"signatures from different geometries never collide "
+                    f"meaningfully — continuing would silently miss every "
+                    f"cross-epoch duplicate. Re-sign the store (delete it "
+                    f"and replay the stream) to change geometry."
+                )
+        else:
+            os.makedirs(store_path, exist_ok=True)
+            with open(marker, "w", encoding="utf-8") as fh:
+                json.dump(geometry, fh)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_geometry()
+        batch_df = batch_df.transform(cut_lineage(local_only=True))
+        sigs_new = (
+            rhp_signatures(
+                batch_df, n_bits, bands, dim, seed, id_col, vec_col,
+                keep=(vec_col,),
+            )
+            .withColumn("_norm", l2_norm(F.col(vec_col), dim=dim))
+            .transform(cut_lineage(local_only=True))
+        )
+        try:
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("epoch_id") < int(epoch_id))
+                .drop("epoch_id")
+            )
+            all_sigs = store.unionByName(sigs_new)
+        except AnalysisException:
+            all_sigs = sigs_new
+        if max_candidates_per_epoch is not None:
+            # Exact per-epoch candidate mass of the asymmetric join
+            # below: per bucket, new x history + C(new, 2). Two narrow
+            # count aggregates joined on the bucket key — bounded by
+            # bucket count, never candidate count.
+            counts = (
+                sigs_new.groupBy("band", "band_sig")
+                .agg(F.count(F.lit(1)).alias("n_new"))
+                .join(
+                    all_sigs.groupBy("band", "band_sig").agg(
+                        F.count(F.lit(1)).alias("n_all")
+                    ),
+                    ["band", "band_sig"],
+                )
+                .agg(
+                    F.sum(
+                        F.col("n_new") * (F.col("n_all") - F.col("n_new"))
+                        + (F.col("n_new") * (F.col("n_new") - F.lit(1)))
+                        / F.lit(2)
+                    ).alias("cand")
+                )
+                .collect()[0]["cand"]
+            )
+            if counts is not None and counts > max_candidates_per_epoch:
+                raise ValueError(
+                    f"rhp_near_dedup_stream: epoch {epoch_id}'s bucket "
+                    f"join would stream ~{int(counts):,} candidate rows "
+                    f"through the verify (budget "
+                    f"{max_candidates_per_epoch:,}). The pinned "
+                    f"{n_bits // bands}-bit bands are under-sized for "
+                    f"the accumulated corpus — re-sign the store at a "
+                    f"wider geometry (bits-per-band ≈ log2(corpus / 64)),"
+                    f" shrink the micro-batch (maxFilesPerTrigger), or "
+                    f"raise max_candidates_per_epoch if the verify CPU "
+                    f"can take it."
+                )
+        a = sigs_new.select(
+            F.col("band").alias("band_a"),
+            F.col("band_sig").alias("sig_a"),
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_norm").alias("_norm_a"),
+        )
+        b = all_sigs.select(
+            F.col("band").alias("band_b"),
+            F.col("band_sig").alias("sig_b"),
+            F.col(id_col).alias("vec_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("_norm").alias("_norm_b"),
+        )
+        dup_ids = (
+            a.join(
+                b,
+                (F.col("band_a") == F.col("band_b"))
+                & (F.col("sig_a") == F.col("sig_b"))
+                & (F.col("vec_b") < F.col("vec_a")),
+            )
+            .select(
+                "vec_a",
+                F.round(
+                    F.try_divide(
+                        dot(F.col("va"), F.col("vb"), dim=dim),
+                        F.col("_norm_a") * F.col("_norm_b"),
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select(F.col("vec_a").alias(id_col))
+            .distinct()
+        )
+        flags = (
+            batch_df.select(id_col)
+            .join(dup_ids.withColumn("is_near_dup", F.lit(True)), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            )
+        )
+        (
+            flags.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
+        (
+            sigs_new.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_path)
+        )
+
+    return (
+        embeddings_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -863,3 +863,142 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir, tmp_path):
     # Spot-check semantics: every gap within [0, 2 h].
     for r in attribute_actions_batch(views_b, actions_b, max_gap="2 hours").collect():
         assert 0 <= r["gap_seconds"] <= 7200
+
+
+def _near_dup_embeddings(spark, n_base=60, n_dups=20, dim=64):
+    """Deterministic synthetic embeddings with PLANTED near-dups: the
+    last ``n_dups`` vectors are noisy copies of the first ``n_dups``
+    bases (cosine ~0.999 >> threshold), so the compared result sets are
+    provably non-empty — an empty==empty pass can't masquerade as
+    equality (the round-11 ADVICE vacuity lesson)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(n_base, dim))
+    dups = base[:n_dups] + rng.normal(scale=0.01, size=(n_dups, dim))
+    vecs = np.vstack([base, dups])
+    rows = [
+        (i, [float(x) for x in vecs[i]]) for i in range(n_base + n_dups)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+
+
+def test_streaming_rhp_near_dedup_matches_batch(spark, tmp_path):
+    """Incremental RHP near-dedup (per-micro-batch signatures banded +
+    cosine-verified against the accumulated store) must flag exactly
+    the vectors the batch operator pairs as ``vec_b`` — the keep-first
+    contract over an id-ordered stream."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        rhp_near_duplicates,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        rhp_near_dedup_stream,
+    )
+
+    emb = _near_dup_embeddings(spark)
+    n = emb.count()
+    geometry = dict(n_bits=16, bands=2, dim=64, seed=13)
+
+    # id-ordered chunks -> one micro-batch per file; the split at 70
+    # puts 10 planted dups in epoch 0 (within-batch partners) and 10 in
+    # epoch 1 (store partners) so BOTH collision paths are exercised.
+    chunks = str(tmp_path / "chunks")
+    emb.filter(F.col("vec_id") < 70).coalesce(1).write.parquet(f"{chunks}/c1")
+    emb.filter(F.col("vec_id") >= 70).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    q = rhp_near_dedup_stream(
+        stream,
+        out_path=str(tmp_path / "flags"),
+        store_path=str(tmp_path / "sigstore"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.9,
+        **geometry,
+    ).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["vec_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+
+    pairs = rhp_near_duplicates(emb, threshold=0.9, **geometry)
+    dup = {r["vec_b"] for r in pairs.collect()}  # vec_a < vec_b by contract
+    assert len(dup) > 0, "fixture must produce real near-dup pairs"
+    want = {i: i in dup for i in range(n)}
+    assert got == want
+    # every planted copy (ids 60..79) flags; every base id is kept
+    assert all(got[i] for i in range(60, 80))
+    assert not any(got[i] for i in range(60))
+    # the store holds bands rows per vector (vector rides with its sig)
+    store = spark.read.parquet(str(tmp_path / "sigstore"))
+    assert store.count() == n * geometry["bands"]
+
+
+def test_streaming_rhp_replay_idempotent_and_geometry_pinned(spark, tmp_path):
+    """at-least-once safety + the geometry pin: replaying every epoch
+    from a wiped checkpoint leaves flags and store bit-identical, and a
+    restart with DIFFERENT geometry fails loudly instead of silently
+    missing every cross-epoch duplicate (band sigs from different
+    hyperplanes never collide meaningfully)."""
+    import shutil
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        rhp_near_dedup_stream,
+    )
+
+    emb = _near_dup_embeddings(spark, n_base=30, n_dups=10)
+    chunks = str(tmp_path / "chunks")
+    emb.filter(F.col("vec_id") < 35).coalesce(1).write.parquet(f"{chunks}/c1")
+    emb.filter(F.col("vec_id") >= 35).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    out_path = str(tmp_path / "flags")
+    store_path = str(tmp_path / "sigstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(seed=13):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/c*")
+        )
+        q = rhp_near_dedup_stream(
+            stream,
+            out_path=out_path,
+            store_path=store_path,
+            checkpoint=ckpt,
+            threshold=0.9,
+            seed=seed,
+        ).start()
+        q.awaitTermination(120)
+        return q
+
+    run()
+    first = {
+        r["vec_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert all(first[i] for i in range(30, 40))
+
+    # replay EVERY epoch: wipe the checkpoint, same files, same order
+    shutil.rmtree(ckpt)
+    run()
+    flags = spark.read.parquet(out_path)
+    assert flags.count() == 40, "replay must not duplicate flags"
+    assert {r["vec_id"]: r["is_near_dup"] for r in flags.collect()} == first
+    store = spark.read.parquet(store_path)
+    assert store.count() == 40 * 2
+    assert store.select("vec_id").distinct().count() == 40
+
+    # geometry change over a live store -> loud failure, not silence
+    shutil.rmtree(ckpt)
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="geometry"):
+        q = run(seed=99)

@@ -1002,3 +1002,36 @@ def test_streaming_rhp_replay_idempotent_and_geometry_pinned(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="geometry"):
         q = run(seed=99)
+
+
+def test_streaming_rhp_budget_refuses_in_binding_regime(spark, tmp_path):
+    """The per-epoch candidate budget must refuse LOUDLY where it binds
+    (the house rule: every size-dependent guard gets a binding-regime
+    test): a budget of 1 against a fixture whose first epoch already
+    carries colliding planted dups fails the stream with the named
+    prescription, not a silent spill."""
+    from pyspark.errors import StreamingQueryException
+
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        rhp_near_dedup_stream,
+    )
+
+    emb = _near_dup_embeddings(spark, n_base=30, n_dups=10)
+    chunks = str(tmp_path / "chunks")
+    emb.coalesce(1).write.parquet(f"{chunks}/c1")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    q = rhp_near_dedup_stream(
+        stream,
+        out_path=str(tmp_path / "flags"),
+        store_path=str(tmp_path / "sigstore"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.9,
+        max_candidates_per_epoch=1,
+    ).start()
+    with pytest.raises(StreamingQueryException, match="candidate rows"):
+        q.awaitTermination(120)

@@ -292,40 +292,19 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: Queries whose code/plan changed since their last driver verdict —
 #: they owe a verdict THIS round (the changed-component rule) and take
 #: priority slots ahead of the oldest-first fill. Reset each round.
-#: Round 12 touched every LSH-family operator body, so every query
-#: routing through one owes a verdict this round even where its result
-#: plan is unchanged: rhp_near_duplicates (recall-aware escalation,
-#: guard est reuse) -> x08/a53; lsh_candidate_pairs (new exact-count
-#: candidate budget) -> x05/x17/a21/a30; ngram_jaccard_pairs (df
-#: histogram guard + max_df prescription) -> x07/a25; simhash
-#: candidates (rescue_identical param, default path identical) ->
-#: x06/a23/a26.
+#: Round 13 touches: simhash_candidates / simhash near-dup (the new
+#: binding-cap sub-band rescue + routing warning) -> x06/a23/a26/a91;
+#: ngram_jaccard_pairs (zero-mass auto refusal, ADVICE #3) -> x07/a25;
+#: semantic_dedup (lazy percolation tripwire, ADVICE #4) -> a45/a92.
 CHANGED_COMPONENTS: tuple[str, ...] = (
-    "x08_dedup_embedding_cosine",
-    "a53_rhp_embedding_neardup",
-    "x05_dedup_minhash_lsh",
-    "x17_dedup_minhash_estimate",
-    "a21_dedup_cc_clusters",
-    "a30_dedup_keep_best",
-    "x07_dedup_ngram_jaccard",
-    "a25_dedup_ngram_filtered",
     "x06_dedup_simhash",
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
-    # ivf_assign's scoring projection was extracted into
-    # _centroid_scores (shared with the new ivf_assign_topp) and
-    # semantic_dedup grew the probes branch — identical plans at
-    # probes=1, but the bodies changed:
+    "a91_simhash_capped_rescue",
+    "x07_dedup_ngram_jaccard",
+    "a25_dedup_ngram_filtered",
     "a45_semantic_dedup",
-    "x10_ann_ivf_assign",
-    "x16_ann_ivf_topk",
-    "a24_ivf_train_step",
-    "a31_ann_ivf_multiprobe",
-    "a50_cell_assign_rowlocal",
-    "a38_ivfpq_topk",
-    "a41_pq_residual_encode",
-    "a43_ivfpq_residual_topk",
-    "a70_ivfadc_rerank",
+    "a92_semantic_dedup_multiprobe",
 )
 
 WINDOW_SIZE = 50

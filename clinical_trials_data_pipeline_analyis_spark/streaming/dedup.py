@@ -76,14 +76,34 @@ def near_dedup_docs_stream(
     retry bands against exactly the history the first attempt saw, even
     though the failed attempt may already have written this epoch's
     partition — the retry is bit-identical, not merely non-duplicating.
+
+    Geometry is PINNED for the store's lifetime (round 13): MinHash
+    signatures from different (num_hashes, bands, shingle_k) never
+    collide meaningfully, so the first epoch writes a
+    ``_minhash_geometry`` sidecar under the store and every later epoch
+    verifies it, failing the stream loudly on mismatch — the same
+    contract as ``rhp_near_dedup_stream``, and like it routed through
+    the Spark session so it holds on any filesystem, not just paths
+    ``os.path`` can see.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .store_meta import check_or_pin_geometry
+
+    geometry = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_k": int(shingle_k),
+    }
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        check_or_pin_geometry(
+            spark, store_path, "_minhash_geometry", geometry,
+            "near_dedup_docs_stream",
+        )
         sigs_new = minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
         ).transform(cut_lineage(local_only=True))
@@ -169,6 +189,12 @@ def clean_spans_stream(
     hash store (16-byte hashes, never text); the store grows with
     distinct windows seen, the streaming analog of the batch
     operator's corpus-wide hash aggregate.
+
+    Geometry is PINNED for the store's lifetime (round 13): window
+    hashes at different ``k`` never collide meaningfully, so the first
+    epoch writes a ``_span_geometry`` sidecar under the store and every
+    later epoch verifies it through the Spark session (filesystem-
+    agnostic), failing the stream loudly on mismatch.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
@@ -178,9 +204,16 @@ def clean_spans_stream(
         spans_from_marked,
         window_hashes,
     )
+    from .store_meta import check_or_pin_geometry
+
+    geometry = {"k": int(k)}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        check_or_pin_geometry(
+            spark, store_path, "_span_geometry", geometry,
+            "clean_spans_stream",
+        )
         batch_df = batch_df.transform(cut_lineage(local_only=True))
         win = window_hashes(batch_df, id_col, text_col, k).transform(cut_lineage(local_only=True))
         in_batch_dup = (

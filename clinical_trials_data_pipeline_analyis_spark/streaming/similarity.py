@@ -264,9 +264,13 @@ def rhp_near_dedup_stream(
     cross-epoch duplicate. The first epoch writes a ``_rhp_geometry``
     sidecar (underscore-prefixed: invisible to the parquet reader) and
     every later epoch verifies it, failing the stream LOUDLY on
-    mismatch — re-sign the store to change geometry. Auto-sizing
-    (``n_bits="auto"``) is deliberately NOT offered here for the same
-    reason: per-epoch re-sizing would shift the keys under the store.
+    mismatch — re-sign the store to change geometry. The sidecar is
+    read/written through the Spark session (``store_meta.
+    check_or_pin_geometry``), so the pin holds on any filesystem the
+    session can serve — local, ``file://``, ``hdfs://``, ``s3a://`` —
+    not just paths ``os.path`` can see. Auto-sizing (``n_bits="auto"``)
+    is deliberately NOT offered here for the same reason: per-epoch
+    re-sizing would shift the keys under the store.
 
     Retry-idempotence: flags and store are epoch-partitioned with
     DYNAMIC overwrite, and the store read filters ``epoch_id <
@@ -276,14 +280,12 @@ def rhp_near_dedup_stream(
     Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Flag
     output: (id_col, is_near_dup) partitioned by epoch_id.
     """
-    import json
-    import os
-
     from pyspark.errors import AnalysisException
 
     from ..checkpoint import cut_lineage
     from ..functions.vectors import dot, l2_norm
     from ..operators.similarity import rhp_signatures
+    from .store_meta import check_or_pin_geometry
 
     geometry = {
         "n_bits": int(n_bits),
@@ -291,30 +293,13 @@ def rhp_near_dedup_stream(
         "dim": int(dim),
         "seed": int(seed),
     }
-    marker = os.path.join(store_path, "_rhp_geometry")
-
-    def _check_geometry() -> None:
-        if os.path.exists(marker):
-            with open(marker, encoding="utf-8") as fh:
-                stored = json.load(fh)
-            if stored != geometry:
-                raise ValueError(
-                    f"rhp_near_dedup_stream: signature store at "
-                    f"{store_path} was built with geometry {stored} but "
-                    f"this stream is configured with {geometry}. Band "
-                    f"signatures from different geometries never collide "
-                    f"meaningfully — continuing would silently miss every "
-                    f"cross-epoch duplicate. Re-sign the store (delete it "
-                    f"and replay the stream) to change geometry."
-                )
-        else:
-            os.makedirs(store_path, exist_ok=True)
-            with open(marker, "w", encoding="utf-8") as fh:
-                json.dump(geometry, fh)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_geometry()
+        check_or_pin_geometry(
+            spark, store_path, "_rhp_geometry", geometry,
+            "rhp_near_dedup_stream",
+        )
         batch_df = batch_df.transform(cut_lineage(local_only=True))
         sigs_new = (
             rhp_signatures(

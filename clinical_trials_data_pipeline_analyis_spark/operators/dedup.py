@@ -431,6 +431,7 @@ def simhash_candidates(
     max_bucket: int | None = None,
     _max_hamming: int | None = None,
     rescue_identical: bool = False,
+    rescue_near: bool = False,
 ) -> DataFrame:
     """Candidate pairs sharing either 16-bit half of the 32-bit simhash.
 
@@ -489,6 +490,49 @@ def simhash_candidates(
     pairs the cap dropped, never add new ones; connectivity —
     what ``duplicate_clusters``/CC consumes — is fully restored for
     identical-fingerprint groups. Rescued pairs carry hamming=0.
+
+    ``rescue_near`` (round 13, measured motivation): ``rescue_identical``
+    restores only identical-fingerprint families — the r12 recall
+    harness measured NEAR-dup recall under a binding cap=100 still at
+    0.39 (text_recall_r12.json) because near-but-not-identical
+    fingerprints in a skipped bucket stay disconnected. With the flag
+    on (and a cap set — no-op otherwise), each skipped hot half-bucket
+    is escalated WITHIN the bucket at finer width, the RHP-escalation
+    trick applied to simhash bands:
+
+    1. Deduplicate the bucket to DISTINCT fingerprints, each
+       represented by its family hub (``min(id)`` over the fingerprint
+       — the same hub ``rescue_identical`` stars to, so hub-hub edges
+       + star edges restore family-to-family CONNECTIVITY, which is
+       what CC/``duplicate_clusters`` consumes). Template-heavy hot
+       buckets collapse by orders of magnitude here: a 35k-doc bucket
+       of 200 families becomes 200 rows.
+    2. Sub-band the fingerprints on ``w`` bits of the OTHER half,
+       where ``w`` is the smallest width with ``n_fp <= max_bucket *
+       2^w`` (an exact 16-term integer comparison chain, no float
+       log2 — the oracle must agree bit-for-bit). ``w = 0`` when the
+       deduped bucket already fits: the whole bucket joins at
+       fingerprint level.
+    3. TWO sub-bands per bucket (low ``w`` bits, high ``w`` bits of
+       the other half): a near-pair survives if either selected block
+       is undamaged — for hamming d confined to the other half,
+       per-block recall is C(16-d, w)/C(16, w), and escalation picks
+       the minimal (recall-maximal) ``w`` that fits, exactly the RHP
+       discipline. Sub-buckets still exceeding ``max_bucket`` at
+       fingerprint level are skipped (the honest residual — a
+       sub-bucket that hot at DISTINCT-fingerprint level means the
+       fingerprint space itself is degenerate; route such corpora to
+       MinHash-LSH, which samples the shingle space instead).
+
+    Hub-hub edges are a subset of the uncapped candidate set (both
+    hubs share the bucket's half), so like ``rescue_identical`` the
+    flag only restores pairs the cap dropped. NOTE the contract is
+    connectivity-level, not pair-level: member-to-member pairs across
+    two near families are NOT re-materialized (that O(m_a x m_b)
+    fan-out is the detonation the cap exists to prevent) — the
+    families connect through their hubs. Measured on the 50k template
+    fixture at cap=100: component recall 0.39 -> see BASELINE
+    "Near-dup recall" for the recovery row.
     """
     if materialize:
         simhash_df = simhash_df.transform(cut_lineage())
@@ -532,6 +576,87 @@ def simhash_candidates(
         ).filter(F.col("hamming") <= _max_hamming)
 
     out = pairs_on(lo).unionByName(pairs_on(hi))
+    if rescue_near and max_bucket is not None:
+        other_of = {
+            "lo": F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)"),
+            "hi": (F.col("simhash") % 65536).cast("long"),
+        }
+
+        def rescue_on(half: Column, other: Column) -> DataFrame:
+            w_half = Window.partitionBy("half")
+            members = (
+                simhash_df.select(
+                    F.col(id_col).alias("_id"),
+                    half,
+                    other.alias("_other"),
+                    F.col("simhash").alias("_sim"),
+                )
+                .withColumn("_n", F.count(F.lit(1)).over(w_half))
+                .filter(F.col("_n") > max_bucket)
+                .drop("_n")
+            )
+            # one row per distinct fingerprint; hub = the family's
+            # min id (the same hub rescue_identical stars to)
+            fp = members.groupBy("half", "_sim", "_other").agg(
+                F.min("_id").alias("_hub")
+            )
+            # smallest w with n_fp <= max_bucket * 2^w — exact integer
+            # comparison chain (float log2 would risk oracle-divergent
+            # ceil at power-of-two boundaries)
+            n_fp = F.count(F.lit(1)).over(Window.partitionBy("half"))
+            w_bits = reduce(
+                lambda acc, i: acc
+                + F.when(n_fp > max_bucket * (2 ** (i - 1)), 1).otherwise(0),
+                range(1, 17),
+                F.lit(0),
+            )
+            fp = fp.withColumn("_w", w_bits)
+            mask = F.expr("shiftleft(CAST(1 AS BIGINT), _w) - 1")
+            sub_keys = (
+                F.col("_other").bitwiseAND(mask),
+                F.expr("shiftright(_other, 16 - _w)").bitwiseAND(mask),
+            )
+            rescued = None
+            for sub in sub_keys:
+                side = fp.withColumn("_sub", sub)
+                w_sub = Window.partitionBy("half", "_sub")
+                side = (
+                    side.withColumn("_m", F.count(F.lit(1)).over(w_sub))
+                    .filter(F.col("_m") <= max_bucket)
+                )
+                a = side.select(
+                    "half", "_sub",
+                    F.col("_hub").alias("doc_a"),
+                    F.col("_sim").alias("_sim_a"),
+                )
+                b = side.select(
+                    F.col("half").alias("_half_b"),
+                    F.col("_sub").alias("_sub_b"),
+                    F.col("_hub").alias("doc_b"),
+                    F.col("_sim").alias("_sim_b"),
+                )
+                joined = a.join(
+                    b,
+                    (F.col("half") == F.col("_half_b"))
+                    & (F.col("_sub") == F.col("_sub_b"))
+                    & (F.col("doc_a") < F.col("doc_b")),
+                )
+                if _max_hamming is None:
+                    part = joined.select("doc_a", "doc_b")
+                else:
+                    part = joined.select(
+                        "doc_a",
+                        "doc_b",
+                        F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+                        .cast("int")
+                        .alias("hamming"),
+                    ).filter(F.col("hamming") <= _max_hamming)
+                rescued = part if rescued is None else rescued.unionByName(part)
+            return rescued
+
+        out = out.unionByName(rescue_on(lo, other_of["lo"])).unionByName(
+            rescue_on(hi, other_of["hi"])
+        )
     if rescue_identical and max_bucket is not None:
         hubs = simhash_df.groupBy("simhash").agg(
             F.min(id_col).alias("_hub")
@@ -576,6 +701,7 @@ def simhash_near_duplicates(
     max_hamming: int = 6,
     max_bucket: int | None = None,
     rescue_identical: bool = False,
+    rescue_near: bool = False,
 ) -> DataFrame:
     """Verified SimHash near-duplicates: banded candidates filtered by
     Hamming distance (Manku et al., WWW 2007 — the verify step that
@@ -593,7 +719,11 @@ def simhash_near_duplicates(
     ``rescue_identical`` to its identical-fingerprint star rescue
     (linear re-connection of the duplicate families the cap would
     disconnect — which the recall fixture measured at 25 exact-dup
-    points under cap=100).
+    points under cap=100); ``rescue_near`` to its within-bucket
+    finer-width escalation (round 13 — hub-level near edges for the
+    skipped buckets, restoring family-to-family connectivity the cap
+    dropped; see ``simhash_candidates`` for the sub-band geometry and
+    its measured recall).
     """
     # One materialization serves both band sides — four consumers, one
     # SimHash computation.
@@ -605,6 +735,7 @@ def simhash_near_duplicates(
         max_bucket=max_bucket,
         _max_hamming=max_hamming,
         rescue_identical=rescue_identical,
+        rescue_near=rescue_near,
     )
 
 
@@ -698,6 +829,24 @@ def ngram_jaccard_pairs(
                     break
                 cum += c
                 fit_df = d
+            if cum == 0:
+                # Even the df=2 level alone exceeds the budget: the
+                # prescribed fit (max_df=1) would leave ZERO join mass
+                # — every result row silently gone. That is a total-
+                # result change the pinned/None contract would refuse
+                # loudly, so auto must too (ADVICE r12): no max_df
+                # makes this operator fit this corpus.
+                raise ValueError(
+                    f"ngram_jaccard_pairs: max_df='auto' cannot fit "
+                    f"this corpus — the df=2 level alone materializes "
+                    f"more than max_join_rows={max_join_rows:,} rows "
+                    f"(unfiltered mass {int(est):,}), so the only "
+                    f"fitting cap (max_df=1) would leave zero "
+                    f"candidate pairs. Use the subquadratic routes "
+                    f"(minhash_signatures + lsh_candidate_pairs, "
+                    f"simhash_near_duplicates), which sample the "
+                    f"shingle space instead of joining all of it."
+                )
             dropped = sum(n for d, n in hist if d > fit_df)
             _LOG.warning(
                 "ngram auto max_df: unfiltered join mass %s exceeds "

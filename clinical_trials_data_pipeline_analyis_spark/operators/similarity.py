@@ -1042,20 +1042,27 @@ def rhp_escalate_geometry(
 
     Probe cost (round 12, VERDICT r11 ask #2): each probe is a narrow
     signing pass, so the walk is PREDICT-THEN-CONFIRM, not +1-bit
-    stepping. The first jump is ``ceil(log2(est/budget))`` bits — each
-    extra bit removes AT MOST half the candidate mass (every pair's
-    band-collision probability multiplies by its per-bit agreement
-    q ≤ 1, and the mass is dominated by q ≥ 0.5 pairs), so that jump
-    is a LOWER bound on the bits still needed and can never overshoot
-    the minimal fitting width. Later jumps use the MEASURED per-bit
-    decay between the last two probes; the decay factor is
-    non-decreasing in width (ratio of consecutive moments of the
-    bucket-mass distribution — mass concentrates on high-cosine pairs
-    as bits grow), so those predictions are lower bounds too. Net: the
-    chosen width is exactly the stepping loop's minimal width, reached
-    in ~2 probes beyond the law geometry at any corpus size (the 5M
-    rung's 17→19-bit escalation cost 3 serial +1 passes in round 11,
-    ~130s each; the jump pays 1).
+    stepping. The first jump is ``ceil(log2(est/budget))`` bits — under
+    a FIXED banding, each extra bit removes at most half the candidate
+    mass (every pair's band-collision probability multiplies by its
+    per-bit agreement q ≤ 1, and the mass is dominated by q ≥ 0.5
+    pairs), making that jump a lower bound on the bits still needed.
+    One caveat keeps the chosen width HEURISTICALLY minimal rather
+    than provably so (ADVICE r12): band bit-ranges re-base when bits
+    widen (``rhp_plan_vectors`` slices planes by absolute bit index,
+    so band i's slice shifts from ``[i*bb, (i+1)*bb)`` to
+    ``[i*(bb+1), ...)``), so consecutive probes are not nested
+    refinements of one partition and the realized per-bit decay can
+    exceed 2x — a jump can occasionally land one bit wider than the
+    +1-stepping minimum (~1.4 recall points by this module's own
+    measurement; the carried recall estimate and ``min_recall`` floor
+    price exactly the width actually chosen, so the cost is visible,
+    bounded, and constrainable). Later jumps use the MEASURED per-bit
+    decay between the last two probes — the same caveat applies. Net:
+    a fitting width within one bit of minimal, reached in ~2 probes
+    beyond the law geometry at any corpus size (the 5M rung's
+    17→19-bit escalation cost 3 serial +1 passes in round 11, ~130s
+    each; the jump pays 1).
 
     Recall awareness (round 12, VERDICT r11 ask #1): widening bands
     silently costs recall (measured −1.4 points/bit at 5M). The result
@@ -1731,6 +1738,7 @@ def semantic_dedup(
     dim: int | None = None,
     max_candidates: int | None = MAX_SEMDEDUP_CANDIDATE_ROWS,
     probes: int = 1,
+    percolation_check: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by embedding similarity. Cluster the corpus with a coarse quantizer,
@@ -1774,7 +1782,21 @@ def semantic_dedup(
     expanded membership exactly). The keep rule is unchanged: primary
     cell's ``cos_centroid``, one survivor per component; extra probes
     only ADD edges, so components merge, never split. ``probes=1`` is
-    byte-identical to the round-11 operator.
+    byte-identical to the round-11 operator (values; the
+    construction-time cost note below applies to both).
+
+    CONSTRUCTION-TIME ACTIONS (the same honesty note as
+    ``semantic_pair_candidates``'s ``blocked.count()``): building this
+    frame runs the CC loop's bounded iterations eagerly, plus — with
+    ``percolation_check`` (default on) — ONE extra two-row aggregate
+    over the component labels for the percolation tripwire (warns when
+    the largest component exceeds 20% of the corpus: at threshold 0.40
+    the clustered 500k rung collapsed to a single component, i.e.
+    SemDeDup would drop essentially everything — a threshold-semantics
+    problem the caller must see, not infer from a tiny keep count).
+    Pass ``percolation_check=False`` to skip the tripwire aggregate
+    when the caller owns threshold hygiene (ADVICE r12: callers that
+    never act on the returned frame shouldn't pay it).
     """
     from .dedup import connected_components
 
@@ -1887,11 +1909,13 @@ def semantic_dedup(
     # would drop essentially everything. That is a threshold-semantics
     # problem the caller must see, not infer from a tiny keep count:
     # one bounded two-row aggregate (max component size vs total) on
-    # the CC output, WARN past 20%. Values are untouched.
-    stats = comp.groupBy("component").agg(
+    # the CC output, WARN past 20%. Values are untouched. Opt out via
+    # percolation_check=False (the aggregate is construction-time
+    # cost — see the docstring's actions note).
+    stats = percolation_check and comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n")
     ).agg(F.max("n").alias("mx"), F.sum("n").alias("total")).collect()[0]
-    if stats["total"] and stats["mx"] / stats["total"] > 0.20:
+    if stats and stats["total"] and stats["mx"] / stats["total"] > 0.20:
         _LOG.warning(
             "semantic_dedup: largest component holds %d of %d rows "
             "(%.0f%%) — transitive CC chaining at threshold %s is "

@@ -301,6 +301,7 @@ CHANGED_COMPONENTS: tuple[str, ...] = (
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
     "a91_simhash_capped_rescue",
+    "a93_simhash_near_rescue",
     "x07_dedup_ngram_jaccard",
     "a25_dedup_ngram_filtered",
     "a45_semantic_dedup",

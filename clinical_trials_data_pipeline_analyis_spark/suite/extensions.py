@@ -5189,3 +5189,193 @@ def a92_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     return semantic_dedup(
         emb, centroids, threshold=_SEMDEDUP_THRESHOLD, dim=_EMB_DIM, probes=2
     )
+
+
+# =====================================================================
+# a93 — SimHash near-dup rescue for capped hot buckets (round 13). The
+# r12 recall harness measured near-dup COMPONENT recall at a binding
+# cap=100 still at 0.72 even with the identical-fingerprint star
+# rescue, because near-but-not-identical fingerprint families inside a
+# skipped bucket stay disconnected. rescue_near escalates each skipped
+# bucket WITHIN the bucket at finer width (the RHP-escalation trick
+# applied to simhash bands): dedupe to distinct fingerprints (hub =
+# family min id), sub-band on the smallest w with n_fp <= cap * 2^w
+# (exact integer comparison chain — no float log2, so the oracle
+# agrees bit-for-bit), two w-bit blocks (low/high) of the OTHER half,
+# re-cap at fingerprint level, Hamming-verify in-join, emit hub-hub
+# edges. Measured on the 50k template fixture at cap=100: component
+# near recall 0.7164 -> 0.8736 (text_recall_r13.json). This query pins
+# the full union (capped banded pairs + star + near rescue) at a cap
+# that BINDS at the driver SFs — max half-bucket 28 at sf0.01 vs the
+# cap of 20, so skipped buckets exist AND their deduped fingerprint
+# count exceeds the cap (w >= 1: the sub-band path itself is
+# value-checked, not just the w=0 degenerate).
+# =====================================================================
+def _simhash_near_rescue_sql(cap: int, max_hamming: int) -> tuple[str, str]:
+    """(extra CTEs, UNION ALL arms) for the rescue_near oracle."""
+    w_terms = " + ".join(
+        f"CASE WHEN n_fp > {cap * 2 ** (i - 1)} THEN 1 ELSE 0 END"
+        for i in range(1, 17)
+    )
+    ctes: list[str] = []
+    arms: list[str] = []
+    for band, half_expr, other_expr in (
+        ("rlo", "simhash % 65536", "CAST((simhash >> 16) & 65535 AS BIGINT)"),
+        ("rhi", "CAST((simhash >> 16) & 65535 AS BIGINT)", "simhash % 65536"),
+    ):
+        ctes.append(f"""
+{band}_fpw AS (
+    SELECT half, simhash, other, hub, ({w_terms}) AS w FROM (
+        SELECT half, simhash, other, hub,
+               COUNT(*) OVER (PARTITION BY half) AS n_fp
+        FROM (
+            SELECT {half_expr} AS half, simhash,
+                   {other_expr} AS other, MIN(doc_id) AS hub
+            FROM (
+                SELECT doc_id, simhash,
+                       COUNT(*) OVER (PARTITION BY {half_expr}) AS n
+                FROM sims
+            ) WHERE n > {cap}
+            GROUP BY 1, 2, 3
+        )
+    )
+)""")
+        for j, sub_expr in enumerate(
+            (
+                "other & ((1 << w) - 1)",
+                "(other >> (16 - w)) & ((1 << w) - 1)",
+            )
+        ):
+            ctes.append(f"""
+{band}_sub{j} AS (
+    SELECT half, hub, simhash, sub FROM (
+        SELECT half, hub, simhash, sub,
+               COUNT(*) OVER (PARTITION BY half, sub) AS m
+        FROM (SELECT half, hub, simhash, {sub_expr} AS sub FROM {band}_fpw)
+    ) WHERE m <= {cap}
+)""")
+            arms.append(f"""
+    SELECT a.hub AS doc_a, b.hub AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM {band}_sub{j} AS a JOIN {band}_sub{j} AS b
+      ON a.half = b.half AND a.sub = b.sub AND a.hub < b.hub
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}""")
+    return ",\n".join(ctes), "\n    UNION ALL".join(arms)
+
+
+_RESCUE_CTES, _RESCUE_ARMS = _simhash_near_rescue_sql(
+    _RESCUE_MAX_BUCKET, _SIMHASH_MAX_HAMMING
+)
+
+
+@register(
+    "a93_simhash_near_rescue",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+    FROM toks WHERE tok <> ''
+),
+sums AS ({_SIMHASH_SUMS_SQL}),
+sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
+{_simhash_halves_sql(_RESCUE_MAX_BUCKET)},
+cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM lo_ok AS a JOIN lo_ok AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM hi_ok AS a JOIN hi_ok AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT
+        c.doc_a,
+        c.doc_b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cands AS c
+    JOIN sims AS sa ON c.doc_a = sa.doc_id
+    JOIN sims AS sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_MAX_HAMMING}
+),
+hubs AS (SELECT simhash, MIN(doc_id) AS hub FROM sims GROUP BY simhash),
+star AS (
+    SELECT h.hub AS doc_a, s.doc_id AS doc_b, 0 AS hamming
+    FROM sims AS s
+    JOIN hubs AS h ON s.simhash = h.simhash
+    WHERE s.doc_id <> h.hub
+),
+{_RESCUE_CTES}
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+    SELECT * FROM verified
+    UNION ALL SELECT * FROM star
+    UNION ALL{_RESCUE_ARMS}
+)
+""",
+    covers=("X-DEDUP-SIMHASH", "J7"),
+)
+def a93_simhash_near_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+    return simhash_near_duplicates(
+        sims,
+        "doc_id",
+        _SIMHASH_MAX_HAMMING,
+        max_bucket=_RESCUE_MAX_BUCKET,
+        rescue_identical=True,
+        rescue_near=True,
+    )
+
+
+# =====================================================================
+# a94 — row-local TOP-P cell assignment (round 13, VERDICT r12 ask #7):
+# the multi-probe membership feed in its streaming-legal form. a50's
+# fold covers probes=1 only; ivf_assign_topp ranks with a row_number
+# window that streaming frames cannot run. topp_centroids_expr makes
+# the top-p a pure projection for literal-sized centroid sets — score
+# every centroid with F.transform, totally order with F.array_sort's
+# comparator (the batch window's exact ORDER BY: cosine DESC NULLS
+# LAST, centroid_id ASC), slice the first p, posexplode with rank.
+# Zero exchanges (plan-asserted in the stream=batch test alongside
+# probes=2 stream equality). This query value-checks the expression on
+# the batch path against the ranked-window SQL.
+# =====================================================================
+@register(
+    "a94_cell_assign_topp_rowlocal",
+    oracle=f"""
+WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS ce FROM embd WHERE vec_id % 97 = 0 AND vec_id < 12416),
+scored AS (
+    SELECT
+        v.vec_id,
+        cent.centroid_id,
+        {_COS_SQL.format(a="v.e", b="cent.ce")} AS cosine
+    FROM embd AS v, cent
+)
+SELECT vec_id, centroid_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, centroid_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= 2
+""",
+    covers=("X-ANN-IVF", "X-STREAM-ASSIGN"),
+)
+def a94_cell_assign_topp_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.similarity import assign_cells_topp_stream
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroid_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            ((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 12416))
+            & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return assign_cells_topp_stream(emb, centroid_rows, probes=2)

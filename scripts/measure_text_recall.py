@@ -255,20 +255,28 @@ def main() -> None:
         )
 
     cap = args.simhash_caps[-1]  # the harshest cap — where rescue matters
-    for rescue in (False, True):
+    for label_suffix, bucket, kwargs in (
+        ("uncapped", None, {}),  # the ceiling any rescue can reach for
+        ("plain", cap, {}),
+        ("rescued", cap, {"rescue_identical": True}),
+        # round 13: + within-bucket finer-width escalation (hub-level
+        # near edges for the skipped buckets)
+        ("near_rescued", cap,
+         {"rescue_identical": True, "rescue_near": True}),
+    ):
         got = set(
             map(
                 tuple,
-                simhash_candidates(
-                    fp_df, "doc_id", max_bucket=cap, rescue_identical=rescue
-                )
+                simhash_candidates(fp_df, "doc_id", max_bucket=bucket, **kwargs)
                 .select("doc_a", "doc_b")
                 .collect(),
             )
         )
         rec_exact, rec_near = comp_recall(got)
-        label = f"cap{cap}_{'rescued' if rescue else 'plain'}"
-        if rescue:
+        label = (
+            f"cap{cap}_{label_suffix}" if bucket is not None else label_suffix
+        )
+        if kwargs.get("rescue_identical"):
             # Identical text ⇒ identical fingerprint ⇒ same star group:
             # the rescue must restore exact-dup connectivity fully.
             assert rec_exact == 1.0, rec_exact

@@ -173,3 +173,306 @@ def test_span_stream_geometry_pinned(spark, tmp_path):
     shutil.rmtree(ckpt)
     with pytest.raises(StreamingQueryException, match="geometry"):
         run(k=7)
+
+
+# ---------------------------------------------------------------------
+# Theme 2 — SimHash near-dup rescue for capped hot buckets (VERDICT r12
+# ask #3): within-bucket finer-width escalation. The mirror below is an
+# independent pure-Python oracle of the full operator contract (capped
+# banded pairs + star + hub-level sub-band rescue).
+# ---------------------------------------------------------------------
+
+
+def _sh_mirror(fps: dict[int, int], cap: int, h: int) -> dict[str, set]:
+    """Pure-Python mirror of simhash_near_duplicates(max_bucket=cap,
+    rescue_identical=True, rescue_near=True). Returns each layer
+    separately so the test can assert the rescue path actually fired."""
+    from collections import Counter, defaultdict
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    half_fns = {
+        "lo": (lambda v: v % 65536, lambda v: (v >> 16) & 65535),
+        "hi": (lambda v: (v >> 16) & 65535, lambda v: v % 65536),
+    }
+    banded, rescue = set(), set()
+    widths = []
+    for half_of, other_of in half_fns.values():
+        hist = Counter(half_of(v) for v in fps.values())
+        buckets = defaultdict(list)
+        for i, v in fps.items():
+            buckets[half_of(v)].append((i, v))
+        for half, members in buckets.items():
+            if hist[half] <= cap:  # kept: ordinary banded pairs
+                for ia, va in members:
+                    for ib, vb in members:
+                        if ia < ib and ham(va, vb) <= h:
+                            banded.add((ia, ib, ham(va, vb)))
+                continue
+            # skipped: dedupe to fingerprints, sub-band at width w
+            fam = defaultdict(list)
+            for i, v in members:
+                fam[v].append(i)
+            hubs = [(min(ids), v) for v, ids in fam.items()]
+            w = 0
+            while len(hubs) > cap * (2 ** w) and w < 16:
+                w += 1
+            widths.append(w)
+            for sub_fn in (
+                lambda o: o & ((1 << w) - 1),
+                lambda o: (o >> (16 - w)) & ((1 << w) - 1),
+            ):
+                groups = defaultdict(list)
+                for hub, v in hubs:
+                    groups[sub_fn(other_of(v))].append((hub, v))
+                for g in groups.values():
+                    if len(g) > cap:
+                        continue
+                    for ha, va in g:
+                        for hb, vb in g:
+                            if ha < hb and ham(va, vb) <= h:
+                                rescue.add((ha, hb, ham(va, vb)))
+    star = set()
+    fam = {}
+    for i, v in fps.items():
+        fam.setdefault(v, []).append(i)
+    for v, ids in fam.items():
+        hub = min(ids)
+        star.update((hub, i, 0) for i in ids if i != hub)
+    return {"banded": banded, "star": star, "rescue": rescue,
+            "widths": widths}
+
+
+def test_simhash_near_rescue_matches_brute_force(spark):
+    """Exact-set equality of the full rescued operator against the
+    pure-Python mirror, on a fixture where (non-vacuity asserted):
+    a hot bucket exists, its deduped fingerprint count still exceeds
+    the cap (w >= 1 — the sub-band path fires, not just the w=0
+    degenerate), and the rescue contributes pairs neither the capped
+    band join nor the star layer produces."""
+    import random
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    cap, h = 4, 6
+    fps: dict[int, int] = {}
+    # 12 distinct fingerprints crowded into lo-bucket 7, hi values in a
+    # narrow range so several pairs are near (hamming <= 6) — only the
+    # rescue can connect them (their hi buckets are all size <= cap)
+    his = rng.sample(range(0, 64), 12)
+    for i, hi in enumerate(his, start=1):
+        fps[i] = (hi << 16) | 7
+    # an identical-fingerprint family riding the same hot bucket
+    for i in (13, 14, 15):
+        fps[i] = fps[1]
+    # background docs in their own cold buckets
+    for i in range(16, 40):
+        fps[i] = (rng.randrange(1 << 16) << 16) | rng.randrange(8, 65536)
+
+    mirror = _sh_mirror(fps, cap, h)
+    expected = mirror["banded"] | mirror["star"] | mirror["rescue"]
+    # non-vacuity: the sub-band path must actually fire and contribute
+    assert any(w >= 1 for w in mirror["widths"]), mirror["widths"]
+    only_rescue = mirror["rescue"] - mirror["banded"] - mirror["star"]
+    assert only_rescue, "fixture must exercise the rescue layer"
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in fps.items()], ["doc_id", "simhash"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            df, "doc_id", h, max_bucket=cap,
+            rescue_identical=True, rescue_near=True,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_rescue_is_subset_of_uncapped(spark):
+    """rescue_near only restores pairs the cap dropped — hub-hub edges
+    share the bucket's half, so every rescued pair is in the uncapped
+    candidate set (pair projection; hamming is a pair function)."""
+    import random
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    rng = random.Random(11)
+    # everyone shares lo-half 5: one 59-member hot bucket at cap=3
+    fps = {i: (rng.randrange(1 << 16) << 16) | 5 for i in range(1, 60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in fps.items()], ["doc_id", "simhash"]
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(df, "doc_id", 32).collect()
+    }
+    rescued = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(
+            df, "doc_id", 32, max_bucket=3,
+            rescue_identical=True, rescue_near=True,
+        ).collect()
+    }
+    assert rescued <= uncapped
+    assert rescued  # non-vacuous
+
+
+# ---------------------------------------------------------------------
+# ADVICE r12 items
+# ---------------------------------------------------------------------
+
+
+def test_ngram_auto_refuses_at_zero_surviving_mass(spark):
+    """ADVICE #3: when even the df=2 level alone exceeds the budget,
+    max_df='auto' must refuse loudly (max_df=1 leaves ZERO candidate
+    pairs — a silent total-result change), naming the subquadratic
+    routes. The pinned max_df=1 call keeps its explicit-contract
+    behavior (empty result, no raise)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    # k=3 -> 3 shingles, each df=2 -> join mass 3 > budget 2, and the
+    # df=2 level IS the whole mass: fit_df=1, surviving mass 0.
+    with pytest.raises(ValueError, match="cannot fit"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, max_df="auto", max_join_rows=2
+        )
+    # pinned max_df=1: explicit contract, empty result
+    assert (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, max_df=1, max_join_rows=2
+        ).count()
+        == 0
+    )
+
+
+def test_semantic_dedup_percolation_check_optout(spark):
+    """ADVICE #4: percolation_check=False skips the tripwire aggregate;
+    values are identical either way."""
+    import math
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # planted near-dups: base vectors plus tiny perturbations
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(24):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in base))
+        rows.append((i, [x / n for x in base]))
+    for i in range(24, 30):
+        src = rows[i - 24][1]
+        rows.append((i, [x + 0.001 for x in src]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") % 6 == 0)
+
+    kw = dict(threshold=0.98, dim=8)
+    a = sorted(
+        map(tuple, semantic_dedup(emb, cents, **kw).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, cents, percolation_check=False, **kw
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert any(r[3] == 0 for r in a)  # non-vacuous: dups exist
+
+
+# ---------------------------------------------------------------------
+# Theme 3 — streaming twin for multi-probe cell assignment (VERDICT r12
+# ask #7): ivf_assign_topp's window is stream-illegal; the top-p fold
+# (transform -> array_sort comparator -> slice) is a pure projection.
+# ---------------------------------------------------------------------
+
+
+def test_topp_assign_stream_equals_batch_at_probes2(spark, tmp_path):
+    """assign_cells_topp_stream at probes=2 must equal ivf_assign_topp
+    row for row (vec_id, centroid_id, cosine, rank), its batch
+    application must plan with no join/exchange/aggregate, and the
+    equality must hold through a REAL streaming sink."""
+    import json as _json
+
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        ivf_assign_topp,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming.similarity import (
+        assign_cells_topp_stream,
+        topp_centroids_expr,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+    centroid_rows = [
+        (r["vec_id"], list(r["embedding"])) for r in centroids.collect()
+    ]
+    expected = {
+        (r["vec_id"], r["rank"]): (r["centroid_id"], r["cosine"])
+        for r in ivf_assign_topp(emb, centroids, probes=2).collect()
+    }
+    assert expected  # non-vacuous
+
+    batch_out = assign_cells_topp_stream(emb, centroid_rows, probes=2)
+    got_batch = {
+        (r["vec_id"], r["rank"]): (r["centroid_id"], r["cosine"])
+        for r in batch_out.collect()
+    }
+    assert got_batch == expected
+    optimized = batch_out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in optimized
+    assert "Exchange" not in optimized
+    assert "Aggregate" not in optimized
+
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    with open(src / "part-0.json", "w") as f:
+        for r in emb.select("vec_id", "embedding").collect():
+            f.write(
+                _json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).json(str(src))
+    assigned = assign_cells_topp_stream(stream, centroid_rows, probes=2)
+    assert assigned.isStreaming
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("cells_topp_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r["vec_id"], r["rank"]): (r["centroid_id"], r["cosine"])
+        for r in spark.table("cells_topp_stream").collect()
+    }
+    assert got_stream == expected
+
+    # guard rails: size ceiling and probes validation
+    with pytest.raises(ValueError, match="MAX_LITERAL_CENTROIDS"):
+        topp_centroids_expr([(i, [0.0, 1.0]) for i in range(3000)], 2)
+    with pytest.raises(ValueError, match="probes"):
+        topp_centroids_expr(centroid_rows, 0)

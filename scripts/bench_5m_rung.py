@@ -41,7 +41,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=os.path.join(REPO, "testdata_5m"))
     ap.add_argument(
-        "--leg", choices=["a53_rhp_auto", "a45_auto_k"], required=True
+        "--leg",
+        choices=["a53_rhp_auto", "a53_rhp_min_recall", "a45_auto_k"],
+        required=True,
     )
     args = ap.parse_args()
 
@@ -83,13 +85,23 @@ def main() -> None:
     calib = round(time.perf_counter() - c0, 4)
 
     escalation = None
-    if args.leg == "a53_rhp_auto":
+    if args.leg.startswith("a53_rhp"):
         # the law must resolve the NEW 17-bit-band geometry here
         assert rhp_auto_bits(N_VECS, bands=4) == 68, rhp_auto_bits(N_VECS, bands=4)
+        # a53_rhp_min_recall (round 13, VERDICT r12 ask #6): the same
+        # auto call under a min_recall=0.90 floor. Phase 1's bit-widen
+        # lands 19-bit x 4 bands (fits the budget, Charikar 0.8841 —
+        # BELOW the floor), so phase 2's band-first repair must take
+        # over: 19-bit x 5 bands is the widest-recall geometry the
+        # decay model predicts fits (~484M of the 500M budget, recall
+        # 0.9325). The leg asserts the repair path actually ran
+        # (chosen_bands > law_bands) — the r12 leg showed the estimate
+        # at scale; this one shows the REPAIR at scale.
+        floor = {"min_recall": 0.90} if args.leg == "a53_rhp_min_recall" else {}
         t0 = time.perf_counter()
         n = rhp_near_duplicates(
             emb, 0.30, n_bits="auto", bands=4, dim=_EMB_DIM,
-            row_count_hint=N_VECS,
+            row_count_hint=N_VECS, **floor,
         ).count()
         # Round 12: the escalation decision is part of the leg's output
         # — chosen geometry, measured masses, probe count, and the
@@ -99,6 +111,12 @@ def main() -> None:
         )
 
         geom = similarity.LAST_ESCALATION
+        if args.leg == "a53_rhp_min_recall":
+            assert geom is not None and geom.bands > geom.law_bands, (
+                "the min_recall leg exists to demonstrate the band-first "
+                f"repair; got {geom}"
+            )
+            assert geom.recall_estimate >= 0.90, geom.recall_estimate
         if geom is not None:
             escalation = {
                 "law_n_bits": geom.law_n_bits,

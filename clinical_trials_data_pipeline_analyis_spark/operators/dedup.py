@@ -147,6 +147,8 @@ def lsh_candidate_pairs(
     against: DataFrame | None = None,
     estimate: bool = False,
     max_candidates: int | None = MAX_LSH_CANDIDATE_ROWS,
+    min_recall: float | None = None,
+    recall_jaccard: float = 0.84,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate pair.
 
@@ -207,7 +209,37 @@ def lsh_candidate_pairs(
     Requires a budget and symmetric mode; refuses loudly when even one
     band of all ``num_hashes`` rows exceeds the budget (exact-dedup
     first, or raise it).
+
+    ``min_recall`` (round 13, completing the RHP symmetry): a floor on
+    the banding-theory recall ``1-(1-s^rows)^bands`` at
+    ``recall_jaccard`` (default 0.84 — the recall harness's measured
+    mean Jaccard over planted near-dup edges, within 3 points of
+    measured recall at every tested banding, BASELINE "Near-dup
+    recall"). Auto mode already picks the recall-MAXIMAL banding
+    within the budget, so unlike RHP there is no repair direction
+    inside a fixed signature: when the chosen banding still misses
+    the floor, the call refuses loudly prescribing the fix that
+    exists — re-sign with more hashes (more bands at the same rows
+    recovers recall exponentially; candidate mass grows ~linearly).
+    Pinned bandings validate and never silently adjust, exactly the
+    RHP contract.
     """
+    if min_recall is not None and not (0.0 < min_recall <= 1.0):
+        raise ValueError(f"min_recall must be in (0, 1], got {min_recall}")
+
+    def _banding_recall(nb: int) -> float:
+        return 1.0 - (1.0 - recall_jaccard ** (num_hashes // nb)) ** nb
+
+    if min_recall is not None and isinstance(bands, int):
+        rec = _banding_recall(bands)
+        if rec < min_recall:
+            raise ValueError(
+                f"lsh_candidate_pairs: pinned banding ({bands} bands x "
+                f"{num_hashes // bands} rows) has banding-theory recall "
+                f"{rec:.4f} at Jaccard {recall_jaccard:g} — below "
+                f"min_recall={min_recall}. Add bands (finer banding), "
+                f"re-sign with more hashes, or lower the floor."
+            )
     measured_est: int | None = None
     if bands == "auto":
         if against is not None:
@@ -272,18 +304,38 @@ def lsh_candidate_pairs(
             )
         bands = chosen
         r = num_hashes // bands
-        # Reference Jaccard 0.84: the recall harness's measured mean
-        # over planted near-dup edges (BASELINE "Near-dup recall").
+        # Reference Jaccard (default 0.84): the recall harness's
+        # measured mean over planted near-dup edges (BASELINE
+        # "Near-dup recall").
+        chosen_recall = _banding_recall(bands)
+        if min_recall is not None and chosen_recall < min_recall:
+            # Auto already chose the recall-maximal banding within the
+            # budget — no finer banding of THIS signature both fits
+            # and recovers; the fix is a bigger signature.
+            raise ValueError(
+                f"lsh_candidate_pairs: the recall-maximal banding that "
+                f"fits max_candidates={max_candidates:,} ({bands} bands "
+                f"x {r} rows, measured {measured_est:,} candidates) has "
+                f"banding-theory recall {chosen_recall:.4f} at Jaccard "
+                f"{recall_jaccard:g} — below min_recall={min_recall}. "
+                f"No banding of {num_hashes} hashes can fit the budget "
+                f"AND meet the floor: re-sign with more hashes (e.g. "
+                f"num_hashes={num_hashes * 2} admits {bands * 2} bands "
+                f"x {r} rows — recall recovers exponentially in bands "
+                f"while candidate mass grows ~linearly), raise "
+                f"max_candidates, or lower the floor."
+            )
         _LOG.warning(
             "lsh auto banding: chose %d bands x %d rows (measured "
             "%s candidates vs budget %s, probes %s); banding-theory "
-            "recall at Jaccard 0.84: %.4f",
+            "recall at Jaccard %g: %.4f",
             bands,
             r,
             f"{measured_est:,}" if measured_est is not None else "0",
             f"{max_candidates:,}",
             probes,
-            1.0 - (1.0 - 0.84**r) ** bands,
+            recall_jaccard,
+            chosen_recall,
         )
     elif not isinstance(bands, int):
         raise ValueError(f"bands must be an int or 'auto', got {bands!r}")

@@ -28,7 +28,12 @@ TABLES = (
 #: - a50 collects the centroid list into a plan literal and
 #:   ``nearest_centroid_expr`` raises on an empty index — assignment
 #:   against no centroids is a caller error, loudly reported.
-_EXPECTED_RAISES = {"a50_cell_assign_rowlocal": ValueError}
+#: - a94 is the top-p sibling: ``topp_centroids_expr`` keeps the same
+#:   empty-index contract.
+_EXPECTED_RAISES = {
+    "a50_cell_assign_rowlocal": ValueError,
+    "a94_cell_assign_topp_rowlocal": ValueError,
+}
 
 
 @pytest.fixture(scope="module")

@@ -515,3 +515,50 @@ def test_percolation_warning_prescribes_threshold(spark, caplog):
     msgs = [r.message for r in caplog.records if "percolating" in r.message]
     assert msgs, caplog.records
     assert "suggests threshold >=" in msgs[0] or "denser than any" in msgs[0]
+
+
+def test_lsh_min_recall_floor(spark):
+    """min_recall for MinHash (round 13, completing the RHP symmetry):
+    pinned bandings validate-never-adjust; auto refuses prescribing a
+    bigger signature when the recall-maximal fitting banding misses
+    the floor; a satisfiable floor changes nothing."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} says {'spark ' * (i % 4 + 2)}and more words here")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+
+    # pinned, floor violated: 1 band x 8 rows has recall 0.84^8 = 0.248
+    with pytest.raises(ValueError, match="below min_recall"):
+        lsh_candidate_pairs(sigs, "doc_id", bands=1, min_recall=0.5)
+    # pinned, floor met: 4 bands x 2 rows -> 0.9868; identical result
+    base = sorted(map(tuple, lsh_candidate_pairs(sigs, "doc_id", bands=4).collect()))
+    floored = sorted(
+        map(tuple, lsh_candidate_pairs(sigs, "doc_id", bands=4, min_recall=0.9).collect())
+    )
+    assert base == floored
+
+    # auto, budget forces the coarsest banding (1x8, recall 0.248),
+    # floor unreachable within this signature -> refusal names the
+    # num_hashes prescription. The binding budget is the measured 1x8
+    # mass itself (the smallest of any banding), computed here with
+    # the operator's own Σ n(n-1)/2 accounting:
+    import pyspark.sql.functions as SF
+    bt = sigs.select(
+        SF.concat(*[SF.col(f"h{j}") for j in range(8)]).alias("bsig")
+    )
+    m1 = int(
+        bt.groupBy("bsig").count()
+        .agg(SF.sum(SF.col("count") * (SF.col("count") - 1) / 2).alias("c"))
+        .collect()[0]["c"] or 0
+    )
+    with pytest.raises(ValueError, match="re-sign with more hashes"):
+        lsh_candidate_pairs(
+            sigs, "doc_id", bands="auto", max_candidates=m1, min_recall=0.9
+        )

@@ -562,3 +562,54 @@ def test_lsh_min_recall_floor(spark):
         lsh_candidate_pairs(
             sigs, "doc_id", bands="auto", max_candidates=m1, min_recall=0.9
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+            min_size=8,
+            max_size=60,
+        ),
+        st.integers(min_value=2, max_value=6),
+        st.integers(min_value=1, max_value=32),
+    )
+    def test_simhash_rescue_property(fps_list, cap, h):
+        """Property sweep: on ARBITRARY fingerprint multisets, caps, and
+        Hamming radii, the rescued operator equals the pure-Python
+        mirror exactly, and never exceeds the uncapped pair set. (Shared
+        session fetched lazily — hypothesis wraps the function, so the
+        pytest fixture can't inject it.)"""
+        from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+            simhash_near_duplicates,
+        )
+        from clinical_trials_data_pipeline_analyis_spark.session import get_spark
+
+        spark = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=4)
+        # crowd half the ids into one lo bucket so caps actually bind
+        fps = {}
+        for i, v in enumerate(fps_list, start=1):
+            fps[i] = (v & ~0xFFFF) | 7 if i % 2 else v
+        df = spark.createDataFrame(
+            [(i, v) for i, v in fps.items()], ["doc_id", "simhash"]
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_duplicates(
+                df, "doc_id", h, max_bucket=cap,
+                rescue_identical=True, rescue_near=True,
+            ).collect()
+        }
+        mirror = _sh_mirror(fps, cap, h)
+        assert got == mirror["banded"] | mirror["star"] | mirror["rescue"]

@@ -1,9 +1,11 @@
 from .curation import curate_docs_stream
 from .dedup import (
+    MAX_SIMHASH_STREAM_CANDIDATES_PER_EPOCH,
     clean_spans_stream,
     decontaminate_docs_stream,
     dedup_events_stream,
     near_dedup_docs_stream,
+    simhash_near_dedup_stream,
 )
 from .events import (
     hourly_event_counts_stream,
@@ -26,6 +28,8 @@ __all__ = [
     "decontaminate_docs_stream",
     "dedup_events_stream",
     "near_dedup_docs_stream",
+    "simhash_near_dedup_stream",
+    "MAX_SIMHASH_STREAM_CANDIDATES_PER_EPOCH",
     "hourly_event_counts_stream",
     "silver_studies_stream",
     "streaming_events_source",

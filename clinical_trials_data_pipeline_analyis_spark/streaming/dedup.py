@@ -316,3 +316,195 @@ def decontaminate_docs_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+#: Per-epoch candidate budget for the streaming SimHash near-dedup —
+#: the exact row count the asymmetric (batch x history) half-bucket
+#: join streams through the Hamming verify each micro-batch. Same
+#: rationale as MAX_RHP_STREAM_CANDIDATES_PER_EPOCH.
+MAX_SIMHASH_STREAM_CANDIDATES_PER_EPOCH = 500_000_000
+
+
+def simhash_near_dedup_stream(
+    docs_stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bits: int = 32,
+    max_candidates_per_epoch: int | None = MAX_SIMHASH_STREAM_CANDIDATES_PER_EPOCH,
+):
+    """Incremental SimHash near-dedup via ``foreachBatch`` — the
+    streaming twin of ``operators.dedup.simhash_near_duplicates``
+    (same 16-bit half-bucket banding, same ``bit_count(xor)`` Hamming
+    verify computed INSIDE the bucket join), completing the family:
+    MinHash (``near_dedup_docs_stream``), RHP
+    (``streaming.similarity.rhp_near_dedup_stream``), and now SimHash
+    each have a stream=batch-equality-tested incremental form.
+
+    Each micro-batch's documents are fingerprinted once (the per-bit
+    majority vote is an ordinary aggregation — legal inside
+    foreachBatch), banded on both 16-bit halves against the ACCUMULATED
+    fingerprint store plus the batch itself, Hamming-verified in-join,
+    and flagged ``is_near_dup`` when they verify against any LOWER-id
+    document — the keep-first contract shared with the sibling twins,
+    so for an id-ordered stream the flags equal the batch operator's
+    pair set (doc flagged iff it appears as ``doc_b``; equality
+    tested). The batch's fingerprints (8 bytes each — the store is the
+    cheapest of the three families') then append to the store.
+
+    Scale shape: per-epoch cost is |batch| x matching half-bucket
+    occupancy — never history x history; candidates exist only inside
+    whole-stage codegen (verify-in-join), and one bounded aggregate
+    over joined bucket COUNTS refuses past ``max_candidates_per_epoch``
+    with the fix named (hot half-buckets on a template-heavy corpus
+    are a SimHash structural hazard — the batch operator's
+    ``max_bucket``/rescue machinery is deliberately batch-only, since
+    per-epoch bucket counts differ from corpus counts and capping on
+    them would break stream=batch flag parity; route template-heavy
+    streams to ``near_dedup_docs_stream``).
+
+    Geometry is PINNED for the store's lifetime (``bits`` — fingerprints
+    from different widths never compare meaningfully) through the same
+    filesystem-agnostic sidecar as the sibling twins. ``max_hamming``
+    is deliberately NOT pinned: the store holds full fingerprints, so
+    the verify radius is a per-run query parameter, not store geometry.
+
+    Retry-idempotence: flags and store are epoch-partitioned with
+    DYNAMIC overwrite and the store read filters ``epoch_id <
+    current`` — a retried micro-batch is bit-identical to its first
+    attempt.
+
+    Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Flag
+    output: (id_col, is_near_dup) partitioned by epoch_id.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import simhash
+    from .store_meta import check_or_pin_geometry
+
+    geometry = {"bits": int(bits)}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        check_or_pin_geometry(
+            spark, store_path, "_simhash_geometry", geometry,
+            "simhash_near_dedup_stream",
+        )
+        fps_new = simhash(batch_df, id_col, text_col, bits=bits).transform(
+            cut_lineage(local_only=True)
+        )
+        try:
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("epoch_id") < int(epoch_id))
+                .drop("epoch_id")
+            )
+            all_fps = store.unionByName(fps_new)
+        except AnalysisException:
+            all_fps = fps_new
+
+        lo = (F.col("simhash") % 65536).alias("half")
+        hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias(
+            "half"
+        )
+
+        def side(df: DataFrame, half, prefix: str) -> DataFrame:
+            return df.select(
+                half,
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col("simhash").alias(f"{prefix}_sim"),
+            )
+
+        if max_candidates_per_epoch is not None:
+            # Exact per-epoch mass of the two asymmetric half joins:
+            # per (band, half) bucket, new x history + C(new, 2).
+            total = 0
+            for half in (lo, hi):
+                counts = (
+                    fps_new.select(half)
+                    .groupBy("half")
+                    .agg(F.count(F.lit(1)).alias("n_new"))
+                    .join(
+                        all_fps.select(half)
+                        .groupBy("half")
+                        .agg(F.count(F.lit(1)).alias("n_all")),
+                        "half",
+                    )
+                    .agg(
+                        F.sum(
+                            F.col("n_new") * (F.col("n_all") - F.col("n_new"))
+                            + (F.col("n_new") * (F.col("n_new") - F.lit(1)))
+                            / F.lit(2)
+                        ).alias("cand")
+                    )
+                    .collect()[0]["cand"]
+                )
+                total += int(counts or 0)
+            if total > max_candidates_per_epoch:
+                raise ValueError(
+                    f"simhash_near_dedup_stream: epoch {epoch_id}'s "
+                    f"half-bucket joins would stream ~{total:,} candidate "
+                    f"rows through the Hamming verify (budget "
+                    f"{max_candidates_per_epoch:,}). Template-heavy "
+                    f"corpora concentrate fingerprint halves into hot "
+                    f"buckets — shrink the micro-batch "
+                    f"(maxFilesPerTrigger), route the stream to "
+                    f"near_dedup_docs_stream (MinHash buckets sample the "
+                    f"shingle space instead), or raise "
+                    f"max_candidates_per_epoch if the verify CPU can "
+                    f"take it."
+                )
+
+        dup_parts = []
+        for half in (lo, hi):
+            a = side(fps_new, half, "a")
+            b = side(all_fps, half, "b").withColumnRenamed("half", "half_b")
+            dup_parts.append(
+                a.join(
+                    b,
+                    (F.col("half") == F.col("half_b"))
+                    & (F.col("b_id") < F.col("a_id")),
+                )
+                .select(
+                    "a_id",
+                    F.bit_count(
+                        F.col("a_sim").bitwiseXOR(F.col("b_sim"))
+                    ).cast("int").alias("hamming"),
+                )
+                .filter(F.col("hamming") <= max_hamming)
+                .select("a_id")
+            )
+        dup_ids = dup_parts[0].unionByName(dup_parts[1]).distinct()
+        flags = fps_new.select(F.col(id_col)).join(
+            dup_ids.withColumnRenamed("a_id", id_col).withColumn(
+                "is_near_dup", F.lit(True)
+            ),
+            id_col,
+            "left",
+        ).select(
+            id_col, F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup")
+        )
+        (
+            flags.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
+        (
+            fps_new.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -613,3 +613,79 @@ if _HYP:
         }
         mirror = _sh_mirror(fps, cap, h)
         assert got == mirror["banded"] | mirror["star"] | mirror["rescue"]
+
+
+# ---------------------------------------------------------------------
+# Theme 4 — the SimHash streaming twin (completing the family: MinHash,
+# RHP, and now SimHash each have an incremental stream=batch form).
+# ---------------------------------------------------------------------
+
+
+def test_simhash_stream_matches_batch(spark, tmp_path):
+    """Flags from the streamed corpus must equal the batch operator's
+    'appears as doc_b' set over the full corpus, the geometry pin must
+    hold across restarts, and the per-epoch budget must refuse in its
+    binding regime."""
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        simhash_near_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    chunks = str(tmp_path / "chunks")
+    half = n // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{chunks}/c1")
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    out, store, ckpt = (
+        str(tmp_path / "flags"), str(tmp_path / "fpstore"), str(tmp_path / "ckpt")
+    )
+
+    def run(bits=32, budget=None):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/c*")
+        )
+        kw = {} if budget is None else {"max_candidates_per_epoch": budget}
+        q = simhash_near_dedup_stream(
+            stream, out_path=out, store_path=store, checkpoint=ckpt,
+            bits=bits, **kw,
+        ).start()
+        q.awaitTermination(180)
+
+    run()
+    got = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(out).collect()
+    }
+    fps = simhash(docs, "doc_id", "text")
+    want_dups = {
+        r["doc_b"]
+        for r in simhash_near_duplicates(fps, "doc_id", 6).collect()
+    }
+    assert len(got) == n
+    assert {d for d, f in got.items() if f} == want_dups
+    assert want_dups  # non-vacuous: the sf0.001 corpus has dup chains
+
+    # geometry pin: different bits over a live store -> loud failure
+    shutil.rmtree(ckpt)
+    with pytest.raises(StreamingQueryException, match="geometry"):
+        run(bits=16)
+
+    # budget binding regime: a 1-row budget must refuse loudly naming
+    # the routes (fresh store so the pin passes)
+    shutil.rmtree(ckpt)
+    shutil.rmtree(store)
+    shutil.rmtree(out)
+    with pytest.raises(StreamingQueryException, match="candidate rows"):
+        run(budget=1)

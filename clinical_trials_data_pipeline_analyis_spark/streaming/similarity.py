@@ -3,7 +3,11 @@ nearest IVF centroid — the ingestion step of a continuously-fed vector
 index (new embeddings land in the right cell as they arrive; the
 cell-confined search and SemDeDup operators then work incrementally).
 
-Two streaming-legal forms, chosen by centroid-set size:
+Three streaming-legal forms — two chosen by centroid-set size, plus the
+round-13 multi-probe variant (``assign_cells_topp_stream`` /
+``topp_centroids_expr``: the top-p as a transform → array_sort →
+slice projection, stream-legal where ``ivf_assign_topp``'s window is
+not):
 
 1. ``assign_cells_stream`` — the centroids become an array-of-structs
    PLAN LITERAL and the best cell is a row-local ``F.aggregate`` fold: a

@@ -293,9 +293,12 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: they owe a verdict THIS round (the changed-component rule) and take
 #: priority slots ahead of the oldest-first fill. Reset each round.
 #: Round 13 touches: simhash_candidates / simhash near-dup (the new
-#: binding-cap sub-band rescue + routing warning) -> x06/a23/a26/a91;
+#: binding-cap sub-band rescue) -> x06/a23/a26/a91 + new a93;
 #: ngram_jaccard_pairs (zero-mass auto refusal, ADVICE #3) -> x07/a25;
-#: semantic_dedup (lazy percolation tripwire, ADVICE #4) -> a45/a92.
+#: semantic_dedup (tripwire opt-out + threshold prescription, ADVICE
+#: #4 / optional #8) -> a45/a92; lsh_candidate_pairs (min_recall
+#: floor — no-op at default, but the body changed) ->
+#: x05/x17/a21/a30; new a94 (top-p rowlocal assignment).
 CHANGED_COMPONENTS: tuple[str, ...] = (
     "x06_dedup_simhash",
     "a23_dedup_simhash_pairs",
@@ -306,6 +309,11 @@ CHANGED_COMPONENTS: tuple[str, ...] = (
     "a25_dedup_ngram_filtered",
     "a45_semantic_dedup",
     "a92_semantic_dedup_multiprobe",
+    "x05_dedup_minhash_lsh",
+    "x17_dedup_minhash_estimate",
+    "a21_dedup_cc_clusters",
+    "a30_dedup_keep_best",
+    "a94_cell_assign_topp_rowlocal",
 )
 
 WINDOW_SIZE = 50

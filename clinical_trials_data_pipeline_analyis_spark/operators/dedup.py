@@ -312,10 +312,13 @@ def lsh_candidate_pairs(
             # Auto already chose the recall-maximal banding within the
             # budget — no finer banding of THIS signature both fits
             # and recovers; the fix is a bigger signature.
+            measured_s = (
+                f"{measured_est:,}" if measured_est is not None else "0"
+            )
             raise ValueError(
                 f"lsh_candidate_pairs: the recall-maximal banding that "
                 f"fits max_candidates={max_candidates:,} ({bands} bands "
-                f"x {r} rows, measured {measured_est:,} candidates) has "
+                f"x {r} rows, measured {measured_s} candidates) has "
                 f"banding-theory recall {chosen_recall:.4f} at Jaccard "
                 f"{recall_jaccard:g} — below min_recall={min_recall}. "
                 f"No banding of {num_hashes} hashes can fit the budget "
@@ -669,8 +672,17 @@ def simhash_candidates(
                 F.expr("shiftright(_other, 16 - _w)").bitwiseAND(mask),
             )
             rescued = None
-            for sub in sub_keys:
+            for j, sub in enumerate(sub_keys):
                 side = fp.withColumn("_sub", sub)
+                if j == 1:
+                    # At w=0 both sub keys are 0 and at w=16 both equal
+                    # the whole other half — the second arm would redo
+                    # the first arm's joins byte-for-byte only for the
+                    # final distinct to discard them. Values unchanged
+                    # (the dropped rows are exact duplicates of arm 1's);
+                    # the oracle keeps both arms unconditionally under
+                    # the same DISTINCT.
+                    side = side.filter(F.col("_w").between(1, 15))
                 w_sub = Window.partitionBy("half", "_sub")
                 side = (
                     side.withColumn("_m", F.count(F.lit(1)).over(w_sub))

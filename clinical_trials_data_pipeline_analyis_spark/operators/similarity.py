@@ -1930,12 +1930,19 @@ def semantic_dedup(
         # Cost: ONE re-run of the pair scan (warning path only — the
         # run is already known broken for dedup semantics), collected
         # as a ≤~60-bucket rounded-cosine histogram, never the edges.
+        scored_pairs = semantic_pair_candidates(
+            scan_input, threshold, broadcast_limit=broadcast_limit,
+            max_cell=max_cell, dim=dim, max_candidates=None,
+            _keep_cos=True,
+        )
+        if probes > 1:
+            # CC consumed pair-DISTINCT edges; the histogram must count
+            # the same set, or multi-cell emissions bias the
+            # prescription high (pair_cos is a pair function, so
+            # 3-column distinct equals pair distinct).
+            scored_pairs = scored_pairs.distinct()
         hist = (
-            semantic_pair_candidates(
-                scan_input, threshold, broadcast_limit=broadcast_limit,
-                max_cell=max_cell, dim=dim, max_candidates=None,
-                _keep_cos=True,
-            )
+            scored_pairs
             .groupBy(F.round("pair_cos", 2).alias("c"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()

@@ -366,11 +366,16 @@ def simhash_near_dedup_stream(
     them would break stream=batch flag parity; route template-heavy
     streams to ``near_dedup_docs_stream``).
 
-    Geometry is PINNED for the store's lifetime (``bits`` — fingerprints
-    from different widths never compare meaningfully) through the same
-    filesystem-agnostic sidecar as the sibling twins. ``max_hamming``
-    is deliberately NOT pinned: the store holds full fingerprints, so
-    the verify radius is a per-run query parameter, not store geometry.
+    Geometry: the half-bucket banding is 32-bit-specific (two 16-bit
+    halves — the same hardcoded split as the batch
+    ``simhash_candidates``), so ``bits`` must be 32 and the
+    constructor refuses anything else up front. The store still pins
+    ``{"bits": 32}`` through the same filesystem-agnostic sidecar as
+    the sibling twins, so a store written by any FUTURE width (or a
+    corrupted marker) fails the stream loudly rather than comparing
+    fingerprints that never collide meaningfully. ``max_hamming`` is
+    deliberately NOT pinned: the store holds full fingerprints, so the
+    verify radius is a per-run query parameter, not store geometry.
 
     Retry-idempotence: flags and store are epoch-partitioned with
     DYNAMIC overwrite and the store read filters ``epoch_id <
@@ -386,6 +391,15 @@ def simhash_near_dedup_stream(
     from ..operators.dedup import simhash
     from .store_meta import check_or_pin_geometry
 
+    if int(bits) != 32:
+        raise ValueError(
+            f"simhash_near_dedup_stream: bits={bits} is not supported — "
+            "the half-bucket banding is 32-bit-specific (two 16-bit "
+            "halves, matching the batch simhash_candidates). With a "
+            "narrower width the hi half degenerates to one global "
+            "bucket (quadratic history join); with a wider one the "
+            "extra bits never band. Use bits=32."
+        )
     geometry = {"bits": int(bits)}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:

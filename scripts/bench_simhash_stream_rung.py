@@ -85,9 +85,15 @@ def main() -> None:
         if not os.path.exists(chunk_dir):
             per = n_docs // args.epochs
             for e in range(args.epochs):
+                # the last epoch takes the remainder so the stream and
+                # the batch leg cover the SAME corpus (a dropped tail
+                # would fail the parity asserts with a confusing
+                # accounting mismatch)
+                hi_bound = (
+                    (e + 1) * per if e < args.epochs - 1 else n_docs + 1
+                )
                 docs.filter(
-                    (F.col("doc_id") >= e * per)
-                    & (F.col("doc_id") < (e + 1) * per)
+                    (F.col("doc_id") >= e * per) & (F.col("doc_id") < hi_bound)
                 ).coalesce(1).write.parquet(f"{chunk_dir}/c{e:02d}")
         for p in (flags_path, store_path, ckpt_path):
             shutil.rmtree(p, ignore_errors=True)

@@ -31,6 +31,8 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: drive_driver.py [--json OUT.json] [filters...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     filters = args

@@ -650,7 +650,7 @@ def test_simhash_stream_matches_batch(spark, tmp_path):
         str(tmp_path / "flags"), str(tmp_path / "fpstore"), str(tmp_path / "ckpt")
     )
 
-    def run(bits=32, budget=None):
+    def run(budget=None):
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -658,8 +658,7 @@ def test_simhash_stream_matches_batch(spark, tmp_path):
         )
         kw = {} if budget is None else {"max_candidates_per_epoch": budget}
         q = simhash_near_dedup_stream(
-            stream, out_path=out, store_path=store, checkpoint=ckpt,
-            bits=bits, **kw,
+            stream, out_path=out, store_path=store, checkpoint=ckpt, **kw,
         ).start()
         q.awaitTermination(180)
 
@@ -677,10 +676,22 @@ def test_simhash_stream_matches_batch(spark, tmp_path):
     assert {d for d, f in got.items() if f} == want_dups
     assert want_dups  # non-vacuous: the sf0.001 corpus has dup chains
 
-    # geometry pin: different bits over a live store -> loud failure
+    # non-32 widths are refused at CONSTRUCTION (the half banding is
+    # 32-bit-specific; a 16-bit fingerprint's hi half is one global
+    # bucket)
+    with pytest.raises(ValueError, match="bits=16"):
+        simhash_near_dedup_stream(
+            spark.readStream.schema(docs.schema).parquet(f"{chunks}/c*"),
+            out_path=out, store_path=store, checkpoint=ckpt, bits=16,
+        )
+
+    # geometry pin: a store whose marker disagrees (future width /
+    # corruption) fails the stream loudly on restart
     shutil.rmtree(ckpt)
+    with open(f"{store}/_simhash_geometry", "w", encoding="utf-8") as fh:
+        fh.write('{"bits": 99}')
     with pytest.raises(StreamingQueryException, match="geometry"):
-        run(bits=16)
+        run()
 
     # budget binding regime: a 1-row budget must refuse loudly naming
     # the routes (fresh store so the pin passes)

@@ -700,3 +700,33 @@ def test_simhash_stream_matches_batch(spark, tmp_path):
     shutil.rmtree(out)
     with pytest.raises(StreamingQueryException, match="candidate rows"):
         run(budget=1)
+
+
+def test_simhash_candidates_rescue_no_hamming_surface(spark):
+    """The CANDIDATES surface (no _max_hamming) with rescue_near must
+    emit exactly the mirror's pair projection at h=64 (no Hamming
+    filter — 64 accepts any 32-bit xor), with (doc_a, doc_b) schema."""
+    import random
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    rng = random.Random(17)
+    fps = {i: (rng.randrange(1 << 16) << 16) | 9 for i in range(1, 30)}
+    fps[30] = fps[1]  # one identical family
+    df = spark.createDataFrame(
+        [(i, v) for i, v in fps.items()], ["doc_id", "simhash"]
+    )
+    got_df = simhash_candidates(
+        df, "doc_id", max_bucket=3, rescue_identical=True, rescue_near=True
+    )
+    assert got_df.columns == ["doc_a", "doc_b"]
+    got = {(r["doc_a"], r["doc_b"]) for r in got_df.collect()}
+    mirror = _sh_mirror(fps, 3, 64)
+    want = {
+        (a, b)
+        for a, b, _ in mirror["banded"] | mirror["star"] | mirror["rescue"]
+    }
+    assert got == want
+    assert mirror["rescue"]  # non-vacuous

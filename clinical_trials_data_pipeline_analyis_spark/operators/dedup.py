@@ -588,6 +588,18 @@ def simhash_candidates(
     families connect through their hubs. Measured on the 50k template
     fixture at cap=100: component recall 0.39 -> see BASELINE
     "Near-dup recall" for the recovery row.
+
+    Scale cost, stated plainly: the rescue re-derives the per-half
+    bucket counts on its own subtree, so it adds two narrow shuffles
+    of the O(n) 8-byte fingerprint table per band (the member window
+    + the fingerprint window) on top of the ones ``pairs_on`` already
+    pays — exchange reuse does not fire across the differently-
+    projected subtrees. That is deliberate: sharing the count would
+    mean widening EVERY ``pairs_on`` row with the other half and the
+    raw fingerprint whether or not rescue is on. Measured at 500k
+    (cap=2000, `simhash_rescue_500k_r13.json`): star 24.8s ->
+    star+near 37.2s for +20.77M recovered edges — the joins, not the
+    extra narrow shuffles, dominate the delta.
     """
     if materialize:
         simhash_df = simhash_df.transform(cut_lineage())

@@ -258,6 +258,7 @@ def assign_cells_foreach_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    probes: int = 1,
 ):
     """Streaming cell assignment for LARGE centroid sets: each
     micro-batch broadcast-joins the centroid TABLE (re-read from
@@ -279,17 +280,34 @@ def assign_cells_foreach_batch(
       at-least-once) overwrites its own partition, so downstream readers
       never see duplicated assignments.
 
+    ``probes`` (round 13): >1 routes the batch ``ivf_assign_topp``
+    instead — the index-scale form of the multi-probe membership feed
+    (the plan-literal ``assign_cells_topp_stream`` caps its centroid
+    set like the top-1 fold; windows are legal here, so no ceiling).
+    Output grows a ``rank`` column (1..probes; rank 1 is exactly the
+    probes=1 assignment by the shared total order).
+
     Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Output
-    schema: (vec_id, centroid_id, cosine) partitioned by epoch_id.
+    schema: (vec_id, centroid_id, cosine[, rank]) partitioned by
+    epoch_id.
     """
-    from ..operators.similarity import ivf_assign
+    from ..operators.similarity import ivf_assign, ivf_assign_topp
+
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(centroids_path)
-        assigned = ivf_assign(
-            batch_df, centroids, id_col=id_col, vec_col=vec_col, dim=dim
-        )
+        if probes == 1:
+            assigned = ivf_assign(
+                batch_df, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+            )
+        else:
+            assigned = ivf_assign_topp(
+                batch_df, centroids, probes,
+                id_col=id_col, vec_col=vec_col, dim=dim,
+            )
         (
             assigned.withColumn("epoch_id", F.lit(int(epoch_id)))
             .write.mode("overwrite")

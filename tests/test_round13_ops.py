@@ -730,3 +730,60 @@ def test_simhash_candidates_rescue_no_hamming_surface(spark):
     }
     assert got == want
     assert mirror["rescue"]  # non-vacuous
+
+
+def test_topp_foreach_batch_matches_batch(spark, tmp_path):
+    """assign_cells_foreach_batch(probes=2) — the index-scale top-p form
+    (no centroid ceiling; windows are legal inside foreachBatch) — must
+    equal batch ivf_assign_topp per epoch, with the rank column."""
+    import json as _json
+
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        ivf_assign_topp,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        assign_cells_foreach_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    centroids = emb.filter(F.col("vec_id") % 20 == 0)
+    cent_path = str(tmp_path / "centroids")
+    centroids.write.parquet(cent_path)
+
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in emb.select("vec_id", "embedding").collect():
+            f.write(
+                _json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).json(str(src))
+    q = assign_cells_foreach_batch(
+        stream, cent_path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        probes=2,
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r["vec_id"], r["rank"]): (r["centroid_id"], r["cosine"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["vec_id"], r["rank"]): (r["centroid_id"], r["cosine"])
+        for r in ivf_assign_topp(emb, centroids, probes=2).collect()
+    }
+    assert got == want and want
+
+    with pytest.raises(ValueError, match="probes"):
+        assign_cells_foreach_batch(
+            stream, cent_path, str(tmp_path / "out2"), str(tmp_path / "c2"),
+            probes=0,
+        )

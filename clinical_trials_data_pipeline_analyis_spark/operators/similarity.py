@@ -1965,9 +1965,15 @@ def semantic_dedup(
             100.0 * stats["mx"] / stats["total"],
             threshold,
             (
+                # t_fix is a round(·, 2) BUCKET (spans t_fix ± 0.005):
+                # prescribing its upper edge guarantees the whole bucket
+                # is excluded, so the kept mass is provably <= the n/2
+                # the heuristic counted (ADVICE r13 — quoting the bucket
+                # center could keep edges from its lower half).
                 f"The measured cosine histogram suggests threshold >= "
-                f"{t_fix:.2f} (keeps <= n/2 edges — below the giant-"
-                f"component regime) for dedup semantics."
+                f"{t_fix + 0.005:.3f} (the upper edge of the last "
+                f"rounded-cosine bucket keeping <= n/2 edges — below "
+                f"the giant-component regime) for dedup semantics."
                 if t_fix is not None
                 else "Even the top cosine bucket alone exceeds n/2 "
                 "edges — the corpus is denser than any threshold can "

@@ -287,17 +287,30 @@ def assign_cells_foreach_batch(
     Output grows a ``rank`` column (1..probes; rank 1 is exactly the
     probes=1 assignment by the shared total order).
 
+    Because ``probes`` changes the SINK schema (rank appears only at
+    probes>1), it is pinned in a ``_assign_geometry`` sidecar under
+    ``out_path`` exactly like the signature stores' geometry pins
+    (ADVICE r13): restarting an existing sink with a different probes
+    would otherwise write epoch partitions with mixed schemas that
+    parquet readers resolve inconsistently — the mismatch now fails the
+    stream loudly at the first epoch instead.
+
     Returns an unstarted ``DataStreamWriter``; ``.start()`` it. Output
     schema: (vec_id, centroid_id, cosine[, rank]) partitioned by
     epoch_id.
     """
     from ..operators.similarity import ivf_assign, ivf_assign_topp
+    from .store_meta import check_or_pin_geometry
 
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        check_or_pin_geometry(
+            spark, out_path, "_assign_geometry", {"probes": probes},
+            "assign_cells_foreach_batch",
+        )
         centroids = spark.read.parquet(centroids_path)
         if probes == 1:
             assigned = ivf_assign(

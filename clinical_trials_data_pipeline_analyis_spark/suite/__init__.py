@@ -292,28 +292,27 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: Queries whose code/plan changed since their last driver verdict —
 #: they owe a verdict THIS round (the changed-component rule) and take
 #: priority slots ahead of the oldest-first fill. Reset each round.
-#: Round 13 touches: simhash_candidates / simhash near-dup (the new
-#: binding-cap sub-band rescue) -> x06/a23/a26/a91 + new a93;
-#: ngram_jaccard_pairs (zero-mass auto refusal, ADVICE #3) -> x07/a25;
-#: semantic_dedup (tripwire opt-out + threshold prescription, ADVICE
-#: #4 / optional #8) -> a45/a92; lsh_candidate_pairs (min_recall
-#: floor — no-op at default, but the body changed) ->
-#: x05/x17/a21/a30; new a94 (top-p rowlocal assignment).
+#: Round 14 touches: simhash_candidates / simhash_near_duplicates (the
+#: cap-consequence probe + min_visible floor, VERDICT r13 ask #4 —
+#: values unchanged, bodies changed) -> x06/a23/a26/a91/a93;
+#: lsh_candidate_pairs (bands validated before the min_recall floor,
+#: ADVICE #1) -> x05/x17/a21/a30; semantic_dedup (percolation
+#: prescription quotes the bucket upper edge, ADVICE #3, warning path
+#: only) -> a45/a92. 11 priority names + the 36-name r11 cohort = 47
+#: of 50; the oldest-first fill takes the remaining 3 from the r12
+#: cohort.
 CHANGED_COMPONENTS: tuple[str, ...] = (
     "x06_dedup_simhash",
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
     "a91_simhash_capped_rescue",
     "a93_simhash_near_rescue",
-    "x07_dedup_ngram_jaccard",
-    "a25_dedup_ngram_filtered",
-    "a45_semantic_dedup",
-    "a92_semantic_dedup_multiprobe",
     "x05_dedup_minhash_lsh",
     "x17_dedup_minhash_estimate",
     "a21_dedup_cc_clusters",
     "a30_dedup_keep_best",
-    "a94_cell_assign_topp_rowlocal",
+    "a45_semantic_dedup",
+    "a92_semantic_dedup_multiprobe",
 )
 
 WINDOW_SIZE = 50

@@ -72,9 +72,13 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            # Nothing was COMPARED: rows_match/schema_match stay null so
+            # a consumer filtering on them never counts an uncompared
+            # entry as verified — rows_only carries the meaning
+            # (ADVICE r13).
             rec.update(
-                rows_match=True, schema_match=True, rows_only=True,
-                n_rows=len(sdf),
+                rows_match=None, schema_match=None, hash_match=None,
+                rows_only=True, n_rows=len(sdf),
             )
             continue
         odf = con.sql(oracles[name]).df()

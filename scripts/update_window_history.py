@@ -28,7 +28,13 @@ OUT = os.path.join(
 def last_green() -> dict[str, int]:
     last: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        tag = os.path.basename(f).split("_r")[1].split(".")[0]
+        if not tag.isdigit():
+            # Builder pre-driver snapshots (CORRECTNESS_r{N}_pre.json) are
+            # local evidence, not driver verdicts — only driver finals rotate
+            # the window.
+            continue
+        rnd = int(tag)
         for name, v in json.load(open(f)).items():
             ok = (
                 v.get("rows_match")

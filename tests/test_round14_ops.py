@@ -1,0 +1,335 @@
+"""Round-14 hardening tests.
+
+Theme 1 — the SimHash hot-bucket cap's recall consequence lives ON the
+operator (VERDICT r13 ask #4): a binding ``max_bucket`` logs the skipped
+candidate-pair mass and the INVISIBLE-document fraction (both halves
+capped — zero candidates pre-rescue), and ``min_visible`` is the
+matching refusal floor, completing the ``min_recall`` family symmetry.
+
+Theme 2 — the SimHash streaming twin warns BEFORE the budget refusal
+(VERDICT r13 ask #5): the per-epoch budget aggregate also projects the
+next epoch's candidate mass against the post-append store and logs past
+80% of the budget, naming the MinHash twin.
+
+Plus the four r13 ADVICE items: bands validated before the min_recall
+floor; the foreachBatch assignment's ``probes`` pinned on the sink (it
+changes the sink schema); the percolation prescription quoting the
+histogram bucket's UPPER edge; drive_driver's rows-only snapshot flags
+left null.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+_DEDUP_LOGGER = "clinical_trials_data_pipeline_analyis_spark.operators.dedup"
+_STREAM_LOGGER = "clinical_trials_data_pipeline_analyis_spark.streaming.dedup"
+
+
+# --------------------------------------------------------------------
+# ADVICE #1: bands sanity precedes the min_recall floor
+# --------------------------------------------------------------------
+
+
+def test_lsh_bands_validated_before_min_recall(spark):
+    """bands=0 must raise the banding error, not ZeroDivisionError
+    inside the recall formula; a non-divisor banding must raise the
+    banding error, not a floored-rows recall refusal."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text about topic {i} with shared words") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    for bad in (0, -2, 3):  # 3 does not divide the default 8 hashes
+        with pytest.raises(ValueError, match="positive divisor"):
+            lsh_candidate_pairs(sigs, "doc_id", bands=bad, min_recall=0.9)
+        with pytest.raises(ValueError, match="positive divisor"):
+            lsh_candidate_pairs(sigs, "doc_id", bands=bad)
+
+
+# --------------------------------------------------------------------
+# Ask #4: the cap-consequence probe
+# --------------------------------------------------------------------
+
+
+def _hot_fixture(spark):
+    """23 docs: 10 with an identical fingerprint (both halves hot at
+    cap=3 — INVISIBLE), 5 sharing only the lo half (lo hot, hi fine —
+    visible), 8 with unique halves (visible)."""
+    rows = []
+    hot = (7 << 16) | 7
+    for i in range(10):
+        rows.append((i, hot))
+    for i in range(10, 15):
+        rows.append((i, ((100 + i) << 16) | 9))  # shared lo=9, unique hi
+    for i in range(15, 23):
+        rows.append((i, ((200 + i) << 16) | (300 + i)))
+    return spark.createDataFrame(rows, ["doc_id", "simhash"])
+
+
+def test_simhash_cap_probe_warns_with_exact_numbers(spark, caplog):
+    """A binding cap logs the skipped mass and invisible-doc count —
+    both checked against the brute-force fixture arithmetic."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    df = _hot_fixture(spark)
+    with caplog.at_level(logging.WARNING, logger=_DEDUP_LOGGER):
+        simhash_candidates(df, "doc_id", max_bucket=3)
+    msgs = [
+        r.getMessage() for r in caplog.records if "simhash cap binding" in r.message
+    ]
+    assert msgs, caplog.records
+    m = msgs[0]
+    # fixture arithmetic: lo masses 45 (hot) + 10 (shared-lo) skipped,
+    # hi mass 45 (hot) skipped; total mass 100, all skipped
+    assert "skips 1.0000 of the candidate-pair mass" in m
+    assert "100 of 100 half-bucket pairs" in m
+    # 10 of 23 docs have BOTH halves capped
+    assert "10 of 23 docs" in m
+    assert "MinHash-LSH" in m
+    # max bucket occupancy 10 -> the prescribed unbinding cap
+    assert "max_bucket >= 10 would unbind" in m
+
+
+def test_simhash_min_visible_floor(spark):
+    """min_visible refuses below the measured doc-visibility fraction
+    (13/23 here), prescribing the unbinding cap, the rescue flags, and
+    the MinHash-LSH route; a satisfiable floor changes nothing; the
+    floor without a cap is refused as vacuous."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_near_duplicates,
+    )
+
+    df = _hot_fixture(spark)
+    with pytest.raises(ValueError, match="min_visible=0.9"):
+        simhash_candidates(df, "doc_id", max_bucket=3, min_visible=0.9)
+    try:
+        simhash_candidates(df, "doc_id", max_bucket=3, min_visible=0.9)
+    except ValueError as e:
+        s = str(e)
+        assert "0.5652" in s  # 13/23 visible
+        assert ">= 10 unbinds" in s
+        assert "rescue_identical+rescue_near" in s
+        assert "MinHash-LSH" in s
+    # the public verified surface forwards the floor
+    with pytest.raises(ValueError, match="min_visible"):
+        simhash_near_duplicates(
+            df, "doc_id", 6, max_bucket=3, min_visible=0.9
+        )
+    # satisfiable floor: plan builds, values equal the no-floor run
+    ok = simhash_candidates(
+        df, "doc_id", max_bucket=3, min_visible=0.5
+    )
+    base = simhash_candidates(df, "doc_id", max_bucket=3, cap_stats=False)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    with pytest.raises(ValueError, match="vacuously"):
+        simhash_candidates(df, "doc_id", min_visible=0.9)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        simhash_candidates(df, "doc_id", max_bucket=3, min_visible=1.5)
+
+
+def test_simhash_cap_probe_silent_when_cap_does_not_bind(spark, caplog):
+    """An unbinding cap (or cap_stats=False) must not log."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    df = _hot_fixture(spark)
+    with caplog.at_level(logging.WARNING, logger=_DEDUP_LOGGER):
+        simhash_candidates(df, "doc_id", max_bucket=100)
+        simhash_candidates(df, "doc_id", max_bucket=3, cap_stats=False)
+    assert not [r for r in caplog.records if "simhash cap binding" in r.message]
+
+
+# --------------------------------------------------------------------
+# Ask #5: streaming twin pre-detonation warning
+# --------------------------------------------------------------------
+
+
+def test_simhash_stream_warns_before_detonation(spark, tmp_path, caplog):
+    """Two 20-identical-doc epochs under a budget both epochs FIT:
+    epoch mass 380 then 1180, projections 1180 then 1980 — past 80% of
+    budget=1400 (1,120) both times, so the stream completes green but
+    logs the pre-detonation warning naming the MinHash twin."""
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        simhash_near_dedup_stream,
+    )
+
+    text = "the exact same template text repeated for every document"
+    chunks = str(tmp_path / "chunks")
+    df1 = spark.createDataFrame(
+        [(i, text) for i in range(20)], ["doc_id", "text"]
+    )
+    df2 = spark.createDataFrame(
+        [(i, text) for i in range(20, 40)], ["doc_id", "text"]
+    )
+    df1.coalesce(1).write.parquet(f"{chunks}/c1")
+    df2.coalesce(1).write.parquet(f"{chunks}/c2")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    with caplog.at_level(logging.WARNING, logger=_STREAM_LOGGER):
+        q = simhash_near_dedup_stream(
+            stream,
+            out_path=str(tmp_path / "flags"),
+            store_path=str(tmp_path / "store"),
+            checkpoint=str(tmp_path / "ckpt"),
+            max_candidates_per_epoch=1400,
+        ).start()
+        q.awaitTermination(180)
+    msgs = [
+        r.getMessage()
+        for r in caplog.records
+        if "post-append store projects" in r.message
+    ]
+    assert len(msgs) == 2, caplog.records
+    assert "380 of the 1,400 candidate budget" in msgs[0]
+    assert "~1,180" in msgs[0]
+    assert "~1,980" in msgs[1]
+    assert "near_dedup_docs_stream" in msgs[0]
+    # max half-bucket occupancy after epoch 2's append: 40 per half
+    assert "occupancy now 40" in msgs[1]
+    # flags still written for all 40 docs (the warning is not a refusal)
+    flags = spark.read.parquet(str(tmp_path / "flags"))
+    assert flags.count() == 40
+
+
+def test_simhash_stream_quiet_below_projection_threshold(
+    spark, tmp_path, caplog
+):
+    """A cold stream (unique texts, tiny buckets) must not warn."""
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        simhash_near_dedup_stream,
+    )
+
+    chunks = str(tmp_path / "chunks")
+    spark.createDataFrame(
+        [(i, f"totally distinct document number {i} about subject {i * 17}")
+         for i in range(20)],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(f"{chunks}/c1")
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(
+        f"{chunks}/c*"
+    )
+    with caplog.at_level(logging.WARNING, logger=_STREAM_LOGGER):
+        q = simhash_near_dedup_stream(
+            stream,
+            out_path=str(tmp_path / "flags"),
+            store_path=str(tmp_path / "store"),
+            checkpoint=str(tmp_path / "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+    assert not [
+        r for r in caplog.records if "post-append store projects" in r.message
+    ]
+
+
+# --------------------------------------------------------------------
+# ADVICE #2: probes pinned on the foreachBatch assignment sink
+# --------------------------------------------------------------------
+
+
+def test_assign_foreach_batch_probes_pinned(spark, tmp_path):
+    """Restarting an existing sink with a different probes must fail
+    the stream loudly (probes changes the sink schema — rank exists
+    only at probes>1; mixed epoch partitions would resolve
+    inconsistently)."""
+    import json as _json
+
+    from pyspark.errors import StreamingQueryException
+
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        assign_cells_foreach_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 50
+    )
+    cent_path = str(tmp_path / "centroids")
+    emb.filter(F.col("vec_id") % 10 == 0).write.parquet(cent_path)
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in emb.select("vec_id", "embedding").collect():
+            f.write(
+                _json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                + "\n"
+            )
+
+    def run(probes, ckpt):
+        stream = spark.readStream.schema(
+            "vec_id LONG, embedding ARRAY<FLOAT>"
+        ).json(str(src))
+        q = assign_cells_foreach_batch(
+            stream, cent_path, str(tmp_path / "out"),
+            str(tmp_path / ckpt), probes=probes,
+        ).start()
+        q.awaitTermination(120)
+
+    run(1, "ckpt1")
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert "rank" not in out.columns and out.count() > 0
+    with pytest.raises(StreamingQueryException, match="probes"):
+        run(2, "ckpt2")
+    # same probes restarts fine (fresh checkpoint reprocesses the file)
+    run(1, "ckpt3")
+
+
+# --------------------------------------------------------------------
+# ADVICE #3: the percolation prescription quotes the bucket UPPER edge
+# --------------------------------------------------------------------
+
+
+def test_percolation_prescription_quotes_upper_edge(spark, caplog):
+    """The prescribed threshold is t_fix + 0.005 — the upper edge of
+    the last rounded-cosine bucket keeping <= n/2 edges — so the kept
+    mass is provably at or below what the heuristic counted."""
+    import math
+    import random
+    import re
+
+    from clinical_trials_data_pipeline_analyis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    nb = math.sqrt(sum(x * x for x in base))
+    base = [x / nb for x in base]
+    rows = [
+        (i, [x + 0.02 * i * (1 if j % 2 else -1) for j, x in enumerate(base)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") % 10 == 0)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="clinical_trials_data_pipeline_analyis_spark.operators.similarity",
+    ):
+        semantic_dedup(emb, cents, threshold=0.5, dim=8)
+    msgs = [r.message for r in caplog.records if "percolating" in r.message]
+    assert msgs, caplog.records
+    m = re.search(r"suggests threshold >= (0\.\d{3})", msgs[0])
+    if m:  # the dense-corpus fallback branch carries no number
+        # a 3-decimal value ending in 5: a bucket EDGE, not a center
+        assert m.group(1).endswith("5")
+        assert "upper edge" in msgs[0]

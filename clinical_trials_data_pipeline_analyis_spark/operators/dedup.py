@@ -101,8 +101,21 @@ def minhash_signatures(
 
     One explode + one hash-aggregate; the shuffle carries num_hashes
     8-char strings per document.
+
+    Up to 16 components (round 14): the ``min_recall`` refusal
+    prescribes "re-sign with more hashes", so the signature function
+    must be able to FOLLOW its own prescription — components 8-15 come
+    from two more prefixed digests (``md5('y'||s)``, ``md5('z'||s)``),
+    computed only when requested, so ``num_hashes <= 8`` calls produce
+    byte-identical signatures to every prior round (the streaming
+    stores' pinned geometries stay valid).
     """
-    assert num_hashes <= 8, "chunk scheme provides at most 8 components"
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(
+            f"minhash_signatures: the chunked-digest scheme provides "
+            f"1..16 components (4 x 32-bit chunks from each of 4 "
+            f"prefixed md5 digests), got num_hashes={num_hashes}"
+        )
     # Formulation note: a shuffle-free alternative exists — per-row
     # array_min over transform(shingles, md5) projections — but measured
     # 5x SLOWER at sf0.1 (22s vs 4s for the LSH query): higher-order
@@ -112,11 +125,15 @@ def minhash_signatures(
     # inside whole-stage codegen and each digest is computed once; the
     # extra shuffle is the cheaper trade.
     sh = shingle_sets(df, id_col, text_col, shingle_k)
-    d1 = _md5(F.col("shingle"))
-    d2 = _md5(F.concat(F.lit("x"), F.col("shingle")))
+    digests = [
+        _md5(F.col("shingle")),
+        _md5(F.concat(F.lit("x"), F.col("shingle"))),
+        _md5(F.concat(F.lit("y"), F.col("shingle"))),
+        _md5(F.concat(F.lit("z"), F.col("shingle"))),
+    ]
     aggs = [
         F.min(
-            F.substring(d1 if i < 4 else d2, (i % 4) * 8 + 1, 8)
+            F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -324,6 +341,26 @@ def lsh_candidate_pairs(
             measured_s = (
                 f"{measured_est:,}" if measured_est is not None else "0"
             )
+            # Prescribe only what the signature scheme can deliver:
+            # doubling past the 16-component digest ceiling is not an
+            # action this library can take (round 14 — the refusal must
+            # be followable).
+            if num_hashes < 16:
+                nh2 = min(num_hashes * 2, 16)
+                fix = (
+                    f"re-sign with more hashes (e.g. num_hashes={nh2} "
+                    f"admits {nh2 // r} bands x {r} rows — recall "
+                    f"recovers exponentially in bands while candidate "
+                    f"mass grows ~linearly), raise max_candidates, or "
+                    f"lower the floor."
+                )
+            else:
+                fix = (
+                    "the signature scheme is at its 16-component "
+                    "ceiling — raise max_candidates, lower the floor, "
+                    "or run exact_duplicates first (identical docs "
+                    "collide at every banding and dominate the mass)."
+                )
             raise ValueError(
                 f"lsh_candidate_pairs: the recall-maximal banding that "
                 f"fits max_candidates={max_candidates:,} ({bands} bands "
@@ -331,11 +368,7 @@ def lsh_candidate_pairs(
                 f"banding-theory recall {chosen_recall:.4f} at Jaccard "
                 f"{recall_jaccard:g} — below min_recall={min_recall}. "
                 f"No banding of {num_hashes} hashes can fit the budget "
-                f"AND meet the floor: re-sign with more hashes (e.g. "
-                f"num_hashes={num_hashes * 2} admits {bands * 2} bands "
-                f"x {r} rows — recall recovers exponentially in bands "
-                f"while candidate mass grows ~linearly), raise "
-                f"max_candidates, or lower the floor."
+                f"AND meet the floor: {fix}"
             )
         _LOG.warning(
             "lsh auto banding: chose %d bands x %d rows (measured "
@@ -593,6 +626,7 @@ def simhash_candidates(
     _max_hamming: int | None = None,
     rescue_identical: bool = False,
     rescue_near: bool = False,
+    rescue_depth: int = 1,
     cap_stats: bool = True,
     min_visible: float | None = None,
 ) -> DataFrame:
@@ -709,6 +743,23 @@ def simhash_candidates(
     star+near 37.2s for +20.77M recovered edges — the joins, not the
     extra narrow shuffles, dominate the delta.
 
+    ``rescue_depth`` (round 14, VERDICT r13 optional #8): the level-1
+    re-cap skips fingerprint sub-buckets still hotter than the cap —
+    the measured residual behind the 0.8736-vs-0.9954 gap.
+    ``rescue_depth=2`` escalates each SKIPPED sub-bucket once more by
+    the identical rule: w2 from the sub-bucket's fingerprint count
+    (same exact integer chain), two w2-bit windows of the other half
+    NOT consumed by the arm's level-1 key, re-capped at fingerprint
+    level. Measured on the 50k fixture at cap=100
+    (`rescue_depth2_r14.json`): component near recall 0.8722 ->
+    **0.9842** vs the 0.9941 ceiling, for ~1.6x the level-1
+    fingerprint-comparison mass (708k vs 454k — trivial next to the
+    capped band joins). Depth stops at 2 BY MEASUREMENT: the
+    remaining gap is ~1 point, inside the fixture's noise, and a
+    third level would pay four more window+join subtrees for it.
+    Cost shape: the level-2 windows and joins run only on the hot
+    residue (rows whose level-1 sub-bucket exceeded the cap).
+
     ``cap_stats`` / ``min_visible`` (round 14, VERDICT r13 ask #4 —
     the cap's recall consequence lives ON the operator, not only in
     BASELINE tables): with a cap set and ``cap_stats`` on (default),
@@ -733,6 +784,20 @@ def simhash_candidates(
     wide shuffle; ``cap_stats=False`` opts out (values never change
     either way).
     """
+    if rescue_depth not in (1, 2):
+        raise ValueError(
+            f"rescue_depth must be 1 or 2, got {rescue_depth} (level 2 "
+            "closes most of the level-1 re-cap's residual — measured "
+            "0.8722 -> 0.9842 component near recall on the 50k fixture "
+            "at cap=100, rescue_depth2_r14.json; deeper levels were NOT "
+            "measured to pay for their joins: the remaining gap to the "
+            "0.9941 ceiling is ~1 point)."
+        )
+    if rescue_depth == 2 and not rescue_near:
+        raise ValueError(
+            "rescue_depth=2 deepens the rescue_near escalation — set "
+            "rescue_near=True (depth without the rescue is meaningless)."
+        )
     if min_visible is not None and max_bucket is None:
         raise ValueError(
             "simhash_candidates: min_visible is a hot-bucket-cap "
@@ -828,6 +893,33 @@ def simhash_candidates(
                 F.col("_other").bitwiseAND(mask),
                 F.expr("shiftright(_other, 16 - _w)").bitwiseAND(mask),
             )
+            def hub_join(side: DataFrame, keys: list[str]) -> DataFrame:
+                a = side.select(
+                    *keys,
+                    F.col("_hub").alias("doc_a"),
+                    F.col("_sim").alias("_sim_a"),
+                )
+                b = side.select(
+                    *[F.col(k).alias(f"{k}_b") for k in keys],
+                    F.col("_hub").alias("doc_b"),
+                    F.col("_sim").alias("_sim_b"),
+                )
+                cond = reduce(
+                    lambda acc, k: acc & (F.col(k) == F.col(f"{k}_b")),
+                    keys,
+                    F.col("doc_a") < F.col("doc_b"),
+                )
+                joined = a.join(b, cond)
+                if _max_hamming is None:
+                    return joined.select("doc_a", "doc_b")
+                return joined.select(
+                    "doc_a",
+                    "doc_b",
+                    F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+                    .cast("int")
+                    .alias("hamming"),
+                ).filter(F.col("hamming") <= _max_hamming)
+
             rescued = None
             for j, sub in enumerate(sub_keys):
                 side = fp.withColumn("_sub", sub)
@@ -841,38 +933,61 @@ def simhash_candidates(
                     # the same DISTINCT.
                     side = side.filter(F.col("_w").between(1, 15))
                 w_sub = Window.partitionBy("half", "_sub")
-                side = (
-                    side.withColumn("_m", F.count(F.lit(1)).over(w_sub))
-                    .filter(F.col("_m") <= max_bucket)
+                side = side.withColumn("_m", F.count(F.lit(1)).over(w_sub))
+                part = hub_join(
+                    side.filter(F.col("_m") <= max_bucket), ["half", "_sub"]
                 )
-                a = side.select(
-                    "half", "_sub",
-                    F.col("_hub").alias("doc_a"),
-                    F.col("_sim").alias("_sim_a"),
-                )
-                b = side.select(
-                    F.col("half").alias("_half_b"),
-                    F.col("_sub").alias("_sub_b"),
-                    F.col("_hub").alias("doc_b"),
-                    F.col("_sim").alias("_sim_b"),
-                )
-                joined = a.join(
-                    b,
-                    (F.col("half") == F.col("_half_b"))
-                    & (F.col("_sub") == F.col("_sub_b"))
-                    & (F.col("doc_a") < F.col("doc_b")),
-                )
-                if _max_hamming is None:
-                    part = joined.select("doc_a", "doc_b")
-                else:
-                    part = joined.select(
-                        "doc_a",
-                        "doc_b",
-                        F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-                        .cast("int")
-                        .alias("hamming"),
-                    ).filter(F.col("hamming") <= _max_hamming)
                 rescued = part if rescued is None else rescued.unionByName(part)
+                if rescue_depth >= 2:
+                    # Level 2 (round 14, VERDICT r13 optional #8 —
+                    # implemented because the measured curve justifies
+                    # it: rescue_depth2_r14.json, 50k fixture at
+                    # cap=100, component near recall 0.8722 -> 0.9842
+                    # vs the 0.9941 ceiling for ~1.6x the level-1
+                    # fingerprint-comparison mass): each sub-bucket the
+                    # level-1 re-cap SKIPS is escalated once more by
+                    # the same rule — w2 = smallest width with
+                    # m <= cap * 2^w2 (the same exact integer chain,
+                    # over the sub-bucket's fingerprint count), two
+                    # w2-bit windows of the other half NOT consumed by
+                    # this arm's level-1 key, re-capped at fingerprint
+                    # level. Only the hot residue pays: the windows and
+                    # joins below run on rows with _m > cap.
+                    hot = side.filter(F.col("_m") > max_bucket)
+                    w2_bits = reduce(
+                        lambda acc, i: acc
+                        + F.when(
+                            F.col("_m") > max_bucket * (2 ** (i - 1)), 1
+                        ).otherwise(0),
+                        range(1, 17),
+                        F.lit(0),
+                    )
+                    hot = hot.withColumn("_w2", w2_bits)
+                    mask2 = F.expr("shiftleft(CAST(1 AS BIGINT), _w2) - 1")
+                    # fresh windows: arm 0 consumed the low w bits, so
+                    # its level-2 keys start at bit w (low) and 16-w2
+                    # (high); arm 1 consumed the high w bits, so its
+                    # keys start at bit 0 (low) and just below the
+                    # consumed window (high), floored at 0
+                    shifts = (
+                        ("_w", "16 - _w2")
+                        if j == 0
+                        else ("0", "greatest(0, 16 - _w2 - _w)")
+                    )
+                    for s in shifts:
+                        s2 = hot.withColumn(
+                            "_sub2",
+                            F.expr(f"shiftright(_other, {s})").bitwiseAND(
+                                mask2
+                            ),
+                        )
+                        w_sub2 = Window.partitionBy("half", "_sub", "_sub2")
+                        s2 = s2.withColumn(
+                            "_m2", F.count(F.lit(1)).over(w_sub2)
+                        ).filter(F.col("_m2") <= max_bucket)
+                        rescued = rescued.unionByName(
+                            hub_join(s2, ["half", "_sub", "_sub2"])
+                        )
             return rescued
 
         out = out.unionByName(rescue_on(lo, other_of["lo"])).unionByName(
@@ -923,6 +1038,7 @@ def simhash_near_duplicates(
     max_bucket: int | None = None,
     rescue_identical: bool = False,
     rescue_near: bool = False,
+    rescue_depth: int = 1,
     cap_stats: bool = True,
     min_visible: float | None = None,
 ) -> DataFrame:
@@ -964,6 +1080,7 @@ def simhash_near_duplicates(
         _max_hamming=max_hamming,
         rescue_identical=rescue_identical,
         rescue_near=rescue_near,
+        rescue_depth=rescue_depth,
         cap_stats=cap_stats,
         min_visible=min_visible,
     )

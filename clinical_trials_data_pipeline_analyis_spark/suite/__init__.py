@@ -298,15 +298,18 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: lsh_candidate_pairs (bands validated before the min_recall floor,
 #: ADVICE #1) -> x05/x17/a21/a30; semantic_dedup (percolation
 #: prescription quotes the bucket upper edge, ADVICE #3, warning path
-#: only) -> a45/a92. 11 priority names + the 36-name r11 cohort = 47
-#: of 50; the oldest-first fill takes the remaining 3 from the r12
-#: cohort.
+#: only) -> a45/a92; NEW a95 (16-component MinHash signatures — the
+#: followable min_recall prescription) and a96 (depth-2 SimHash
+#: rescue). 13 priority names + the 36-name r11 cohort = 49 of 50;
+#: the oldest-first fill takes the last slot from the r12 cohort.
 CHANGED_COMPONENTS: tuple[str, ...] = (
     "x06_dedup_simhash",
     "a23_dedup_simhash_pairs",
     "a26_dedup_simhash_verified",
     "a91_simhash_capped_rescue",
     "a93_simhash_near_rescue",
+    "a95_minhash16_lsh",
+    "a96_simhash_rescue_depth2",
     "x05_dedup_minhash_lsh",
     "x17_dedup_minhash_estimate",
     "a21_dedup_cc_clusters",

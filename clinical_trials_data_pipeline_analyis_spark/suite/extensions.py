@@ -5211,10 +5211,27 @@ def a92_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
 # count exceeds the cap (w >= 1: the sub-band path itself is
 # value-checked, not just the w=0 degenerate).
 # =====================================================================
-def _simhash_near_rescue_sql(cap: int, max_hamming: int) -> tuple[str, str]:
-    """(extra CTEs, UNION ALL arms) for the rescue_near oracle."""
+def _simhash_near_rescue_sql(
+    cap: int, max_hamming: int, depth: int = 1
+) -> tuple[str, str]:
+    """(extra CTEs, UNION ALL arms) for the rescue_near oracle.
+
+    ``depth=2`` (round 14) appends the level-2 escalation: each
+    sub-bucket the level-1 re-cap skips (m > cap) gets w2 from the
+    same integer chain over its own fingerprint count, two w2-bit
+    windows of the other half not consumed by the arm's level-1 key,
+    and a re-capped hub join — mirroring ``rescue_depth=2`` exactly.
+    Both level-2 shift arms run unconditionally (like level 1's two
+    arms): degenerate-w duplicates are absorbed by the outer DISTINCT,
+    and w=16 sub-buckets are singletons (half+other determine the
+    fingerprint), so the operator's arm-1 w<=15 filter is values-inert
+    here too."""
     w_terms = " + ".join(
         f"CASE WHEN n_fp > {cap * 2 ** (i - 1)} THEN 1 ELSE 0 END"
+        for i in range(1, 17)
+    )
+    w2_terms = " + ".join(
+        f"CASE WHEN m > {cap * 2 ** (i - 1)} THEN 1 ELSE 0 END"
         for i in range(1, 17)
     )
     ctes: list[str] = []
@@ -5247,18 +5264,48 @@ def _simhash_near_rescue_sql(cap: int, max_hamming: int) -> tuple[str, str]:
             )
         ):
             ctes.append(f"""
-{band}_sub{j} AS (
-    SELECT half, hub, simhash, sub FROM (
-        SELECT half, hub, simhash, sub,
-               COUNT(*) OVER (PARTITION BY half, sub) AS m
-        FROM (SELECT half, hub, simhash, {sub_expr} AS sub FROM {band}_fpw)
-    ) WHERE m <= {cap}
+{band}_subw{j} AS (
+    SELECT half, hub, simhash, other, w, sub,
+           COUNT(*) OVER (PARTITION BY half, sub) AS m
+    FROM (SELECT half, hub, simhash, other, w, {sub_expr} AS sub
+          FROM {band}_fpw)
 )""")
             arms.append(f"""
     SELECT a.hub AS doc_a, b.hub AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM {band}_sub{j} AS a JOIN {band}_sub{j} AS b
+    FROM {band}_subw{j} AS a JOIN {band}_subw{j} AS b
       ON a.half = b.half AND a.sub = b.sub AND a.hub < b.hub
+    WHERE a.m <= {cap} AND b.m <= {cap}
+      AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}""")
+            if depth < 2:
+                continue
+            shifts = ("w", f"16 - w2") if j == 0 else (
+                "0", "greatest(0, 16 - w2 - w)"
+            )
+            ctes.append(f"""
+{band}_hot{j} AS (
+    SELECT half, hub, simhash, other, w, sub, ({w2_terms}) AS w2
+    FROM {band}_subw{j} WHERE m > {cap}
+)""")
+            for k, shift in enumerate(shifts):
+                ctes.append(f"""
+{band}_l2_{j}_{k} AS (
+    SELECT half, hub, simhash, sub, sub2 FROM (
+        SELECT half, hub, simhash, sub, sub2,
+               COUNT(*) OVER (PARTITION BY half, sub, sub2) AS m2
+        FROM (
+            SELECT half, hub, simhash, sub,
+                   (other >> ({shift})) & ((1 << w2) - 1) AS sub2
+            FROM {band}_hot{j}
+        )
+    ) WHERE m2 <= {cap}
+)""")
+                arms.append(f"""
+    SELECT a.hub AS doc_a, b.hub AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM {band}_l2_{j}_{k} AS a JOIN {band}_l2_{j}_{k} AS b
+      ON a.half = b.half AND a.sub = b.sub AND a.sub2 = b.sub2
+         AND a.hub < b.hub
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}""")
     return ",\n".join(ctes), "\n    UNION ALL".join(arms)
 
@@ -5379,3 +5426,137 @@ def a94_cell_assign_topp_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame
         .collect()
     ]
     return assign_cells_topp_stream(emb, centroid_rows, probes=2)
+
+
+# =====================================================================
+# a95 — 16-component MinHash signatures driving an 8-band LSH join
+# (round 14): the min_recall refusal prescribes "re-sign with more
+# hashes", and round 14 made that prescription followable — components
+# 8-15 come from two more prefixed digests (md5('y'||s), md5('z'||s))
+# in the same 4x32-bit chunk scheme, components 0-7 byte-identical to
+# every prior round. This query value-checks the widened signature and
+# its banded join cross-engine: 8 bands x 2 rows, banding-theory recall
+# 1-(1-0.84^2)^8 = 0.99998 at the fixture Jaccard vs 0.9868 for the
+# default 4x2 — the repair direction the 500k min_recall leg
+# (bench_500k_lsh_min_recall_r14.json) exercises at its binding rung.
+# Scale shape identical to x05: shingle explode -> one shuffle on
+# doc_id -> banded equi-join; the shuffle carries 16 8-char strings
+# per doc instead of 8.
+# =====================================================================
+_SIG16_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        "MIN(substr(md5({src}), {off}, 8)) AS h{i}".format(
+            src=("shingle", "'x' || shingle", "'y' || shingle",
+                 "'z' || shingle")[i // 4],
+            off=(i % 4) * 8 + 1,
+            i=i,
+        )
+        for i in range(16)
+    )
+    + " FROM sh GROUP BY doc_id"
+)
+_BANDS16_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bsig FROM sig"
+    for b in range(8)
+)
+
+
+@register(
+    "a95_minhash16_lsh",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_SIG16_SQL}),
+bands AS ({_BANDS16_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands AS a
+JOIN bands AS b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+""",
+    covers=("X-DEDUP-MINHASH", "J7"),
+)
+def a95_minhash16_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_k=3)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=8)
+
+
+# =====================================================================
+# a96 — depth-2 SimHash near rescue (round 14, VERDICT r13 optional
+# #8, implemented because the measured curve justifies it): the
+# level-1 re-cap skips fingerprint sub-buckets still hotter than the
+# cap — the residual behind the measured 0.8736-vs-0.9954 recall gap.
+# Depth 2 escalates each skipped sub-bucket once more by the identical
+# rule (w2 from the same exact integer chain over the sub-bucket's
+# fingerprint count; two w2-bit windows of the other half not consumed
+# by the arm's level-1 key; re-capped hub join). Measured on the 50k
+# fixture at cap=100 (rescue_depth2_r14.json): component near recall
+# 0.8722 -> 0.9842 vs the 0.9941 ceiling, for ~1.6x the level-1
+# fingerprint-comparison mass. Value-checked here at the same binding
+# cap as a93 (sf0.01's hot bucket holds 28 distinct fingerprints vs
+# cap 20), against the full three-layer + level-2 DuckDB construction.
+# =====================================================================
+_RESCUE2_CTES, _RESCUE2_ARMS = _simhash_near_rescue_sql(
+    _RESCUE_MAX_BUCKET, _SIMHASH_MAX_HAMMING, depth=2
+)
+
+
+@register(
+    "a96_simhash_rescue_depth2",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+    FROM toks WHERE tok <> ''
+),
+sums AS ({_SIMHASH_SUMS_SQL}),
+sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE_SQL} AS BIGINT) AS simhash FROM sums),
+{_simhash_halves_sql(_RESCUE_MAX_BUCKET)},
+cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM lo_ok AS a JOIN lo_ok AS b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM hi_ok AS a JOIN hi_ok AS b ON a.hi = b.hi AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT
+        c.doc_a,
+        c.doc_b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cands AS c
+    JOIN sims AS sa ON c.doc_a = sa.doc_id
+    JOIN sims AS sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_MAX_HAMMING}
+),
+hubs AS (SELECT simhash, MIN(doc_id) AS hub FROM sims GROUP BY simhash),
+star AS (
+    SELECT h.hub AS doc_a, s.doc_id AS doc_b, 0 AS hamming
+    FROM sims AS s
+    JOIN hubs AS h ON s.simhash = h.simhash
+    WHERE s.doc_id <> h.hub
+),
+{_RESCUE2_CTES}
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+    SELECT * FROM verified
+    UNION ALL SELECT * FROM star
+    UNION ALL{_RESCUE2_ARMS}
+)
+""",
+    covers=("X-DEDUP-SIMHASH", "J7"),
+)
+def a96_simhash_rescue_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+    return simhash_near_duplicates(
+        sims,
+        "doc_id",
+        _SIMHASH_MAX_HAMMING,
+        max_bucket=_RESCUE_MAX_BUCKET,
+        rescue_identical=True,
+        rescue_near=True,
+        rescue_depth=2,
+    )

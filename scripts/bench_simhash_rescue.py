@@ -58,10 +58,17 @@ def main() -> None:
         ("capped_plain", {}),
         ("star", {"rescue_identical": True}),
         ("star_plus_near", {"rescue_identical": True, "rescue_near": True}),
+        # round 14: the level-2 escalation — joins run only on the hot
+        # residue (sub-buckets the level-1 re-cap skipped)
+        ("depth2", {"rescue_identical": True, "rescue_near": True,
+                    "rescue_depth": 2}),
     ):
+        # cap_stats=False keeps the A/B legs comparable with the r13
+        # numbers (the round-14 cap probe is a constant ~1s aggregate,
+        # orthogonal to the rescue deltas this leg isolates)
         t0 = time.perf_counter()
         n = simhash_near_duplicates(
-            sims, "doc_id", 6, max_bucket=CAP, **kwargs
+            sims, "doc_id", 6, max_bucket=CAP, cap_stats=False, **kwargs
         ).count()
         legs[label] = {"pairs": n, "sec": round(time.perf_counter() - t0, 1)}
         print(label, legs[label], flush=True)

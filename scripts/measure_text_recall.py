@@ -263,6 +263,13 @@ def main() -> None:
         # near edges for the skipped buckets)
         ("near_rescued", cap,
          {"rescue_identical": True, "rescue_near": True}),
+        # round 14: + the level-2 escalation of the sub-buckets the
+        # level-1 re-cap skips (rescue_depth2_r14.json predicted
+        # 0.8722 -> 0.9842 from the pure-Python mirror; this measures
+        # the shipped operator)
+        ("depth2_rescued", cap,
+         {"rescue_identical": True, "rescue_near": True,
+          "rescue_depth": 2}),
     ):
         got = set(
             map(

@@ -333,3 +333,248 @@ def test_percolation_prescription_quotes_upper_edge(spark, caplog):
         # a 3-decimal value ending in 5: a bucket EDGE, not a center
         assert m.group(1).endswith("5")
         assert "upper edge" in msgs[0]
+
+
+# --------------------------------------------------------------------
+# 16-component MinHash signatures: the min_recall refusal's "re-sign
+# with more hashes" prescription must be an action the library can take
+# --------------------------------------------------------------------
+
+
+def test_minhash_16_components_extend_8(spark):
+    """num_hashes=16 yields h0..h15 with h0..h7 byte-identical to the
+    num_hashes=8 signatures (prior geometries — including streaming
+    stores' pinned ones — stay valid), and the widened signature drives
+    the candidate join end-to-end."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} shares a moderately long common phrase "
+             f"with topic {i % 3}") for i in range(12)]
+        + [(100, "document 0 shares a moderately long common phrase "
+                 "with topic 0")],
+        ["doc_id", "text"],
+    )
+    s8 = {r["doc_id"]: r for r in minhash_signatures(
+        docs, "doc_id", "text").collect()}
+    s16 = {r["doc_id"]: r for r in minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16).collect()}
+    assert set(s16[0].asDict()) == {"doc_id", *{f"h{i}" for i in range(16)}}
+    for d, r8 in s8.items():
+        for i in range(8):
+            assert s16[d][f"h{i}"] == r8[f"h{i}"]
+    # widened signature: 8 bands x 2 rows candidate join runs and finds
+    # the planted exact dup (identical text => identical signatures)
+    sigs16 = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            sigs16, "doc_id", num_hashes=16, bands=8
+        ).collect()
+    }
+    assert (0, 100) in pairs
+
+    for bad in (0, -1, 17, 32):
+        with pytest.raises(ValueError, match="1..16 components"):
+            minhash_signatures(docs, "doc_id", "text", num_hashes=bad)
+
+
+def test_lsh_refusal_at_16_names_the_ceiling(spark):
+    """At num_hashes=16 the auto min_recall refusal must NOT prescribe
+    a 32-hash re-sign the scheme cannot deliver — it names the
+    16-component ceiling instead."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = "every document is this exact same template text"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    # identical docs collide at EVERY banding: the 1x16 mass (435) is
+    # the floor of every banding's mass, so budget=435 forces 1 band x
+    # 16 rows, whose recall 0.84^16 is far below 0.9
+    with pytest.raises(ValueError, match="16-component ceiling"):
+        lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=16, bands="auto",
+            max_candidates=435, min_recall=0.9,
+        )
+
+
+# --------------------------------------------------------------------
+# Optional #8: depth-2 rescue (implemented — the measured curve
+# justified it: rescue_depth2_r14.json, 0.8722 -> 0.9842 at cap=100)
+# --------------------------------------------------------------------
+
+
+def _sh_mirror_depth2(fps: dict[int, int], cap: int, h: int) -> dict[str, set]:
+    """Pure-Python mirror of simhash_near_duplicates(max_bucket=cap,
+    rescue_identical=True, rescue_near=True, rescue_depth=2), layer by
+    layer — the level-2 arithmetic exactly as the operator documents
+    it (w2 from the sub-bucket's fingerprint count via the same
+    smallest-width rule; two w2-bit windows of the other half not
+    consumed by the arm's level-1 key; re-capped at fp level)."""
+    from collections import Counter, defaultdict
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    def smallest_w(n):
+        w = 0
+        while n > cap * (2 ** w) and w < 16:
+            w += 1
+        return w
+
+    half_fns = {
+        "lo": (lambda v: v % 65536, lambda v: (v >> 16) & 65535),
+        "hi": (lambda v: (v >> 16) & 65535, lambda v: v % 65536),
+    }
+    banded, rescue1, rescue2 = set(), set(), set()
+    for half_of, other_of in half_fns.values():
+        hist = Counter(half_of(v) for v in fps.values())
+        buckets = defaultdict(list)
+        for i, v in fps.items():
+            buckets[half_of(v)].append((i, v))
+        for half, members in buckets.items():
+            if hist[half] <= cap:
+                for ia, va in members:
+                    for ib, vb in members:
+                        if ia < ib and ham(va, vb) <= h:
+                            banded.add((ia, ib, ham(va, vb)))
+                continue
+            fam = defaultdict(list)
+            for i, v in members:
+                fam[v].append(i)
+            hubs = [(min(ids), v) for v, ids in fam.items()]
+            w = smallest_w(len(hubs))
+            for j, sub_fn in enumerate((
+                lambda o: o & ((1 << w) - 1),
+                lambda o: (o >> (16 - w)) & ((1 << w) - 1),
+            )):
+                if j == 1 and not 1 <= w <= 15:
+                    continue
+                groups = defaultdict(list)
+                for hub, v in hubs:
+                    groups[sub_fn(other_of(v))].append((hub, v))
+                for g in groups.values():
+                    if len(g) <= cap:
+                        for ha, va in g:
+                            for hb, vb in g:
+                                if ha < hb and ham(va, vb) <= h:
+                                    rescue1.add((ha, hb, ham(va, vb)))
+                        continue
+                    w2 = smallest_w(len(g))
+                    shifts = (
+                        (w, 16 - w2) if j == 0
+                        else (0, max(0, 16 - w2 - w))
+                    )
+                    for s in shifts:
+                        g2s = defaultdict(list)
+                        for hub, v in g:
+                            g2s[
+                                (other_of(v) >> s) & ((1 << w2) - 1)
+                            ].append((hub, v))
+                        for g2 in g2s.values():
+                            if len(g2) > cap:
+                                continue
+                            for ha, va in g2:
+                                for hb, vb in g2:
+                                    if ha < hb and ham(va, vb) <= h:
+                                        rescue2.add(
+                                            (ha, hb, ham(va, vb))
+                                        )
+    star = set()
+    fam = defaultdict(list)
+    for i, v in fps.items():
+        fam[v].append(i)
+    for v, ids in fam.items():
+        hub = min(ids)
+        star.update((hub, i, 0) for i in ids if i != hub)
+    return {
+        "banded": banded, "star": star,
+        "rescue1": rescue1, "rescue2": rescue2,
+    }
+
+
+def _depth2_fixture() -> dict[int, int]:
+    """36 docs sharing the lo half 7 (hot at cap=3): 12 whose other
+    halves share low-4-bit pattern 5 — a level-1 sub-bucket of 12
+    distinct fps (> cap) that level 2 splits on bits [4,6) into groups
+    of 3; 22 across other low-4 patterns in groups of <= 3 (level-1
+    rescues); one identical pair (star)."""
+    fps = {}
+    i = 0
+    for t in range(4):          # level-2 groups (bits 4-5)
+        for u in range(3):      # members (bits 6-7)
+            o = 5 | (t << 4) | (u << 6)
+            fps[i] = (o << 16) | 7
+            i += 1
+    for p in range(12):         # level-1 sub-buckets
+        if p == 5:
+            continue
+        for q in range(2):
+            o = p | (q << 4) | (1 << 8)
+            fps[i] = (o << 16) | 7
+            i += 1
+    fps[100] = (0x4321 << 16) | 7
+    fps[101] = fps[100]
+    return fps
+
+
+def test_simhash_rescue_depth2_matches_brute_force(spark):
+    """Exact-set equality of the depth-2 operator against the mirror,
+    with non-vacuity: level 2 fires and contributes pairs no other
+    layer produces; depth 2 is a superset of depth 1."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    cap, h = 3, 6
+    fps = _depth2_fixture()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in fps.items()], ["doc_id", "simhash"]
+    )
+    mirror = _sh_mirror_depth2(fps, cap, h)
+    lower = mirror["banded"] | mirror["star"] | mirror["rescue1"]
+    want2 = lower | mirror["rescue2"]
+    assert mirror["rescue2"] - lower  # level 2 contributes
+
+    got1 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            df, "doc_id", h, max_bucket=cap,
+            rescue_identical=True, rescue_near=True, cap_stats=False,
+        ).collect()
+    }
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            df, "doc_id", h, max_bucket=cap,
+            rescue_identical=True, rescue_near=True, rescue_depth=2,
+            cap_stats=False,
+        ).collect()
+    }
+    assert got1 == lower
+    assert got2 == want2
+    assert got1 < got2  # strict superset
+
+
+def test_rescue_depth_validation(spark):
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    df = spark.createDataFrame([(1, 7), (2, 7)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="rescue_depth must be 1 or 2"):
+        simhash_candidates(
+            df, "doc_id", max_bucket=3, rescue_near=True, rescue_depth=3
+        )
+    with pytest.raises(ValueError, match="rescue_near=True"):
+        simhash_candidates(
+            df, "doc_id", max_bucket=3, rescue_depth=2
+        )

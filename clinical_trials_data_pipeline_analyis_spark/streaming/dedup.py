@@ -52,6 +52,8 @@ def near_dedup_docs_stream(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    min_recall: float | None = None,
+    recall_jaccard: float = 0.84,
 ):
     """Incremental MinHash near-dedup via ``foreachBatch``: each
     micro-batch's documents are signed once, banded against the
@@ -88,12 +90,48 @@ def near_dedup_docs_stream(
     contract as ``rhp_near_dedup_stream``, and like it routed through
     the Spark session so it holds on any filesystem, not just paths
     ``os.path`` can see.
+
+    ``min_recall`` (round 14, completing the batch/stream symmetry):
+    the stream's banded collision has exactly the batch operator's
+    banding-theory recall ``1-(1-s^rows)^bands`` at ``recall_jaccard``
+    — the asymmetric store join changes WHO is compared, not the
+    per-pair collision probability — so the same floor validates at
+    CONSTRUCTION (pure driver-side arithmetic, before any epoch or
+    sidecar write): a pinned geometry below the floor refuses up front
+    with the batch refusal's prescription, instead of a long-running
+    stream silently under-recalling for its whole life.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
     from .store_meta import check_or_pin_geometry
+
+    if bands <= 0 or num_hashes % bands:
+        # Same validation order as the batch operator (ADVICE r13):
+        # the banding error, not a recall ZeroDivision, and at
+        # CONSTRUCTION, not at the first epoch.
+        raise ValueError(
+            f"near_dedup_docs_stream: bands must be a positive divisor "
+            f"of num_hashes={num_hashes}, got {bands}"
+        )
+    if min_recall is not None:
+        if not (0.0 < min_recall <= 1.0):
+            raise ValueError(
+                f"min_recall must be in (0, 1], got {min_recall}"
+            )
+        rec = 1.0 - (1.0 - recall_jaccard ** (num_hashes // bands)) ** bands
+        if rec < min_recall:
+            raise ValueError(
+                f"near_dedup_docs_stream: the pinned banding ({bands} "
+                f"bands x {num_hashes // bands} rows) has banding-theory "
+                f"recall {rec:.4f} at Jaccard {recall_jaccard:g} — below "
+                f"min_recall={min_recall}. Re-sign with more hashes "
+                f"(num_hashes up to 16; more bands at the same rows "
+                f"recovers recall exponentially) or lower the floor. "
+                f"Refused at construction: a stream under-recalls for "
+                f"its whole life, not one query."
+            )
 
     geometry = {
         "num_hashes": int(num_hashes),

@@ -578,3 +578,105 @@ def test_rescue_depth_validation(spark):
         simhash_candidates(
             df, "doc_id", max_bucket=3, rescue_depth=2
         )
+
+
+# --------------------------------------------------------------------
+# 16-hash geometry through the streaming twin + the construction-time
+# min_recall floor (batch/stream symmetry)
+# --------------------------------------------------------------------
+
+
+def test_minhash_stream_16hash_matches_batch(spark, tmp_path):
+    """The widened 16-component signatures drive the streaming twin
+    end-to-end (geometry pinned through the sidecar at num_hashes=16,
+    bands=8) and the flags equal the batch operator's doc_b set at the
+    same geometry."""
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        near_dedup_docs_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = str(tmp_path / "chunks")
+    n = docs.count()
+    half = n // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(f"{chunks}/c1")
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(f"{chunks}/c2")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/c*")
+    )
+    q = near_dedup_docs_stream(
+        stream,
+        out_path=str(tmp_path / "flags"),
+        store_path=str(tmp_path / "store"),
+        checkpoint=str(tmp_path / "ckpt"),
+        num_hashes=16,
+        bands=8,
+    ).start()
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    dup = {
+        r["doc_b"]
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=16, bands=8
+        ).collect()
+    }
+    assert len(got) == n and dup  # non-vacuous
+    assert {d for d, f in got.items() if f} == dup
+    # the sidecar pinned the widened geometry
+    import json as _json
+
+    meta = _json.load(open(f"{tmp_path}/store/_minhash_geometry"))
+    assert meta == {"num_hashes": 16, "bands": 8, "shingle_k": 3}
+
+
+def test_minhash_stream_min_recall_floor_at_construction(spark, tmp_path):
+    """A pinned stream geometry below the floor refuses at
+    CONSTRUCTION (before any epoch/sidecar write) with the re-sign
+    prescription; a satisfiable floor constructs; bad bands get the
+    banding error."""
+    from clinical_trials_data_pipeline_analyis_spark.streaming import (
+        near_dedup_docs_stream,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(
+        str(src)
+    )
+    kw = dict(
+        out_path=str(tmp_path / "o"), store_path=str(tmp_path / "s"),
+        checkpoint=str(tmp_path / "c"),
+    )
+    # 1 band x 8 rows: recall 0.84^8 = 0.248 < 0.9 -> refuse, naming
+    # the re-sign and the stream-lifetime consequence
+    with pytest.raises(ValueError, match="under-recalls for"):
+        near_dedup_docs_stream(
+            stream, num_hashes=8, bands=1, min_recall=0.9, **kw
+        )
+    # satisfiable floor: 8 bands x 2 rows at 16 hashes -> 0.99998
+    w = near_dedup_docs_stream(
+        stream, num_hashes=16, bands=8, min_recall=0.9, **kw
+    )
+    assert w is not None
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "s"))  # nothing written
+    with pytest.raises(ValueError, match="positive divisor"):
+        near_dedup_docs_stream(stream, num_hashes=8, bands=3, **kw)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        near_dedup_docs_stream(
+            stream, num_hashes=8, bands=4, min_recall=1.5, **kw
+        )

@@ -680,3 +680,27 @@ def test_minhash_stream_min_recall_floor_at_construction(spark, tmp_path):
         near_dedup_docs_stream(
             stream, num_hashes=8, bands=4, min_recall=1.5, **kw
         )
+
+
+def test_depth2_rescue_plan_has_no_nested_loop_join(spark):
+    """Every level-2 arm must still be a hash equi-join on
+    (half, sub, sub2) — the escalation may never degrade to a
+    BroadcastNestedLoopJoin / cartesian product (the detonation shape
+    the whole cap machinery exists to prevent)."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    df = _hot_fixture(spark)
+    plan = (
+        simhash_near_duplicates(
+            df, "doc_id", 6, max_bucket=3,
+            rescue_identical=True, rescue_near=True, rescue_depth=2,
+            cap_stats=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

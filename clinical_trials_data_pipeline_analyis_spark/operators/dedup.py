@@ -521,14 +521,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(id_col, fingerprint.alias("simhash"))
 
 
-def _simhash_cap_probe(
-    simhash_df: DataFrame,
-    max_bucket: int,
-    min_visible: float | None,
-    rescue_identical: bool,
-    rescue_near: bool,
-) -> None:
-    """Measure what the hot-bucket cap skips; warn or refuse.
+def simhash_cap_stats(
+    simhash_df: DataFrame, max_bucket: int
+) -> dict[str, float] | None:
+    """Measure what a hot-bucket cap of ``max_bucket`` would skip.
+
+    The public measurement half of the cap-consequence probe (round
+    14) — pipeline authors can price a cap BEFORE running the
+    candidate join. Returns ``None`` for an empty input, else a dict:
+    ``docs``, ``invisible`` (docs whose lo AND hi buckets both exceed
+    the cap — zero candidates pre-rescue), ``visible_frac``,
+    ``total_pairs`` / ``skipped_pairs`` (Σ n(n−1)/2 over all / capped
+    half-buckets, both bands), ``skipped_frac``, and ``unbind_cap``
+    (the max half-bucket occupancy — the smallest cap that skips
+    nothing).
 
     One action over the fingerprint table: per-band bucket sizes come
     from 16-bit groupBys (≤65,536 rows each) broadcast back onto the
@@ -570,13 +576,41 @@ def _simhash_cap_probe(
     )
     n_docs = int(row["docs"] or 0)
     if not n_docs:
-        return
+        return None
     invisible = int(row["invisible"] or 0)
-    visible_frac = 1.0 - invisible / n_docs
     total_mass = int(row["m2_lo"] or 0) + int(row["m2_hi"] or 0)
     skipped_mass = int(row["s2_lo"] or 0) + int(row["s2_hi"] or 0)
-    skipped_frac = skipped_mass / total_mass if total_mass else 0.0
-    unbind_cap = max(int(row["max_lo"] or 0), int(row["max_hi"] or 0))
+    return {
+        "docs": n_docs,
+        "invisible": invisible,
+        "visible_frac": 1.0 - invisible / n_docs,
+        "total_pairs": total_mass // 2,
+        "skipped_pairs": skipped_mass // 2,
+        "skipped_frac": skipped_mass / total_mass if total_mass else 0.0,
+        "unbind_cap": max(int(row["max_lo"] or 0), int(row["max_hi"] or 0)),
+    }
+
+
+def _simhash_cap_probe(
+    simhash_df: DataFrame,
+    max_bucket: int,
+    min_visible: float | None,
+    rescue_identical: bool,
+    rescue_near: bool,
+) -> None:
+    """Policy half of the cap probe: warn at a binding cap, refuse
+    below the ``min_visible`` floor (``simhash_cap_stats`` is the
+    measurement half)."""
+    stats = simhash_cap_stats(simhash_df, max_bucket)
+    if stats is None:
+        return
+    n_docs = stats["docs"]
+    invisible = stats["invisible"]
+    visible_frac = stats["visible_frac"]
+    skipped_mass = stats["skipped_pairs"] * 2
+    total_mass = stats["total_pairs"] * 2
+    skipped_frac = stats["skipped_frac"]
+    unbind_cap = stats["unbind_cap"]
     if min_visible is not None and visible_frac < min_visible:
         raise ValueError(
             f"simhash_candidates: only {visible_frac:.4f} of {n_docs:,} "
@@ -588,8 +622,9 @@ def _simhash_cap_probe(
             f"is <= max_bucket x corpus rows), enable "
             f"rescue_identical+rescue_near (family/hub-level "
             f"connectivity for capped buckets — measured 0.6134 -> "
-            f"0.8736 component near recall at a binding cap vs 0.9954 "
-            f"uncapped), or route this template-heavy corpus to "
+            f"0.8736, or 0.9855 with rescue_depth=2, component near "
+            f"recall at a binding cap vs 0.9954 uncapped), or route "
+            f"this template-heavy corpus to "
             f"MinHash-LSH (lsh_candidate_pairs samples the shingle "
             f"space instead of joining hot fingerprint buckets)."
         )
@@ -603,7 +638,8 @@ def _simhash_cap_probe(
             "on: identical=%s near=%s). max_bucket >= %s would unbind "
             "every bucket. Template-heavy corpora route better to "
             "MinHash-LSH (measured anchor at cap=100: 0.6134 capped / "
-            "0.8736 rescued / 0.9954 uncapped component near recall).",
+            "0.8736 rescued / 0.9855 depth-2 / 0.9954 uncapped "
+            "component near recall).",
             f"{max_bucket:,}",
             skipped_frac,
             f"{skipped_mass // 2:,}",

@@ -704,3 +704,27 @@ def test_depth2_rescue_plan_has_no_nested_loop_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_cap_stats_public_exact(spark):
+    """The public measurement half prices a cap without running any
+    join — exact numbers against the fixture arithmetic."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        simhash_cap_stats,
+    )
+
+    df = _hot_fixture(spark)
+    s = simhash_cap_stats(df, 3)
+    assert s == {
+        "docs": 23,
+        "invisible": 10,
+        "visible_frac": 1.0 - 10 / 23,
+        "total_pairs": 100,
+        "skipped_pairs": 100,
+        "skipped_frac": 1.0,
+        "unbind_cap": 10,
+    }
+    # at the unbinding cap nothing is skipped
+    s2 = simhash_cap_stats(df, 10)
+    assert s2["skipped_pairs"] == 0 and s2["invisible"] == 0
+    assert simhash_cap_stats(df.filter("doc_id < 0"), 3) is None

@@ -23,13 +23,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CAP = 2000  # the a23/a26 registered cap — binds at 500k (max 3,645)
+DEFAULT_CAP = 2000  # the registered cap — binds at 500k (max 3,645)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=os.path.join(REPO, "testdata_sf10"))
+    ap.add_argument(
+        "--cap", type=int, default=DEFAULT_CAP,
+        help="hot-bucket cap; 2000 is the registered generous cap, "
+        "100 the harsh-cap regime where the depth-2 rescue earns its "
+        "recall points",
+    )
     args = ap.parse_args()
+    CAP = args.cap
 
     from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
         simhash,

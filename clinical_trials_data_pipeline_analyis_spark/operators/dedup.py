@@ -823,11 +823,11 @@ def simhash_candidates(
     if rescue_depth not in (1, 2):
         raise ValueError(
             f"rescue_depth must be 1 or 2, got {rescue_depth} (level 2 "
-            "closes most of the level-1 re-cap's residual — measured "
-            "0.8722 -> 0.9842 component near recall on the 50k fixture "
-            "at cap=100, rescue_depth2_r14.json; deeper levels were NOT "
-            "measured to pay for their joins: the remaining gap to the "
-            "0.9941 ceiling is ~1 point)."
+            "closes most of the level-1 re-cap's residual — the shipped "
+            "operator measured 0.8736 -> 0.9855 component near recall "
+            "on the 50k fixture at cap=100, text_recall_r14.json; "
+            "deeper levels were NOT measured to pay for their joins: "
+            "the remaining gap to the 0.9954 ceiling is ~1 point)."
         )
     if rescue_depth == 2 and not rescue_near:
         raise ValueError(

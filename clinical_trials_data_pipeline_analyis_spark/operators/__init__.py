@@ -11,6 +11,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_candidates,
+    simhash_cap_stats,
     simhash_near_duplicates,
 )
 from .asof import asof_join
@@ -58,6 +59,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_candidates",
+    "simhash_cap_stats",
     "simhash_near_duplicates",
     "asof_join",
     "chunk_spans",

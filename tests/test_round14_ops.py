@@ -728,3 +728,61 @@ def test_simhash_cap_stats_public_exact(spark):
     s2 = simhash_cap_stats(df, 10)
     assert s2["skipped_pairs"] == 0 and s2["invisible"] == 0
     assert simhash_cap_stats(df.filter("doc_id < 0"), 3) is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+            min_size=8,
+            max_size=60,
+        ),
+        st.integers(min_value=2, max_value=6),
+        st.integers(min_value=1, max_value=32),
+    )
+    def test_simhash_rescue_depth2_property(fps_list, cap, h):
+        """Property sweep for the level-2 escalation: on ARBITRARY
+        fingerprint multisets, caps, and Hamming radii, the depth-2
+        operator equals the pure-Python mirror exactly and is a
+        superset of depth 1 (the level-2 arms only ADD edges)."""
+        from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+            simhash_near_duplicates,
+        )
+        from clinical_trials_data_pipeline_analyis_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="pytest", master="local[4]", shuffle_partitions=4
+        )
+        # crowd half the ids into one lo bucket so caps actually bind
+        fps = {}
+        for i, v in enumerate(fps_list, start=1):
+            fps[i] = (v & ~0xFFFF) | 7 if i % 2 else v
+        df = spark.createDataFrame(
+            [(i, v) for i, v in fps.items()], ["doc_id", "simhash"]
+        )
+        got2 = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_duplicates(
+                df, "doc_id", h, max_bucket=cap,
+                rescue_identical=True, rescue_near=True, rescue_depth=2,
+                cap_stats=False,
+            ).collect()
+        }
+        mirror = _sh_mirror_depth2(fps, cap, h)
+        want = (
+            mirror["banded"] | mirror["star"]
+            | mirror["rescue1"] | mirror["rescue2"]
+        )
+        assert got2 == want
+        assert mirror["rescue2"] <= got2  # level-2 edges all present

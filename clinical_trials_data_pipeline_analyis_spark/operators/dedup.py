@@ -521,6 +521,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(id_col, fingerprint.alias("simhash"))
 
 
+def _cap_stats_frame(simhash_df: DataFrame, max_bucket: int) -> DataFrame:
+    """The cap probe's one-row aggregate, pre-collect — split out so
+    its plan shape (two BROADCAST joins of the ≤65,536-row bucket-size
+    tables back onto the O(n) fingerprint projection, no wide shuffle)
+    is assertable in tests, not just claimed in prose."""
+    lo_h = (F.col("simhash") % 65536).alias("_hlo")
+    hi_h = F.expr(
+        "CAST(shiftright(simhash, 16) & 65535 AS BIGINT)"
+    ).alias("_hhi")
+    docs = simhash_df.select(lo_h, hi_h)
+    sz_lo = docs.groupBy("_hlo").agg(F.count(F.lit(1)).alias("_n_lo"))
+    sz_hi = docs.groupBy("_hhi").agg(F.count(F.lit(1)).alias("_n_hi"))
+    skip_lo = F.col("_n_lo") > max_bucket
+    skip_hi = F.col("_n_hi") > max_bucket
+    return (
+        docs.join(F.broadcast(sz_lo), "_hlo")
+        .join(F.broadcast(sz_hi), "_hhi")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(
+                F.when(skip_lo & skip_hi, 1).otherwise(0)
+            ).alias("invisible"),
+            F.sum(F.col("_n_lo") - 1).alias("m2_lo"),
+            F.sum(F.col("_n_hi") - 1).alias("m2_hi"),
+            F.sum(
+                F.when(skip_lo, F.col("_n_lo") - 1).otherwise(0)
+            ).alias("s2_lo"),
+            F.sum(
+                F.when(skip_hi, F.col("_n_hi") - 1).otherwise(0)
+            ).alias("s2_hi"),
+            F.max("_n_lo").alias("max_lo"),
+            F.max("_n_hi").alias("max_hi"),
+        )
+    )
+
+
 def simhash_cap_stats(
     simhash_df: DataFrame, max_bucket: int
 ) -> dict[str, float] | None:
@@ -544,36 +580,7 @@ def simhash_cap_stats(
     wide shuffle, no per-bucket materialization at the driver beyond
     the two ≤65k size tables Spark broadcasts.
     """
-    lo_h = (F.col("simhash") % 65536).alias("_hlo")
-    hi_h = F.expr(
-        "CAST(shiftright(simhash, 16) & 65535 AS BIGINT)"
-    ).alias("_hhi")
-    docs = simhash_df.select(lo_h, hi_h)
-    sz_lo = docs.groupBy("_hlo").agg(F.count(F.lit(1)).alias("_n_lo"))
-    sz_hi = docs.groupBy("_hhi").agg(F.count(F.lit(1)).alias("_n_hi"))
-    skip_lo = F.col("_n_lo") > max_bucket
-    skip_hi = F.col("_n_hi") > max_bucket
-    row = (
-        docs.join(F.broadcast(sz_lo), "_hlo")
-        .join(F.broadcast(sz_hi), "_hhi")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(
-                F.when(skip_lo & skip_hi, 1).otherwise(0)
-            ).alias("invisible"),
-            F.sum(F.col("_n_lo") - 1).alias("m2_lo"),
-            F.sum(F.col("_n_hi") - 1).alias("m2_hi"),
-            F.sum(
-                F.when(skip_lo, F.col("_n_lo") - 1).otherwise(0)
-            ).alias("s2_lo"),
-            F.sum(
-                F.when(skip_hi, F.col("_n_hi") - 1).otherwise(0)
-            ).alias("s2_hi"),
-            F.max("_n_lo").alias("max_lo"),
-            F.max("_n_hi").alias("max_hi"),
-        )
-        .collect()[0]
-    )
+    row = _cap_stats_frame(simhash_df, max_bucket).collect()[0]
     n_docs = int(row["docs"] or 0)
     if not n_docs:
         return None

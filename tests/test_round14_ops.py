@@ -786,3 +786,23 @@ if _HYP:
         )
         assert got2 == want
         assert mirror["rescue2"] <= got2  # level-2 edges all present
+
+
+def test_cap_probe_plan_uses_broadcast_joins(spark):
+    """The cap probe must never become a scale cost itself: both
+    bucket-size joins are BROADCAST (the size tables are <=65,536 rows
+    by construction) and no sort-merge join appears — asserted on the
+    plan, not claimed in prose."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        _cap_stats_frame,
+    )
+
+    plan = (
+        _cap_stats_frame(_hot_fixture(spark), 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

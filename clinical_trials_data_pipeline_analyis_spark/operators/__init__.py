@@ -8,6 +8,7 @@ from .dedup import (
     filter_hot_shingles,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_df_stats,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidates,
@@ -56,6 +57,7 @@ __all__ = [
     "filter_hot_shingles",
     "lsh_candidate_pairs",
     "minhash_signatures",
+    "ngram_df_stats",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_candidates",

@@ -1144,6 +1144,63 @@ def simhash_near_duplicates(
 MAX_JACCARD_JOIN_ROWS = 1_000_000_000
 
 
+def ngram_df_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Price a ``max_df`` hot-shingle bound BEFORE running the n-gram
+    pair join — the n-gram family's cap-consequence surface (round 14),
+    completing the four-generator symmetry: RHP carries its Charikar
+    estimate, MinHash its banding-theory floor, SimHash its visibility
+    probe, and the inverted-index join now measures what
+    ``filter_hot_shingles(max_df)`` costs.
+
+    One-row DataFrame, all BIGINT (hash-safe cross-engine):
+
+    - ``docs`` — documents with at least one shingle;
+    - ``invisible_docs`` — documents whose EVERY shingle exceeds
+      ``max_df``: the filter drops their whole posting list, so they
+      appear in zero candidate pairs — the hard doc-coverage ceiling
+      of the bound (the analog of the SimHash probe's both-halves-
+      capped count);
+    - ``total_instances`` / ``dropped_instances`` — (doc, shingle)
+      posting entries overall and above the bound: the inverted-index
+      join mass the filter removes;
+    - ``unbind_max_df`` — max over documents of their minimum shingle
+      df: the smallest ``max_df`` at which NO document is invisible.
+
+    Scale shape: one shuffle on shingle (the same bucket shuffle the
+    pair join itself pays), one groupBy on ``id_col`` over the O(
+    posting-list) instance table, then a scalar aggregate — no
+    collect, no driver-side term; the caller decides when to run it.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.min("_df").alias("_mdf"),
+            F.count(F.lit(1)).alias("_n_inst"),
+            F.sum(
+                F.when(F.col("_df") > max_df, 1).otherwise(0)
+            ).alias("_n_drop"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.when(F.col("_mdf") > max_df, 1).otherwise(0))
+        .cast("long")
+        .alias("invisible_docs"),
+        F.sum("_n_inst").cast("long").alias("total_instances"),
+        F.sum("_n_drop").cast("long").alias("dropped_instances"),
+        F.max("_mdf").cast("long").alias("unbind_max_df"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -299,9 +299,9 @@ from .window_history import CURRENT_ROUND, LAST_GREEN  # noqa: E402
 #: ADVICE #1) -> x05/x17/a21/a30; semantic_dedup (percolation
 #: prescription quotes the bucket upper edge, ADVICE #3, warning path
 #: only) -> a45/a92; NEW a95 (16-component MinHash signatures — the
-#: followable min_recall prescription) and a96 (depth-2 SimHash
-#: rescue). 13 priority names + the 36-name r11 cohort = 49 of 50;
-#: the oldest-first fill takes the last slot from the r12 cohort.
+#: followable min_recall prescription), a96 (depth-2 SimHash rescue),
+#: and a97 (the n-gram family's max_df consequence surface). 14
+#: priority names + the 36-name r11 cohort fill the window exactly.
 CHANGED_COMPONENTS: tuple[str, ...] = (
     "x06_dedup_simhash",
     "a23_dedup_simhash_pairs",
@@ -310,6 +310,7 @@ CHANGED_COMPONENTS: tuple[str, ...] = (
     "a93_simhash_near_rescue",
     "a95_minhash16_lsh",
     "a96_simhash_rescue_depth2",
+    "a97_ngram_df_stats",
     "x05_dedup_minhash_lsh",
     "x17_dedup_minhash_estimate",
     "a21_dedup_cc_clusters",

@@ -5560,3 +5560,48 @@ def a96_simhash_rescue_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescue_near=True,
         rescue_depth=2,
     )
+
+
+# =====================================================================
+# a97 — the n-gram family's cap-consequence surface (round 14),
+# completing the four-generator symmetry: RHP carries its Charikar
+# estimate, MinHash its banding-theory floor, SimHash its visibility
+# probe (a96's sibling machinery), and the inverted-index join now
+# PRICES its max_df bound before running: invisible docs (every
+# shingle hot — the filter drops their whole posting list), the
+# posting mass removed, and the smallest max_df at which no doc is
+# invisible. max_df=5 is a25's tight bound, which BINDS at the driver
+# SFs (178 posting entries dropped at sf0.01; invisible_docs is 0
+# there — unbind_max_df measures 3 — so full blinding is exercised by
+# the unit fixture instead). All BIGINT — value hash-safe cross-engine
+# by construction.
+# =====================================================================
+_STATS_MAX_DF = 5
+
+
+@register(
+    "a97_ngram_df_stats",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+    SELECT s.doc_id, MIN(d.df) AS mdf, COUNT(*) AS n_inst,
+           SUM(CASE WHEN d.df > {_STATS_MAX_DF} THEN 1 ELSE 0 END) AS n_drop
+    FROM sh AS s JOIN dfreq AS d USING (shingle)
+    GROUP BY s.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN mdf > {_STATS_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS invisible_docs,
+       CAST(SUM(n_inst) AS BIGINT) AS total_instances,
+       CAST(SUM(n_drop) AS BIGINT) AS dropped_instances,
+       CAST(MAX(mdf) AS BIGINT) AS unbind_max_df
+FROM per_doc
+""",
+    covers=("X-DEDUP-NGRAM-JACCARD",),
+)
+def a97_ngram_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_df_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_df_stats(docs, "doc_id", "text", _STATS_MAX_DF, shingle_k=3)

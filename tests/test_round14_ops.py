@@ -806,3 +806,33 @@ def test_cap_probe_plan_uses_broadcast_joins(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_df_stats_exact(spark):
+    """The n-gram family's cap-consequence surface: exact numbers on a
+    fixture where the bound fully blinds a template family (every
+    shingle of the 5 template docs has df 5 > max_df 2), two docs
+    share one hot shingle but keep discriminative ones, and one doc is
+    untouched."""
+    from clinical_trials_data_pipeline_analyis_spark.operators.dedup import (
+        ngram_df_stats,
+    )
+
+    template = "alpha beta gamma delta"          # 2 shingles, df 5 each
+    rows = [(i, template) for i in range(5)]
+    # doc 5 and 6: shingles {x y z, y z w} each df 2 <= max_df -> visible
+    rows.append((5, "x y z w"))
+    rows.append((6, "x y z w"))
+    rows.append((7, "solo unique words here"))   # df 1 shingles
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = ngram_df_stats(df, "doc_id", "text", max_df=2).collect()[0]
+    assert s["docs"] == 8
+    # the 5 template docs have EVERY shingle at df 5 > 2 -> invisible
+    assert s["invisible_docs"] == 5
+    # instances: 5 docs x 2 shingles + 2 x 2 + 1 x 2 = 16
+    assert s["total_instances"] == 16
+    assert s["dropped_instances"] == 10  # the template postings
+    assert s["unbind_max_df"] == 5  # raise max_df to 5 -> nobody blind
+    # at the unbinding bound nothing is dropped or blind
+    s2 = ngram_df_stats(df, "doc_id", "text", max_df=5).collect()[0]
+    assert s2["invisible_docs"] == 0 and s2["dropped_instances"] == 0

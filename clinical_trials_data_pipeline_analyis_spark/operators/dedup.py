@@ -931,6 +931,19 @@ def simhash_candidates(
                 F.lit(0),
             )
             fp = fp.withColumn("_w", w_bits)
+            # LAZY truncation (round 14, guide §2.4/§1): fp is consumed
+            # by TWO sub-band arms x two join sides (and at depth 2 by
+            # four more level-2 join sides) — up to 12 references, each
+            # of which would otherwise re-execute the members window +
+            # fingerprint dedup + width window from the raw fingerprint
+            # table (the r14 before-plan for a96 held 184 Window nodes /
+            # 90 Exchanges from exactly this re-execution; a93 56/42).
+            # fp is tiny (distinct fingerprints of hot buckets), so the
+            # blocks materialize once inside the first consuming job and
+            # every arm reads them back. Lazy, not eager: when the cap
+            # never binds the frame is empty and construction must not
+            # pay materialization jobs for it. Values unchanged.
+            fp = fp.transform(cut_lineage(eager=False))
             mask = F.expr("shiftleft(CAST(1 AS BIGINT), _w) - 1")
             sub_keys = (
                 F.col("_other").bitwiseAND(mask),
@@ -977,6 +990,14 @@ def simhash_candidates(
                     side = side.filter(F.col("_w").between(1, 15))
                 w_sub = Window.partitionBy("half", "_sub")
                 side = side.withColumn("_m", F.count(F.lit(1)).over(w_sub))
+                if rescue_depth >= 2:
+                    # Six references at depth 2 (level-1 join sides + the
+                    # hot residue feeding four level-2 join sides) — same
+                    # lazy-truncation rationale as fp above. At depth 1
+                    # the two references re-run only a window over the
+                    # already-truncated fp, which is cheaper than a
+                    # materialization of its own.
+                    side = side.transform(cut_lineage(eager=False))
                 part = hub_join(
                     side.filter(F.col("_m") <= max_bucket), ["half", "_sub"]
                 )
@@ -1674,8 +1695,53 @@ def connected_components(
             e0, id_col, min(max_iterations, 8)
         )
         if not converged:
-            labels, rounds, converged = _cc_two_phase(
-                e0, id_col, max_iterations
+            # Round 14 (guide §2.4 — don't recompute what a prior pass
+            # already decided): the fallback used to RESTART two_phase
+            # from the raw edge list, discarding the 8 propagation
+            # rounds' progress. Instead run two_phase on the
+            # label-CONTRACTED graph: propagation labels are always ids
+            # within the vertex's own component (min over reachable
+            # ids, seeded from self), so quotienting edges by label
+            # preserves components exactly — CC(quotient) composed with
+            # the labels equals CC(e0) (proof sketch: a cross-group
+            # G-edge becomes a Q-edge, so Q-paths lift/descend along
+            # G-paths; the component min m always has label(m)=m, so Q
+            # keeps every component's min as a vertex). On the graphs
+            # that trip the leash the quotient is tiny — the a92 sf0.1
+            # graph contracts from ~1.5k edges to a handful — and
+            # two_phase converges on it in 1-2 rounds instead of
+            # re-deriving everything propagation already knew.
+            lbl_src = labels.select(
+                F.col(id_col).alias("_src"), F.col("component").alias("_ca")
+            )
+            lbl_dst = labels.select(
+                F.col(id_col).alias("_dst"), F.col("component").alias("_cb")
+            )
+            ce = (
+                e0.join(lbl_src, "_src")
+                .join(lbl_dst, "_dst")
+                .filter(F.col("_ca") != F.col("_cb"))
+                .select(
+                    F.col("_ca").alias("_src"), F.col("_cb").alias("_dst")
+                )
+                .transform(cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL))
+            )
+            sub, rounds2, converged = _cc_two_phase(ce, id_col, max_iterations)
+            rounds += rounds2
+            labels = (
+                labels.join(
+                    sub.withColumnRenamed("component", "_final")
+                    .withColumnRenamed(id_col, "component")
+                    .select(F.col("component"), F.col("_final")),
+                    "component",
+                    "left",
+                )
+                .select(
+                    F.col(id_col),
+                    F.coalesce(F.col("_final"), F.col("component")).alias(
+                        "component"
+                    ),
+                )
             )
     elif algorithm == "propagation":
         labels, rounds, converged = _cc_propagation(e0, id_col, max_iterations)
@@ -1711,46 +1777,84 @@ def _cc_propagation(
     # and the partitioning survives the checkpoint — so every round's
     # labels join shuffles only the (small) label side, never the edges.
     # At 100 TB |edges| >> |labels| and this is the dominant saving.
+    # Lazy truncation: round 1's convergence count is the first action
+    # over sym and materializes its blocks in the same job — an eager
+    # checkpoint here would be one extra job for the identical blocks
+    # (e0 itself stays eagerly materialized by the caller: its plan is
+    # the expensive candidate pipeline and it feeds two union branches).
     sym = (
         e0.union(
             e0.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .repartition(F.col("_src"))
-        .transform(cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL))
+        .transform(cut_lineage(storage_level=_EDGE_CHECKPOINT_LEVEL, eager=False))
     )
-    # Active subgraph only: vertices that touch at least one edge
-    # (already co-partitioned by _src, so this distinct adds no shuffle).
-    labels = (
-        sym.select(F.col("_src").alias(id_col))
-        .distinct()
-        .select(F.col(id_col), F.col(id_col).alias("component"))
-        .transform(cut_lineage())
-    )
+    if max_iterations < 1:
+        # Degenerate leash: return the identity labels unconverged, as
+        # the pre-round-fusion code did.
+        labels = (
+            sym.select(F.col("_src").alias(id_col))
+            .distinct()
+            .select(F.col(id_col), F.col(id_col).alias("component"))
+        )
+        return labels, 0, False
     rounds = 0
     converged = False
+    labels = None
     for _ in range(max_iterations):
         rounds += 1
-        comp_type = dict(labels.dtypes)["component"]
-        prop = sym.join(labels, sym["_src"] == labels[id_col]).select(
-            F.col("_dst").alias(id_col),
-            F.col("component"),
-            F.lit(None).cast(comp_type).alias("prev"),
-        )
-        # Previous labels ride through the same min-aggregate (exactly one
-        # labels row per id carries prev), so convergence is a filter over
-        # the checkpointed result — no second join, no second shuffle.
-        merged = (
-            labels.select(
-                id_col, "component", F.col("component").alias("prev")
+        if labels is None:
+            # Round 1 FUSED (round 14, guide §2.4): the initial label map
+            # is the identity over active vertices, so the first round's
+            # sym⋈labels join is a rename and the separate labels-init
+            # distinct+checkpoint is one more job for a frame round 1
+            # immediately re-aggregates. min(self, min(neighbors)) over
+            # the symmetric edges IS round 1's merged frame; prev = own
+            # id. Values identical — this is the identity-join unfolded.
+            merged = (
+                sym.select(
+                    F.col("_dst").alias(id_col),
+                    F.col("_src").alias("component"),
+                )
+                .groupBy(id_col)
+                .agg(F.min("component").alias("_mn"))
+                .select(
+                    F.col(id_col),
+                    F.least(F.col("_mn"), F.col(id_col)).alias("component"),
+                    F.col(id_col).alias("prev"),
+                )
             )
-            .unionByName(prop)
-            .groupBy(id_col)
-            .agg(
-                F.min("component").alias("component"),
-                F.min("prev").alias("prev"),
+        else:
+            comp_type = dict(labels.dtypes)["component"]
+            prop = sym.join(labels, sym["_src"] == labels[id_col]).select(
+                F.col("_dst").alias(id_col),
+                F.col("component"),
+                F.lit(None).cast(comp_type).alias("prev"),
             )
-            .transform(cut_lineage())
-        )
+            # Previous labels ride through the same min-aggregate (exactly
+            # one labels row per id carries prev), so convergence is a
+            # filter over the checkpointed result — no second join, no
+            # second shuffle.
+            merged = (
+                labels.select(
+                    id_col, "component", F.col("component").alias("prev")
+                )
+                .unionByName(prop)
+                .groupBy(id_col)
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min("prev").alias("prev"),
+                )
+            )
+        # LAZY truncation (round 14, guide §1/§2 — one job per round, not
+        # two): the convergence count below is the action that
+        # materializes this round's checkpoint blocks; an eager
+        # checkpoint would run the identical plan in its own job first
+        # and leave the count a trivial second job. Values unchanged —
+        # the blocks the next round reads are the same either way (the
+        # reliable-mode branch of cut_lineage stays eager, see
+        # checkpoint.py).
+        merged = merged.transform(cut_lineage(eager=False))
         changed = merged.filter(F.col("component") < F.col("prev")).count()
         labels = merged.select(id_col, "component")
         if changed == 0:

@@ -75,19 +75,27 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    ranks = (
-        deg.crossJoin(F.broadcast(n_nodes))
-        .select(
-            "node",
-            "degree",
-            F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) DIV _n").alias(
-                "rank_ppb"
-            ),
-            F.col("_n"),
-        )
-        .transform(cut_lineage(eager=False))
+    # base is the iteration-CONSTANT frame (node, degree, _n): each
+    # round's new ranks join onto it, so the evolving ranks frame is
+    # referenced exactly ONCE per iteration (in contrib) and the logical
+    # plan grows LINEARLY in iterations. The previous shape joined msgs
+    # back onto ranks itself (two references per round — exponential
+    # plan growth) and therefore had to localCheckpoint EVERY round;
+    # each of those checkpoints forced a full Catalyst+codegen pass at
+    # construction time (round 14 measured 6 planning passes = ~4.5s of
+    # the a72 query's 5.1s at sf0.1, with the actual data work under
+    # 0.1s). With linear growth one truncation every few rounds bounds
+    # both plan size and failure-recovery replay; values are identical
+    # (same integer arithmetic, same join shapes).
+    base = deg.crossJoin(F.broadcast(n_nodes)).transform(
+        cut_lineage(eager=False)
     )
-    for _ in range(iterations):
+    ranks = base.select(
+        "node",
+        "degree",
+        F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) DIV _n").alias("rank_ppb"),
+    )
+    for i in range(iterations):
         contrib = ranks.select(
             F.col("node").alias("a"),
             F.expr("rank_ppb DIV degree").alias("_c"),
@@ -97,23 +105,22 @@ def pagerank_fixed_point(
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum("_c").cast("long").alias("_msum"))
         )
-        ranks = (
-            ranks.join(msgs, "node", "left")
-            .select(
-                "node",
-                "degree",
-                (
-                    F.expr(
-                        f"CAST({(100 - damping_pct) * PAGERANK_SCALE // 100} AS BIGINT) DIV _n"
-                    )
-                    + F.expr(
-                        f"CAST({damping_pct} AS BIGINT) * coalesce(_msum, CAST(0 AS BIGINT)) DIV 100"
-                    )
-                ).alias("rank_ppb"),
-                "_n",
-            )
-            .transform(cut_lineage(eager=False))
+        ranks = base.join(msgs, "node", "left").select(
+            "node",
+            "degree",
+            (
+                F.expr(
+                    f"CAST({(100 - damping_pct) * PAGERANK_SCALE // 100} AS BIGINT) DIV _n"
+                )
+                + F.expr(
+                    f"CAST({damping_pct} AS BIGINT) * coalesce(_msum, CAST(0 AS BIGINT)) DIV 100"
+                )
+            ).alias("rank_ppb"),
         )
+        if (i + 1) % 3 == 0 and (i + 1) < iterations:
+            # Bound lineage depth for long runs without paying a
+            # planning pass per round.
+            ranks = ranks.transform(cut_lineage(eager=False))
     return ranks.select("node", "degree", "rank_ppb")
 
 

@@ -68,6 +68,31 @@ def dot(
     return _dot_fold(a, b)
 
 
+def dot_literal_sql(col_sql: str, values: list[float]) -> str:
+    """SQL text for ``dot(col, <literal array>)`` in the FOLD form, as
+    ONE parseable string.
+
+    Bit-identical to ``dot(F.col(col), F.array(*[F.lit(v) ...]))``: the
+    parsed tree is the same zip_with/aggregate chain over the same
+    doubles (Python ``repr`` emits the shortest round-tripping decimal
+    and Spark's literal parser is correctly rounded, so every literal
+    lands on the identical IEEE double — proven bitwise in
+    tests/test_vectors_dim.py). The point is CONSTRUCTION cost, not
+    execution: building a literal-array fold through the Column API
+    costs ~dim py4j round-trips per dot plus two lambda conversions
+    (~11 ms each measured) — at rhp_signatures' 48 x 64 registered
+    geometry that was ~2.7 s of driver-side plan construction per
+    query before any job ran. One ``F.expr`` string is one round-trip.
+    ``col_sql`` is spliced verbatim — pass a quoted identifier.
+    """
+    arr = ", ".join(f"{float(v)!r}D" for v in values)
+    return (
+        f"aggregate(zip_with({col_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, el) -> acc + el)"
+    )
+
+
 def _norm_sq_fold(a: Column) -> Column:
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),

@@ -1199,9 +1199,18 @@ def ngram_df_stats(
     collect, no driver-side term; the caller decides when to run it.
     """
     sh = shingle_sets(df, id_col, text_col, shingle_k)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # df rides in as a WINDOW count over the shingle partition (round
+    # 14): the previous groupBy-then-join derivation executed the
+    # shingle explode pipeline TWICE (once under the aggregate, once as
+    # the join's probe side — the subtrees differ, so exchange reuse
+    # cannot fire) and paid the join on top. The window form computes
+    # each instance's df in the single shingle-keyed exchange the
+    # aggregate needed anyway; values are identical (df per (doc,
+    # shingle) instance is the same count either way).
     per_doc = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy(id_col)
         .agg(
             F.min("_df").alias("_mdf"),
@@ -1895,7 +1904,9 @@ def _cc_two_phase(
                 F.min("v").alias("p"),
                 F.countDistinct("v").alias("nd"),
             )
-            .transform(cut_lineage())
+            # Lazy: the multi count below materializes the blocks in
+            # the same job (round 14 — one job per convergence check).
+            .transform(cut_lineage(eager=False))
         )
         multi = stats.filter(F.col("nd") > 1).count()
         bad = (

@@ -141,7 +141,13 @@ def batch_perceptron(
         F.sum(F.col("y") * F.col("cnt")).cast("long").alias("weight")
     )
     for _ in range(iters - 1):
-        w = w.transform(cut_lineage())
+        # Lazy truncation (round 14): w is referenced twice per epoch
+        # (the broadcast in scores and the full_outer merge), so the
+        # lineage cut is mandatory — but the blocks can materialize
+        # inside the first job that needs them instead of paying an
+        # eager per-epoch job for a <=buckets-row frame. Values
+        # unchanged.
+        w = w.transform(cut_lineage(eager=False))
         scores = (
             feats.join(F.broadcast(w), "bucket", "left")
             .groupBy("_id", "y")

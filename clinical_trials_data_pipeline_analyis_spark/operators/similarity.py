@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from ..checkpoint import cut_lineage
 
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import (
+    cosine_similarity,
+    dot,
+    dot_literal_sql,
+    l2_norm,
+)
 from .dedup import _spread
 
 #: Scale-diagnostic logger (INFO): candidate-budget numbers the guards
@@ -813,10 +818,17 @@ def rhp_signatures(
             # dot sites too, where flat ALSO lost (2-5x both scales) —
             # the hint is now inert by default; see functions/vectors.py.
             F.coalesce(
-                dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in planes[b]]),
-                ),
+                # ONE F.expr per hyperplane dot (round 14): the Column-
+                # API fold built dim literals + two lambda conversions
+                # through py4j per dot — measured ~2.7s of driver-side
+                # plan CONSTRUCTION at the 48-bit registered geometry
+                # before any job ran (cProfile: 21k py4j round-trips).
+                # The parsed tree and every literal double are
+                # bit-identical to the Column form (see
+                # dot_literal_sql; proven bitwise in
+                # tests/test_vectors_dim.py), so signatures and oracle
+                # parity are unchanged.
+                F.expr(dot_literal_sql(f"`{vec_col}`", planes[b])),
                 F.lit(0.0),
             )
             >= 0,
@@ -1588,6 +1600,7 @@ def semantic_pair_candidates(
     """
     from ..functions.vectors import l2_norm
 
+    n_rows = row_count_hint
     if max_cell is not None or max_candidates is not None:
         # One cell-size aggregate serves both guards; ``blocked`` is
         # checkpointed by semantic_dedup, so this costs one cheap job
@@ -1596,13 +1609,18 @@ def semantic_pair_candidates(
             F.count(F.lit(1)).alias("n")
         )
         if max_candidates is not None:
-            est = (
-                cells.agg(
-                    F.sum(
-                        (F.col("n") * (F.col("n") - F.lit(1))) / F.lit(2)
-                    ).alias("cand")
-                ).collect()[0]["cand"]
-            )
+            guard_row = cells.agg(
+                F.sum(
+                    (F.col("n") * (F.col("n") - F.lit(1))) / F.lit(2)
+                ).alias("cand"),
+                F.sum("n").alias("rows"),
+            ).collect()[0]
+            est = guard_row["cand"]
+            if n_rows is None:
+                # The join-strategy gate's row count rides the SAME
+                # aggregate (Σ cell sizes = |blocked|) — one action
+                # instead of a separate blocked.count() (round 14).
+                n_rows = int(guard_row["rows"] or 0)
             if est is not None:
                 _LOG.info(
                     "semantic_pair_candidates: sigma n(n-1)/2 = %d "
@@ -1663,7 +1681,8 @@ def semantic_pair_candidates(
     pair_cond = (F.col("cell_a") == F.col("cell_b")) & (
         F.col("vec_a") < F.col("vec_b")
     )
-    n_rows = row_count_hint if row_count_hint is not None else blocked.count()
+    if n_rows is None:
+        n_rows = blocked.count()
     if n_rows <= broadcast_limit:
         joined = _spread(blocked).select(*a_cols).join(
             F.broadcast(blocked.select(*b_cols)), pair_cond

@@ -2324,7 +2324,11 @@ def a43_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A real deployment builds the index ONCE and reads it back; the
     # inline build is materialized (localCheckpoint) so the search plan
     # consumes staged artifacts instead of re-executing the centroid
-    # scoring in every branch that references them.
+    # scoring in every branch that references them. A lazy truncation
+    # was A/B-measured here in round 14 and LOST (4.3s -> 6.0s warm):
+    # the search plan's branches race to materialize the shared blocks
+    # inside one job, double-computing partitions; the eager build
+    # stays.
     assignments = (
         ivf_assign(emb, centroids, dim=_EMB_DIM).select("vec_id", "centroid_id").transform(cut_lineage())
     )

@@ -153,3 +153,40 @@ def test_fixture_cosines_unchanged_by_hint(spark):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert got["n"] > 1000 and got["diffs"] == 0
+
+
+def test_dot_literal_sql_is_bit_identical_to_column_fold(spark):
+    """dot_literal_sql (the single-string F.expr form rhp_signatures
+    uses to avoid ~dim py4j round-trips per hyperplane) must evaluate
+    bit-for-bit equal to the Column-API fold over the same literals —
+    including exponent-formatted repr values (1e-05) and signed zeros."""
+    import random
+    import struct
+
+    from conftest import SF_DIR
+    from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
+        dot,
+        dot_literal_sql,
+    )
+
+    rng = random.Random(7)
+    planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    planes[0][0] = 1e-05
+    planes[0][1] = -0.0
+    planes[0][2] = 9.999999999177334e-07
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    cols = []
+    for i, p in enumerate(planes):
+        cols.append(F.expr(dot_literal_sql("`embedding`", p)).alias(f"s{i}"))
+        cols.append(
+            dot(
+                F.col("embedding"), F.array(*[F.lit(x) for x in p])
+            ).alias(f"f{i}")
+        )
+    rows = emb.select(*cols).collect()
+    assert len(rows) > 100
+    for r in rows:
+        for i in range(len(planes)):
+            assert struct.pack("d", r[f"s{i}"]) == struct.pack(
+                "d", r[f"f{i}"]
+            ), (r[f"s{i}"], r[f"f{i}"])

@@ -859,6 +859,15 @@ def simhash_candidates(
             rescue_identical=rescue_identical, rescue_near=rescue_near,
         )
 
+    def half_sizes(half: Column) -> DataFrame:
+        """Per-half-bucket occupancy: <=65,536 rows, map-side partial
+        aggregated — the broadcastable cap decision table."""
+        return (
+            simhash_df.select(half)
+            .groupBy("half")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+
     def pairs_on(half: Column) -> DataFrame:
         sim_a = (
             [F.col("simhash").alias("_sim_a")]
@@ -867,14 +876,20 @@ def simhash_candidates(
         )
         base = simhash_df.select(F.col(id_col).alias("doc_a"), half, *sim_a)
         if max_bucket is not None:
-            # one window count over the band key — the same shuffle the
-            # pair join needs anyway, no second aggregate-and-join pass
-            w = Window.partitionBy("half")
-            base = (
-                base.withColumn("_n", F.count(F.lit(1)).over(w))
-                .filter(F.col("_n") <= max_bucket)
-                .drop("_n")
+            # Cap via a BROADCAST SEMI-JOIN against the (<=65,536-row)
+            # bucket-size table (round 14, guide §2.3/§3.2). The
+            # previous window count forced Exchange+Sort of the FULL
+            # fingerprint table per join side before the filter could
+            # run — including exactly the hot-bucket mass the cap
+            # exists to drop (at the 500k probe's cap=20 that mass is
+            # 0.9999 of all rows). The semi-join kills capped rows at
+            # the scan, so every downstream exchange carries only
+            # surviving rows; the size table costs one map-side
+            # partial aggregate. Values identical (same n<=cap set).
+            ok = half_sizes(half).filter(F.col("_n") <= max_bucket).select(
+                "half"
             )
+            base = base.join(F.broadcast(ok), "half", "left_semi")
         a = base
         b_cols = [F.col("doc_a").alias("doc_b"), F.col("half").alias("half_b")] + (
             [F.col("_sim_a").alias("_sim_b")] if _max_hamming is not None else []
@@ -903,18 +918,19 @@ def simhash_candidates(
         }
 
         def rescue_on(half: Column, other: Column) -> DataFrame:
-            w_half = Window.partitionBy("half")
-            members = (
-                simhash_df.select(
-                    F.col(id_col).alias("_id"),
-                    half,
-                    other.alias("_other"),
-                    F.col("simhash").alias("_sim"),
-                )
-                .withColumn("_n", F.count(F.lit(1)).over(w_half))
-                .filter(F.col("_n") > max_bucket)
-                .drop("_n")
-            )
+            # The rescue operates on the COMPLEMENT of the cap filter:
+            # the same broadcast size table, semi-joined on the hot
+            # (n > cap) halves — no window shuffle of the full
+            # fingerprint table here either (round 14; see pairs_on).
+            hot_halves = half_sizes(half).filter(
+                F.col("_n") > max_bucket
+            ).select("half")
+            members = simhash_df.select(
+                F.col(id_col).alias("_id"),
+                half,
+                other.alias("_other"),
+                F.col("simhash").alias("_sim"),
+            ).join(F.broadcast(hot_halves), "half", "left_semi")
             # one row per distinct fingerprint; hub = the family's
             # min id (the same hub rescue_identical stars to)
             fp = members.groupBy("half", "_sim", "_other").agg(

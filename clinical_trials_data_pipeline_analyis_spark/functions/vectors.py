@@ -39,6 +39,49 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote a column NAME for splicing into SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_fold_sql(a_sql: str, b_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, el) -> acc + el)"
+    )
+
+
+def _dot_flat_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(get({a_sql}, {i}) AS DOUBLE) * CAST(get({b_sql}, {i}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return (
+        f"CASE WHEN (size({a_sql}) = {dim}) AND (size({b_sql}) = {dim}) "
+        f"THEN 0.0D + {terms} ELSE {_dot_fold_sql(a_sql, b_sql)} END"
+    )
+
+
+def _norm_sq_fold_sql(a_sql: str) -> str:
+    return (
+        f"aggregate(transform({a_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, el) -> acc + el)"
+    )
+
+
+def _norm_sq_flat_sql(a_sql: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(get({a_sql}, {i}) AS DOUBLE) * CAST(get({a_sql}, {i}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return (
+        f"CASE WHEN size({a_sql}) = {dim} "
+        f"THEN 0.0D + {terms} ELSE {_norm_sq_fold_sql(a_sql)} END"
+    )
+
+
 def _dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -57,12 +100,34 @@ def _dot_flat(a: Column, b: Column, dim: int) -> Column:
 
 
 def dot(
-    a: Column, b: Column, dim: int | None = None, use_flat: bool = False
+    a: Column | str,
+    b: Column | str,
+    dim: int | None = None,
+    use_flat: bool = False,
 ) -> Column:
     """Ordered float dot product. ``use_flat=True`` (requires ``dim``)
     selects the flat fixed-width form — opt in only with a corpus-rung
     measurement behind you (module docstring); bit-identical either
-    way."""
+    way.
+
+    Operands may be COLUMN NAMES (str): the expression is then built as
+    ONE parsed SQL string instead of the Column API — the same
+    construction-cost move as ``dot_literal_sql`` (its docstring has the
+    measurements: each Column-API lambda conversion costs ~11 ms of py4j
+    round-trips, the flat form ~90 ms per dot vs ~0.4 ms parsed). The
+    parsed tree is identical node-for-node (same casts, same fold order,
+    same size guard — lambda variable NAMES differ, which Catalyst
+    normalizes away), so results are bit-identical; proven in
+    tests/test_vectors_dim.py."""
+    if isinstance(a, str) and isinstance(b, str):
+        a_sql, b_sql = _ident(a), _ident(b)
+        if use_flat and dim is not None:
+            return F.expr(_dot_flat_sql(a_sql, b_sql, dim))
+        return F.expr(_dot_fold_sql(a_sql, b_sql))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     if use_flat and dim is not None:
         return _dot_flat(a, b, dim)
     return _dot_fold(a, b)
@@ -110,20 +175,43 @@ def _norm_sq_flat(a: Column, dim: int) -> Column:
 
 
 def l2_norm(
-    a: Column, dim: int | None = None, use_flat: bool = False
+    a: Column | str, dim: int | None = None, use_flat: bool = False
 ) -> Column:
-    """Ordered L2 norm; same ``dim``/``use_flat`` contract as ``dot``."""
+    """Ordered L2 norm; same ``dim``/``use_flat``/str-operand contract
+    as ``dot`` (a str is a column name, built as one parsed SQL
+    string)."""
+    if isinstance(a, str):
+        a_sql = _ident(a)
+        if use_flat and dim is not None:
+            return F.expr(f"SQRT({_norm_sq_flat_sql(a_sql, dim)})")
+        return F.expr(f"SQRT({_norm_sq_fold_sql(a_sql)})")
     if use_flat and dim is not None:
         return F.sqrt(_norm_sq_flat(a, dim))
     return F.sqrt(_norm_sq_fold(a))
 
 
 def cosine_similarity(
-    a: Column, b: Column, dim: int | None = None, use_flat: bool = False
+    a: Column | str,
+    b: Column | str,
+    dim: int | None = None,
+    use_flat: bool = False,
 ) -> Column:
     # try_divide: a zero-norm vector yields NULL cosine (instead of an
     # ANSI-mode DIVIDE_BY_ZERO error) — downstream rankings order NULL
     # last with a deterministic id tiebreak.
+    if isinstance(a, str) and isinstance(b, str):
+        # one parsed string for the whole similarity — same tree as the
+        # Column form below (try_divide(dot, norm * norm))
+        a_sql, b_sql = _ident(a), _ident(b)
+        if use_flat and dim is not None:
+            d = _dot_flat_sql(a_sql, b_sql, dim)
+            na = f"SQRT({_norm_sq_flat_sql(a_sql, dim)})"
+            nb = f"SQRT({_norm_sq_flat_sql(b_sql, dim)})"
+        else:
+            d = _dot_fold_sql(a_sql, b_sql)
+            na = f"SQRT({_norm_sq_fold_sql(a_sql)})"
+            nb = f"SQRT({_norm_sq_fold_sql(b_sql)})"
+        return F.expr(f"try_divide({d}, {na} * {nb})")
     return F.try_divide(
         dot(a, b, dim=dim, use_flat=use_flat),
         l2_norm(a, dim=dim, use_flat=use_flat)

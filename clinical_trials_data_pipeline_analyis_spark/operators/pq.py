@@ -39,10 +39,14 @@ from ..functions.vectors import dot
 from .dedup import _spread
 
 
-def _l2sq(a: Column, b: Column, dim: int | None = None) -> Column:
+def _l2sq(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """Squared L2 distance with a fixed scalar op order (oracle-exact).
     ``dim`` is the (default-inert) width hint from
-    ``functions.vectors.dot`` — bit-identical either way."""
+    ``functions.vectors.dot`` — bit-identical either way. str operands
+    are column names (one parsed SQL string per dot — the
+    construction-cost contract of ``functions.vectors.dot``)."""
     return (
         dot(a, a, dim=dim)
         - F.lit(2.0) * dot(a, b, dim=dim)
@@ -141,13 +145,13 @@ def pq_encode(
         F.col(id_col).alias("vec_id"),
         "subspace",
         "subvec",
-        dot(F.col("subvec"), F.col("subvec"), dim=sub_dim, use_flat=True).alias("_na"),
+        dot("subvec", "subvec", dim=sub_dim, use_flat=True).alias("_na"),
     )
     cb = codebooks.select(
         F.col("subspace").alias("cb_subspace"),
         "code_id",
         "codevec",
-        dot(F.col("codevec"), F.col("codevec"), dim=sub_dim, use_flat=True).alias("_nb"),
+        dot("codevec", "codevec", dim=sub_dim, use_flat=True).alias("_nb"),
     )
     scored = (
         subs.join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
@@ -158,7 +162,7 @@ def pq_encode(
             F.round(
                 F.col("_na")
                 - F.lit(2.0)
-                * dot(F.col("subvec"), F.col("codevec"), dim=sub_dim, use_flat=True)
+                * dot("subvec", "codevec", dim=sub_dim, use_flat=True)
                 + F.col("_nb"),
                 6,
             ).alias("dist2"),
@@ -253,7 +257,7 @@ def pq_adc_topk(
         "query_id",
         F.col("q_subspace").alias("subspace"),
         F.col("code_id").alias("lut_code"),
-        F.round(_l2sq(F.col("qvec"), F.col("codevec")), 6)
+        F.round(_l2sq("qvec", "codevec"), 6)
         .cast("decimal(18,6)")
         .alias("d2"),
     )
@@ -394,7 +398,7 @@ def ivfpq_topk_residual(
             F.split(F.col("_lutkey"), r"\|")[1].cast("long").alias("l_cell"),
             F.col("subspace").alias("l_subspace"),
             F.col("code_id").alias("l_code"),
-            F.round(_l2sq(F.col("subvec"), F.col("codevec")), 6)
+            F.round(_l2sq("subvec", "codevec"), 6)
             .cast("decimal(18,6)")
             .alias("d2"),
         )
@@ -518,7 +522,7 @@ def ivfpq_topk(
         F.col("q_id"),
         F.col("q_subspace").alias("subspace"),
         F.col("code_id").alias("lut_code"),
-        F.round(_l2sq(F.col("qvec"), F.col("codevec")), 6)
+        F.round(_l2sq("qvec", "codevec"), 6)
         .cast("decimal(18,6)")
         .alias("d2"),
     )
@@ -586,7 +590,7 @@ def adc_rerank_topk(
         "query_id",
         "candidate_id",
         F.round(
-            cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6
+            cosine_similarity("_qvec", "_cvec"), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(

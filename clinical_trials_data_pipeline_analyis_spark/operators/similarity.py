@@ -65,12 +65,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_qn"),
+        l2_norm(vec_col, dim=dim).alias("_qn"),
     )
     c = _spread(embeddings).select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
+        l2_norm(vec_col, dim=dim).alias("_cn"),
     )
     scored = (
         F.broadcast(q)
@@ -81,7 +81,7 @@ def brute_force_topk(
             "candidate_id",
             F.round(
                 F.try_divide(
-                    dot(F.col("qvec"), F.col("cvec"), dim=dim),
+                    dot("qvec", "cvec", dim=dim),
                     F.col("_qn") * F.col("_cn"),
                 ),
                 6,
@@ -111,19 +111,19 @@ def _centroid_scores(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
+        l2_norm(vec_col, dim=dim).alias("_cn"),
     )
     v = _spread(embeddings).select(
         F.col(id_col).alias("vec"),
         F.col(vec_col).alias("vvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_vn"),
+        l2_norm(vec_col, dim=dim).alias("_vn"),
     )
     return v.crossJoin(F.broadcast(c)).select(
         F.col("vec").alias("vec_id"),
         "centroid_id",
         F.round(
             F.try_divide(
-                dot(F.col("vvec"), F.col("cvec"), dim=dim, use_flat=use_flat),
+                dot("vvec", "cvec", dim=dim, use_flat=use_flat),
                 F.col("_vn") * F.col("_cn"),
             ),
             6,
@@ -358,7 +358,7 @@ def embedding_duplicate_pairs(
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("vec_a"),
             F.col(vec_col).alias("va"),
-            l2_norm(F.col(vec_col), dim=dim).alias("_norm_a"),
+            l2_norm(vec_col, dim=dim).alias("_norm_a"),
         )
         .withColumn(
             "_cell",
@@ -369,7 +369,7 @@ def embedding_duplicate_pairs(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_norm_b"),
+        l2_norm(vec_col, dim=dim).alias("_norm_b"),
         (hash_bucket(F.col(id_col), grid)).cast("int").alias("_cell_b"),
     )
     pairs = a.join(
@@ -388,7 +388,7 @@ def embedding_duplicate_pairs(
                 # vs 280.1s on the fold for the routed x08 (500k
                 # vectors); at sf0.1 the compile constant keeps the
                 # query within its baseline row. See functions/vectors.
-                dot(F.col("va"), F.col("vb"), dim=dim, use_flat=True),
+                dot("va", "vb", dim=dim, use_flat=True),
                 F.col("_norm_a") * F.col("_norm_b"),
             ),
             6,
@@ -436,7 +436,7 @@ def _rhp_block_pairs(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_norm"),
+        l2_norm(vec_col, dim=dim).alias("_norm"),
     )
     sigs = rhp_signatures(
         base,
@@ -477,7 +477,7 @@ def _rhp_block_pairs(
             "vec_b",
             F.round(
                 F.try_divide(
-                    dot(F.col("va"), F.col("vb"), dim=dim),
+                    dot("va", "vb", dim=dim),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,
@@ -642,19 +642,19 @@ def ivf_probe_assign(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_cn"),
+        l2_norm(vec_col, dim=dim).alias("_cn"),
     )
     v = _spread(embeddings).select(
         F.col(id_col).alias("vec"),
         F.col(vec_col).alias("vvec"),
-        l2_norm(F.col(vec_col), dim=dim).alias("_vn"),
+        l2_norm(vec_col, dim=dim).alias("_vn"),
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col("vec").alias("vec_id"),
         "centroid_id",
         F.round(
             F.try_divide(
-                dot(F.col("vvec"), F.col("cvec"), dim=dim),
+                dot("vvec", "cvec", dim=dim),
                 F.col("_vn") * F.col("_cn"),
             ),
             6,
@@ -1410,7 +1410,7 @@ def rhp_near_duplicates(
             embeddings, n_bits, bands, dim, seed, id_col, vec_col,
             keep=(vec_col,),
         )
-        .withColumn("_norm", l2_norm(F.col(vec_col), dim=dim))
+        .withColumn("_norm", l2_norm(vec_col, dim=dim))
         .repartition(nparts, F.col("band"), F.col("band_sig"))
         .transform(cut_lineage(storage_level=StorageLevel.MEMORY_AND_DISK))
     )
@@ -1498,7 +1498,7 @@ def rhp_near_duplicates(
             "vec_b",
             F.round(
                 F.try_divide(
-                    dot(F.col("va"), F.col("vb"), dim=dim),
+                    dot("va", "vb", dim=dim),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,
@@ -1669,13 +1669,13 @@ def semantic_pair_candidates(
     a_cols = [
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
-        l2_norm(F.col("vec"), dim=dim).alias("_norm_a"),
+        l2_norm("vec", dim=dim).alias("_norm_a"),
         F.col("centroid_id").alias("cell_a"),
     ]
     b_cols = [
         F.col("vec_id").alias("vec_b"),
         F.col("vec").alias("vb"),
-        l2_norm(F.col("vec"), dim=dim).alias("_norm_b"),
+        l2_norm("vec", dim=dim).alias("_norm_b"),
         F.col("centroid_id").alias("cell_b"),
     ]
     pair_cond = (F.col("cell_a") == F.col("cell_b")) & (
@@ -1712,7 +1712,7 @@ def semantic_pair_candidates(
                     # the round-8 sf10 A/B measured a45 at 390.2s flat
                     # vs 932.4s fold on 500k vectors. See
                     # functions/vectors.py for the tradeoff rule.
-                    dot(F.col("va"), F.col("vb"), dim=dim, use_flat=True),
+                    dot("va", "vb", dim=dim, use_flat=True),
                     F.col("_norm_a") * F.col("_norm_b"),
                 ),
                 6,

@@ -813,7 +813,7 @@ def x16_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine_similarity(F.col("qe"), F.col("ce2")), 6).alias(
+            F.round(cosine_similarity("qe", "ce2"), 6).alias(
                 "cosine"
             ),
         )
@@ -1658,7 +1658,7 @@ def a31_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine_similarity(F.col("qe"), F.col("ce2")), 6).alias(
+            F.round(cosine_similarity("qe", "ce2"), 6).alias(
                 "cosine"
             ),
         )

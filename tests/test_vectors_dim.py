@@ -155,6 +155,83 @@ def test_fixture_cosines_unchanged_by_hint(spark):
     assert got["n"] > 1000 and got["diffs"] == 0
 
 
+def test_str_operands_are_bit_identical_to_column_form(spark):
+    """dot/l2_norm/cosine_similarity with str operands (column names,
+    built as ONE parsed SQL string — the round-15 construction-cost
+    path) must evaluate bit-for-bit equal to the Column-API form, in
+    both fold and flat modes, across every shape the flat tests cover
+    (matching dims, mismatches, NULL arrays, element NULLs, empties)."""
+    import struct
+
+    rng = random.Random(15)
+    rows = [
+        (
+            i,
+            [rng.uniform(-3, 3) for _ in range(8)],
+            [rng.uniform(-3, 3) for _ in range(8)],
+        )
+        for i in range(64)
+    ]
+    rows += [
+        (100, None, [1.0, 2.0] + [0.0] * 6),
+        (101, [1.0, 2.0] + [0.0] * 6, None),
+        (102, [], []),
+        (103, [1.0, None, 3.0], [2.0, 3.0, 4.0]),
+        (104, [1.0, 2.0, 3.0], [2.0, 3.0]),
+        (105, [0.0] * 8, [1.0] * 8),  # zero norm -> NULL cosine
+    ]
+    df = _pairs_df(spark, rows)
+    got = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("c_fold"),
+        dot("a", "b").alias("s_fold"),
+        dot(F.col("a"), F.col("b"), dim=8, use_flat=True).alias("c_flat"),
+        dot("a", "b", dim=8, use_flat=True).alias("s_flat"),
+        l2_norm(F.col("a")).alias("c_norm"),
+        l2_norm("a").alias("s_norm"),
+        l2_norm(F.col("a"), dim=8, use_flat=True).alias("c_nflat"),
+        l2_norm("a", dim=8, use_flat=True).alias("s_nflat"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c_cos"),
+        cosine_similarity("a", "b").alias("s_cos"),
+        cosine_similarity(F.col("a"), F.col("b"), dim=8, use_flat=True).alias(
+            "c_cosf"
+        ),
+        cosine_similarity("a", "b", dim=8, use_flat=True).alias("s_cosf"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        for pair in (
+            ("c_fold", "s_fold"),
+            ("c_flat", "s_flat"),
+            ("c_norm", "s_norm"),
+            ("c_nflat", "s_nflat"),
+            ("c_cos", "s_cos"),
+            ("c_cosf", "s_cosf"),
+        ):
+            x, y = r[pair[0]], r[pair[1]]
+            if x is None or y is None:
+                assert x is None and y is None, (r["id"], pair, x, y)
+            else:
+                assert struct.pack("d", x) == struct.pack("d", y), (
+                    r["id"],
+                    pair,
+                    x,
+                    y,
+                )
+
+
+def test_str_operands_escape_backticks():
+    # the SQL splice must quote identifiers: a name containing a
+    # backtick round-trips (ADVICE r14's dot_literal_sql caveat, fixed
+    # at the helper level for the str-operand path)
+    from clinical_trials_data_pipeline_analyis_spark.functions.vectors import (
+        _ident,
+    )
+
+    assert _ident("plain") == "`plain`"
+    assert _ident("we`ird") == "`we``ird`"
+
+
 def test_dot_literal_sql_is_bit_identical_to_column_fold(spark):
     """dot_literal_sql (the single-string F.expr form rhp_signatures
     uses to avoid ~dim py4j round-trips per hyperplane) must evaluate

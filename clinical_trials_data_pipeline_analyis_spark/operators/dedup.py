@@ -501,23 +501,28 @@ def token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """Per-document SimHash fingerprint via per-bit majority vote."""
+    """Per-document SimHash fingerprint via per-bit majority vote.
+
+    Every per-bit expression is built as ONE parsed SQL string (round
+    15): the Column-API form (32 F.when sums + a 32-term reduce chain)
+    cost ~500 py4j round-trips ≈ 1s of driver-side plan construction
+    per call — and five registered queries construct this operator.
+    Same integer arithmetic, same values."""
     th = token_hashes(df, id_col, text_col)
     votes = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(th, {j}) & 1)") == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {j}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(bits)
     ]
     sums = th.groupBy(id_col).agg(*votes)
-    fingerprint = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(bits),
-        F.lit(0).cast("long"),
+    fp_terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
     )
+    fingerprint = F.expr(f"CAST(0 AS BIGINT) + {fp_terms}")
     return sums.select(id_col, fingerprint.alias("simhash"))
 
 
@@ -938,15 +943,21 @@ def simhash_candidates(
             )
             # smallest w with n_fp <= max_bucket * 2^w — exact integer
             # comparison chain (float log2 would risk oracle-divergent
-            # ceil at power-of-two boundaries)
-            n_fp = F.count(F.lit(1)).over(Window.partitionBy("half"))
-            w_bits = reduce(
-                lambda acc, i: acc
-                + F.when(n_fp > max_bucket * (2 ** (i - 1)), 1).otherwise(0),
-                range(1, 17),
-                F.lit(0),
+            # ceil at power-of-two boundaries). The window count lands
+            # in ONE column first and the 16-term chain is ONE parsed
+            # SQL string over it (round 15): the Column-API reduce
+            # re-embedded the window expression in all 16 terms and
+            # cost ~100 py4j round-trips per band; same integers, same
+            # values.
+            fp = fp.withColumn(
+                "_nfp", F.expr("count(1) OVER (PARTITION BY half)")
             )
-            fp = fp.withColumn("_w", w_bits)
+            w_terms = " + ".join(
+                f"CASE WHEN _nfp > {max_bucket * (2 ** (i - 1))} "
+                f"THEN 1 ELSE 0 END"
+                for i in range(1, 17)
+            )
+            fp = fp.withColumn("_w", F.expr(f"0 + {w_terms}")).drop("_nfp")
             # LAZY truncation (round 14, guide §2.4/§1): fp is consumed
             # by TWO sub-band arms x two join sides (and at depth 2 by
             # four more level-2 join sides) — up to 12 references, each
@@ -960,37 +971,40 @@ def simhash_candidates(
             # never binds the frame is empty and construction must not
             # pay materialization jobs for it. Values unchanged.
             fp = fp.transform(cut_lineage(eager=False))
-            mask = F.expr("shiftleft(CAST(1 AS BIGINT), _w) - 1")
+            # one parsed string per sub-band key / join side / verify
+            # projection (round 15): the Column-API forms cost ~0.1s of
+            # py4j per hub_join x 12 hub_joins at depth 2; trees and
+            # values unchanged
             sub_keys = (
-                F.col("_other").bitwiseAND(mask),
-                F.expr("shiftright(_other, 16 - _w)").bitwiseAND(mask),
+                F.expr("_other & (shiftleft(CAST(1 AS BIGINT), _w) - 1)"),
+                F.expr(
+                    "shiftright(_other, 16 - _w) "
+                    "& (shiftleft(CAST(1 AS BIGINT), _w) - 1)"
+                ),
             )
             def hub_join(side: DataFrame, keys: list[str]) -> DataFrame:
-                a = side.select(
-                    *keys,
-                    F.col("_hub").alias("doc_a"),
-                    F.col("_sim").alias("_sim_a"),
+                a = side.selectExpr(
+                    *keys, "_hub AS doc_a", "_sim AS _sim_a"
                 )
-                b = side.select(
-                    *[F.col(k).alias(f"{k}_b") for k in keys],
-                    F.col("_hub").alias("doc_b"),
-                    F.col("_sim").alias("_sim_b"),
+                b = side.selectExpr(
+                    *[f"{k} AS {k}_b" for k in keys],
+                    "_hub AS doc_b",
+                    "_sim AS _sim_b",
                 )
-                cond = reduce(
-                    lambda acc, k: acc & (F.col(k) == F.col(f"{k}_b")),
-                    keys,
-                    F.col("doc_a") < F.col("doc_b"),
+                cond = F.expr(
+                    " AND ".join(
+                        ["doc_a < doc_b"]
+                        + [f"{k} = {k}_b" for k in keys]
+                    )
                 )
                 joined = a.join(b, cond)
                 if _max_hamming is None:
                     return joined.select("doc_a", "doc_b")
-                return joined.select(
+                return joined.selectExpr(
                     "doc_a",
                     "doc_b",
-                    F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-                    .cast("int")
-                    .alias("hamming"),
-                ).filter(F.col("hamming") <= _max_hamming)
+                    "CAST(bit_count(_sim_a ^ _sim_b) AS INT) AS hamming",
+                ).filter(F.expr(f"hamming <= {int(_max_hamming)}"))
 
             rescued = None
             for j, sub in enumerate(sub_keys):
@@ -1004,8 +1018,9 @@ def simhash_candidates(
                     # the oracle keeps both arms unconditionally under
                     # the same DISTINCT.
                     side = side.filter(F.col("_w").between(1, 15))
-                w_sub = Window.partitionBy("half", "_sub")
-                side = side.withColumn("_m", F.count(F.lit(1)).over(w_sub))
+                side = side.withColumn(
+                    "_m", F.expr("count(1) OVER (PARTITION BY half, _sub)")
+                )
                 if rescue_depth >= 2:
                     # Six references at depth 2 (level-1 join sides + the
                     # hot residue feeding four level-2 join sides) — same
@@ -1034,16 +1049,12 @@ def simhash_candidates(
                     # level. Only the hot residue pays: the windows and
                     # joins below run on rows with _m > cap.
                     hot = side.filter(F.col("_m") > max_bucket)
-                    w2_bits = reduce(
-                        lambda acc, i: acc
-                        + F.when(
-                            F.col("_m") > max_bucket * (2 ** (i - 1)), 1
-                        ).otherwise(0),
-                        range(1, 17),
-                        F.lit(0),
+                    w2_terms = " + ".join(
+                        f"CASE WHEN _m > {max_bucket * (2 ** (i - 1))} "
+                        f"THEN 1 ELSE 0 END"
+                        for i in range(1, 17)
                     )
-                    hot = hot.withColumn("_w2", w2_bits)
-                    mask2 = F.expr("shiftleft(CAST(1 AS BIGINT), _w2) - 1")
+                    hot = hot.withColumn("_w2", F.expr(f"0 + {w2_terms}"))
                     # fresh windows: arm 0 consumed the low w bits, so
                     # its level-2 keys start at bit w (low) and 16-w2
                     # (high); arm 1 consumed the high w bits, so its
@@ -1057,14 +1068,18 @@ def simhash_candidates(
                     for s in shifts:
                         s2 = hot.withColumn(
                             "_sub2",
-                            F.expr(f"shiftright(_other, {s})").bitwiseAND(
-                                mask2
+                            F.expr(
+                                f"shiftright(_other, {s}) "
+                                f"& (shiftleft(CAST(1 AS BIGINT), _w2) - 1)"
                             ),
                         )
-                        w_sub2 = Window.partitionBy("half", "_sub", "_sub2")
                         s2 = s2.withColumn(
-                            "_m2", F.count(F.lit(1)).over(w_sub2)
-                        ).filter(F.col("_m2") <= max_bucket)
+                            "_m2",
+                            F.expr(
+                                "count(1) OVER "
+                                "(PARTITION BY half, _sub, _sub2)"
+                            ),
+                        ).filter(F.expr(f"_m2 <= {int(max_bucket)}"))
                         rescued = rescued.unionByName(
                             hub_join(s2, ["half", "_sub", "_sub2"])
                         )

@@ -526,18 +526,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(id_col, fingerprint.alias("simhash"))
 
 
-def _cap_stats_frame(simhash_df: DataFrame, max_bucket: int) -> DataFrame:
+def _cap_stats_frame(
+    simhash_df: DataFrame,
+    max_bucket: int,
+    sizes: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """The cap probe's one-row aggregate, pre-collect — split out so
     its plan shape (two BROADCAST joins of the ≤65,536-row bucket-size
     tables back onto the O(n) fingerprint projection, no wide shuffle)
-    is assertable in tests, not just claimed in prose."""
+    is assertable in tests, not just claimed in prose.
+
+    ``sizes`` (round 15): the caller's per-band (half, _n) bucket-size
+    tables, when it already builds them for the cap filter itself —
+    ``simhash_candidates`` passes its lazily-truncated pair so the
+    probe's collect MATERIALIZES them and the candidate join's cap
+    semi-joins and rescue arms read the ≤65,536-row blocks back instead
+    of re-aggregating the O(n) fingerprint table once per consumer
+    (4 redundant aggregate subtrees in the final job). Values are
+    identical — same groupBy, same counts."""
     lo_h = (F.col("simhash") % 65536).alias("_hlo")
     hi_h = F.expr(
         "CAST(shiftright(simhash, 16) & 65535 AS BIGINT)"
     ).alias("_hhi")
     docs = simhash_df.select(lo_h, hi_h)
-    sz_lo = docs.groupBy("_hlo").agg(F.count(F.lit(1)).alias("_n_lo"))
-    sz_hi = docs.groupBy("_hhi").agg(F.count(F.lit(1)).alias("_n_hi"))
+    if sizes is not None:
+        sz_lo = sizes[0].selectExpr("half AS _hlo", "_n AS _n_lo")
+        sz_hi = sizes[1].selectExpr("half AS _hhi", "_n AS _n_hi")
+    else:
+        sz_lo = docs.groupBy("_hlo").agg(F.count(F.lit(1)).alias("_n_lo"))
+        sz_hi = docs.groupBy("_hhi").agg(F.count(F.lit(1)).alias("_n_hi"))
     skip_lo = F.col("_n_lo") > max_bucket
     skip_hi = F.col("_n_hi") > max_bucket
     return (
@@ -563,7 +580,9 @@ def _cap_stats_frame(simhash_df: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def simhash_cap_stats(
-    simhash_df: DataFrame, max_bucket: int
+    simhash_df: DataFrame,
+    max_bucket: int,
+    sizes: tuple[DataFrame, DataFrame] | None = None,
 ) -> dict[str, float] | None:
     """Measure what a hot-bucket cap of ``max_bucket`` would skip.
 
@@ -585,7 +604,7 @@ def simhash_cap_stats(
     wide shuffle, no per-bucket materialization at the driver beyond
     the two ≤65k size tables Spark broadcasts.
     """
-    row = _cap_stats_frame(simhash_df, max_bucket).collect()[0]
+    row = _cap_stats_frame(simhash_df, max_bucket, sizes=sizes).collect()[0]
     n_docs = int(row["docs"] or 0)
     if not n_docs:
         return None
@@ -609,11 +628,12 @@ def _simhash_cap_probe(
     min_visible: float | None,
     rescue_identical: bool,
     rescue_near: bool,
+    sizes: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """Policy half of the cap probe: warn at a binding cap, refuse
     below the ``min_visible`` floor (``simhash_cap_stats`` is the
     measurement half)."""
-    stats = simhash_cap_stats(simhash_df, max_bucket)
+    stats = simhash_cap_stats(simhash_df, max_bucket, sizes=sizes)
     if stats is None:
         return
     n_docs = stats["docs"]
@@ -858,11 +878,6 @@ def simhash_candidates(
         simhash_df = simhash_df.transform(cut_lineage())
     lo = (F.col("simhash") % 65536).alias("half")
     hi = F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)").alias("half")
-    if max_bucket is not None and (cap_stats or min_visible is not None):
-        _simhash_cap_probe(
-            simhash_df, max_bucket, min_visible,
-            rescue_identical=rescue_identical, rescue_near=rescue_near,
-        )
 
     def half_sizes(half: Column) -> DataFrame:
         """Per-half-bucket occupancy: <=65,536 rows, map-side partial
@@ -873,7 +888,30 @@ def simhash_candidates(
             .agg(F.count(F.lit(1)).alias("_n"))
         )
 
-    def pairs_on(half: Column) -> DataFrame:
+    # ONE bucket-size table per band (round 15), lazily truncated and
+    # SHARED by the cap probe, the cap semi-join, and the rescue's
+    # hot-half complement. Before, each consumer re-aggregated the O(n)
+    # fingerprint table under its own broadcast build — four redundant
+    # aggregate subtrees in the candidate job on top of the probe's two.
+    # The probe's collect is the first action and materializes the
+    # <=65,536-row blocks; every later consumer reads them back. With
+    # cap_stats=False nothing materializes them up front and the
+    # candidate job computes them lazily exactly where the old subtrees
+    # sat — never worse. Values identical (same groupBy, same counts).
+    size_of: dict[str, DataFrame] = {}
+    if max_bucket is not None:
+        size_of = {
+            "lo": half_sizes(lo).transform(cut_lineage(eager=False)),
+            "hi": half_sizes(hi).transform(cut_lineage(eager=False)),
+        }
+    if max_bucket is not None and (cap_stats or min_visible is not None):
+        _simhash_cap_probe(
+            simhash_df, max_bucket, min_visible,
+            rescue_identical=rescue_identical, rescue_near=rescue_near,
+            sizes=(size_of["lo"], size_of["hi"]),
+        )
+
+    def pairs_on(key: str, half: Column) -> DataFrame:
         sim_a = (
             [F.col("simhash").alias("_sim_a")]
             if _max_hamming is not None
@@ -891,7 +929,7 @@ def simhash_candidates(
             # the scan, so every downstream exchange carries only
             # surviving rows; the size table costs one map-side
             # partial aggregate. Values identical (same n<=cap set).
-            ok = half_sizes(half).filter(F.col("_n") <= max_bucket).select(
+            ok = size_of[key].filter(F.col("_n") <= max_bucket).select(
                 "half"
             )
             base = base.join(F.broadcast(ok), "half", "left_semi")
@@ -915,19 +953,19 @@ def simhash_candidates(
             .alias("hamming"),
         ).filter(F.col("hamming") <= _max_hamming)
 
-    out = pairs_on(lo).unionByName(pairs_on(hi))
+    out = pairs_on("lo", lo).unionByName(pairs_on("hi", hi))
     if rescue_near and max_bucket is not None:
         other_of = {
             "lo": F.expr("CAST(shiftright(simhash, 16) & 65535 AS BIGINT)"),
             "hi": (F.col("simhash") % 65536).cast("long"),
         }
 
-        def rescue_on(half: Column, other: Column) -> DataFrame:
+        def rescue_on(key: str, half: Column, other: Column) -> DataFrame:
             # The rescue operates on the COMPLEMENT of the cap filter:
             # the same broadcast size table, semi-joined on the hot
             # (n > cap) halves — no window shuffle of the full
             # fingerprint table here either (round 14; see pairs_on).
-            hot_halves = half_sizes(half).filter(
+            hot_halves = size_of[key].filter(
                 F.col("_n") > max_bucket
             ).select("half")
             members = simhash_df.select(
@@ -1085,9 +1123,9 @@ def simhash_candidates(
                         )
             return rescued
 
-        out = out.unionByName(rescue_on(lo, other_of["lo"])).unionByName(
-            rescue_on(hi, other_of["hi"])
-        )
+        out = out.unionByName(
+            rescue_on("lo", lo, other_of["lo"])
+        ).unionByName(rescue_on("hi", hi, other_of["hi"]))
     if rescue_identical and max_bucket is not None:
         hubs = simhash_df.groupBy("simhash").agg(
             F.min(id_col).alias("_hub")

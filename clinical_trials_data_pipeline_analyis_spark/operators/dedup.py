@@ -1354,7 +1354,14 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(df, id_col, text_col, k)
     if max_df is not None:
         sh = filter_hot_shingles(sh, max_df)
-    sh = sh.transform(cut_lineage())
+    # LAZY truncation (round 15, guide §1/§5): the first consumer is
+    # always a SINGLE-reference job — the guard/auto df histogram when a
+    # budget is set, else the set-size checkpoint — so the blocks
+    # materialize inside that job instead of paying a dedicated
+    # construction-time job first; the self-join sides read them back.
+    # (Multi-reference first consumers would race-duplicate the explode
+    # — the a43 lesson — which is why `sizes` below stays eager.)
+    sh = sh.transform(cut_lineage(eager=False))
     if auto_df:
         hist = sorted(
             (r["_df"], r["_n"])

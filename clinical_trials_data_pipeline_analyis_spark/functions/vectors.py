@@ -148,8 +148,21 @@ def dot_literal_sql(col_sql: str, values: list[float]) -> str:
     (~11 ms each measured) — at rhp_signatures' 48 x 64 registered
     geometry that was ~2.7 s of driver-side plan construction per
     query before any job ran. One ``F.expr`` string is one round-trip.
-    ``col_sql`` is spliced verbatim — pass a quoted identifier.
+    ``col_sql`` is spliced verbatim — pass a quoted identifier (use
+    ``_ident`` for names that may contain backticks). Values must be
+    finite: ``repr(inf)``/``repr(nan)`` would render as ``infD``/
+    ``nanD`` and fail to parse at ``F.expr`` time — rejected here with
+    a clear error instead (ADVICE r14).
     """
+    import math
+
+    bad = [v for v in values if not math.isfinite(float(v))]
+    if bad:
+        raise ValueError(
+            f"dot_literal_sql: non-finite literal(s) {bad[:3]} cannot "
+            "be rendered as SQL double literals; filter or clamp the "
+            "plane values first."
+        )
     arr = ", ".join(f"{float(v)!r}D" for v in values)
     return (
         f"aggregate(zip_with({col_sql}, array({arr}), "

@@ -29,6 +29,13 @@ def main() -> None:
     for n in names:
         hits = [f for f in full if f == n or f.startswith(n + "_") or f.split("_")[0] == n]
         resolved.extend(hits)
+    # dedupe (overlapping prefixes double-run queries) and fail with a
+    # usage error on no match instead of an IndexError (ADVICE r14)
+    resolved = list(dict.fromkeys(resolved))
+    if not resolved:
+        raise SystemExit(
+            f"profile_split: no registered query matches {names!r}"
+        )
     # warms (same as bench)
     qs[resolved[0]](spark, sf_dir).count()
     spark.range(0, 1024, 1, 32).mapInPandas(lambda it: it, "id long").count()

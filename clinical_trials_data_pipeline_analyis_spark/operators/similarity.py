@@ -1888,6 +1888,11 @@ def semantic_dedup(
         # order) — the checkpointed narrow memb table is consumed
         # twice instead of re-scoring. The keep rule still reads the
         # PRIMARY cos_centroid.
+        # LAZY truncation (round 15, guide §5): memb's first consumer is
+        # the scan_input checkpoint job below, which references it
+        # exactly ONCE — the n x k scoring materializes inside that job
+        # instead of paying a dedicated serial job first. keep_src reads
+        # the blocks later (they exist by then). Values unchanged.
         memb = ivf_assign_topp(
             embeddings,
             centroids,
@@ -1896,7 +1901,7 @@ def semantic_dedup(
             vec_col=vec_col,
             dim=dim,
             use_flat=assign_flat,
-        ).transform(cut_lineage())
+        ).transform(cut_lineage(eager=False))
         scan_input = (
             embeddings.select(
                 F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
